@@ -1,0 +1,213 @@
+package graft.pipeline
+
+import graft.{PathInstance, Sentence, Triple}
+import graft.text.{BiarcParser, PathExtractor, PhrasePaths}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** The DIRT pipeline (Lin & Pantel 2001) as one Spark DataFrame lineage,
+  * replacing the reference's five chained MapReduce jobs
+  * (`DirtDriver.java:1000-1091`) — see SURVEY.md §3.1 for the mapping.
+  *
+  * Stage shape (each MR job's shuffle collapses into a Catalyst exchange):
+  *
+  *   corpus text --flatMap--> instances --unpivot+agg--> triples
+  *   margins & N       = re-aggregations over the persisted triples
+  *   mi                = triples |><| bcast(swMargins) |><| psMargins, ln+filter
+  *   sumMi             = mi groupBy (path,slot) sum
+  *   similarity(pairs) = feature self-equi-join on (slot,word) restricted to
+  *                       the broadcast pair list + conditional sums + sumMi
+  *                       lookups (Jobs 3+4, `:852-977`)
+  *
+  * Scale notes: triples/margins aggregations reuse one shuffle-friendly
+  * persisted instance DF; the word-margin join is broadcast only when small
+  * (caller-controlled), the feature self-join is an equi-join on (slot,word)
+  * so AQE can split skewed hot paths (SURVEY.md §4).
+  */
+object DirtPipeline {
+
+  /** Stage 1a (Job 1 map, `:487-504`): raw corpus lines -> parsed sentences. */
+  def parseCorpus(lines: Dataset[String]): Dataset[Sentence] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    lines.flatMap(BiarcParser.parseLine(_))
+  }
+
+  /** Stage 1b (Job 1 map, `:506-518`): sentences -> weighted path instances. */
+  def extractInstances(sentences: Dataset[Sentence]): Dataset[PathInstance] = {
+    val spark = sentences.sparkSession
+    import spark.implicits._
+    sentences.flatMap(PathExtractor.extract(_))
+  }
+
+  /** Stage 1c (Job 1 reduce, `:566-595`): instances -> aggregated triples.
+    * One instance contributes (path, X, x) and (path, Y, y), weight cnt.
+    * The reference's 7-way tagged-key fan-out (`:511-517`) is an
+    * anti-pattern in Spark; margins and N are derived below instead.
+    */
+  def triples(instances: Dataset[PathInstance]): DataFrame = {
+    val spark = instances.sparkSession
+    import spark.implicits._
+    instances
+      .flatMap(pi => Seq(
+        Triple(pi.path, "X", pi.x, pi.cnt),
+        Triple(pi.path, "Y", pi.y, pi.cnt)))
+      .groupBy("path", "slot", "word")
+      .agg(sum("cnt").as("cnt"))
+  }
+
+  /** f(slot, word) margin — `SW_MARGIN` (`:513-514`), derived. */
+  def swMargins(triples: DataFrame): DataFrame =
+    triples.groupBy("slot", "word").agg(sum("cnt").as("sw_cnt"))
+
+  /** f(path, slot) margin — `PS_MARGIN` (`:515-516`), derived. */
+  def psMargins(triples: DataFrame): DataFrame =
+    triples.groupBy("path", "slot").agg(sum("cnt").as("ps_cnt"))
+
+  /** Global N = sum over both slots of all triple counts — the reference
+    * emits `count * 2` per instance (`:517`) which is exactly the sum over
+    * the 2-row-per-instance triples; falls back to 1 when 0 (`:1159`).
+    */
+  def globalN(triples: DataFrame): Long = {
+    val n = triples.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
+    if (n == 0L) 1L else n
+  }
+
+  /** Stage 2 (Job 2, `:598-709`): MI features.
+    * mi = ln(tripleCnt * N / (psCnt * swCnt)), kept when num>0, den>0 and
+    * mi > 0.001 (`:694-699`). Inner joins reproduce the reference's
+    * drop-on-missing-margin semantics (`:637-639,678-681`) — vacuous when
+    * margins derive from the same triples, but kept for parity.
+    */
+  def miFeatures(
+      triples: DataFrame,
+      swMargins: DataFrame,
+      psMargins: DataFrame,
+      n: Long,
+      broadcastMargins: Boolean = true): DataFrame = {
+    val sw = if (broadcastMargins) broadcast(swMargins) else swMargins
+    triples
+      .join(sw, Seq("slot", "word"), "inner")
+      .join(psMargins, Seq("path", "slot"), "inner")
+      .withColumn("mi",
+        log(col("cnt").cast("double") * lit(n.toDouble) /
+          (col("ps_cnt").cast("double") * col("sw_cnt").cast("double"))))
+      .filter(col("cnt") > 0 && col("ps_cnt") * col("sw_cnt") > 0 &&
+        col("mi") > 0.001)
+      .select("path", "slot", "word", "mi")
+  }
+
+  /** Stage 2.5 (Job 2.5, `:712-733`): SumMI denominator per (path, slot). */
+  def sumMi(mi: DataFrame): DataFrame =
+    mi.groupBy("path", "slot").agg(sum("mi").as("sum_mi"))
+
+  /** Parse test-set lines `phrase1 \t phrase2` into canonicalized path
+    * pairs (p1 <= p2), dropping untranslatable phrases — Job 3 setup
+    * (`:828-850`). Returns distinct (p1, p2) rows.
+    */
+  def testPairs(lines: Seq[String]): Seq[(String, String)] =
+    lines.flatMap { line =>
+      val p = line.split("\t")
+      if (p.length < 2) None
+      else for {
+        a <- PhrasePaths.convert(p(0))
+        b <- PhrasePaths.convert(p(1))
+      } yield if (a <= b) (a, b) else (b, a)
+    }.distinct
+
+  /** Stages 3+4 (Jobs 3+4, `:852-977`): score each test pair with Lin's
+    * geometric-mean similarity.
+    *
+    * Output parity: one row per canonical pair where at least one member
+    * path has >= 1 MI feature (the reference emits 0.0-scored pairs —
+    * SURVEY.md §7.5.5); pairs whose two paths are identical score 0.0
+    * (their features all land in the reference's v1 map, `:890-893`).
+    */
+  def similarity(
+      mi: DataFrame,
+      sumMi: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val spark = mi.sparkSession
+
+    // Pairs active in the corpus: at least one member path has features.
+    val miPaths = mi.select("path").distinct()
+    val members = pairs
+      .select(explode(array(col("p1"), col("p2"))).as("path"), col("p1"), col("p2"))
+    val activePairs = members
+      .join(miPaths, Seq("path"), "left_semi")
+      .select("p1", "p2")
+      .distinct()
+
+    // Feature intersection (Job 3 reduce `:896-905`) as a relational
+    // self-equi-join on (slot, word), restricted to the broadcast pair
+    // list; p1 == p2 excluded (reference scores self-pairs 0.0).
+    val f1 = mi.select(
+      col("path").as("p1"), col("slot"), col("word"), col("mi").as("mi1"))
+    val f2 = mi.select(
+      col("path").as("p2"), col("slot"), col("word"), col("mi").as("mi2"))
+    val numerators = f1
+      .join(broadcast(pairs.filter(col("p1") =!= col("p2"))), Seq("p1"))
+      .join(f2, Seq("p2", "slot", "word"), "inner")
+      .groupBy("p1", "p2")
+      .agg(
+        sum(when(col("slot") === "X", col("mi1") + col("mi2")).otherwise(0.0))
+          .as("numX"),
+        sum(when(col("slot") === "Y", col("mi1") + col("mi2")).otherwise(0.0))
+          .as("numY"))
+
+    // Four denominator lookups (Job 4 reduce `:967-970`), missing -> 0.0.
+    val sm = sumMi
+      .groupBy("path")
+      .agg(
+        sum(when(col("slot") === "X", col("sum_mi")).otherwise(0.0)).as("smX"),
+        sum(when(col("slot") === "Y", col("sum_mi")).otherwise(0.0)).as("smY"))
+
+    val s1 = sm.select(col("path").as("p1"),
+      col("smX").as("s1X"), col("smY").as("s1Y"))
+    val s2 = sm.select(col("path").as("p2"),
+      col("smX").as("s2X"), col("smY").as("s2Y"))
+
+    activePairs
+      .join(numerators, Seq("p1", "p2"), "left")
+      .join(broadcast(s1), Seq("p1"), "left")
+      .join(broadcast(s2), Seq("p2"), "left")
+      .select(
+        col("p1"), col("p2"),
+        coalesce(col("numX"), lit(0.0)).as("numX"),
+        coalesce(col("numY"), lit(0.0)).as("numY"),
+        coalesce(col("s1X"), lit(0.0)).as("s1X"),
+        coalesce(col("s1Y"), lit(0.0)).as("s1Y"),
+        coalesce(col("s2X"), lit(0.0)).as("s2X"),
+        coalesce(col("s2Y"), lit(0.0)).as("s2Y"))
+      .withColumn("simX",
+        when(col("s1X") + col("s2X") > 0.0,
+          col("numX") / (col("s1X") + col("s2X"))).otherwise(0.0))
+      .withColumn("simY",
+        when(col("s1Y") + col("s2Y") > 0.0,
+          col("numY") / (col("s1Y") + col("s2Y"))).otherwise(0.0))
+      .select(col("p1").as("path1"), col("p2").as("path2"),
+        sqrt(col("simX") * col("simY")).as("score"))
+  }
+
+  /** End-to-end: corpus lines + test-set lines -> scored pairs.
+    * The instance DF is persisted once and feeds triples; triples persist
+    * once and feed margins, N, and MI — the reference's inter-job S3
+    * round-trips become in-memory scan sharing (SURVEY.md §4).
+    */
+  def run(
+      spark: SparkSession,
+      corpus: Dataset[String],
+      testSetLines: Seq[String]): DataFrame = {
+    import spark.implicits._
+    // Persisted: consumed by three aggregations (margins, N) plus the MI
+    // join — the reference's inter-job S3 round-trip becomes scan sharing.
+    val tr = triples(extractInstances(parseCorpus(corpus)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = globalN(tr)
+    val mi = miFeatures(tr, swMargins(tr), psMargins(tr), n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairsDf = testPairs(testSetLines).toDF("p1", "p2")
+    similarity(mi, sumMi(mi), pairsDf)
+  }
+}
