@@ -1,0 +1,269 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import scala.util.hashing.MurmurHash3
+
+/** Deduplication operators for LLM training-data pipelines, each designed
+  * as shuffle-bounded relational plans that survive a 100 TB corpus:
+  *
+  *   - exact:   hash-groupBy on a content digest — one shuffle on digest;
+  *   - jaccard: blocked pairwise word-set Jaccard — candidate generation
+  *     restricted by blocking keys so the self-join never goes quadratic
+  *     in the corpus, only within a block;
+  *   - minhash: MinHash signatures + banded LSH — candidates only for
+  *     pairs sharing a band bucket, verified with exact Jaccard;
+  *   - simhash: 64-bit SimHash + pigeonhole block index for Hamming<=k
+  *     candidate pairs.
+  *
+  * All pair emission is bucket-local (groupBy/join on bucket keys), never
+  * a driver-side loop; hot buckets are AQE-splittable skew joins.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact duplicate groups by md5 digest: one row per duplicated digest
+    * with the keeper (min id) and the duplicate count. Portable to any
+    * SQL oracle (md5 is md5 everywhere).
+    */
+  def exactDupGroups(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("digest"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col(idCol)).as("keeper_id"))
+      .filter(col("n_docs") > 1)
+
+  /** Corpus with exact duplicates removed (keep min id per digest). */
+  def dropExactDups(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  // ------------------------------------------------- blocked word Jaccard
+
+  /** Pairwise word-set Jaccard over candidate pairs restricted to a
+    * blocking key (default: language + length bucket — near-dups share
+    * both). Emits (id1 < id2, jaccard) for pairs >= `threshold`.
+    *
+    * Plan shape: explode distinct words -> self equi-join on
+    * (block, word) -> pair-count aggregation -> jaccard. The block key
+    * keeps the join linear-ish in corpus size; within-block skew is AQE's
+    * job. Fully SQL-expressible for the oracle.
+    */
+  def jaccardPairs(
+      docs: DataFrame,
+      threshold: Double = 0.5,
+      lenBucket: Int = 100,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val words = docs
+      .select(
+        col(idCol).as("id"),
+        col("lang"),
+        floor(col("n_chars") / lenBucket.toDouble).cast("long").as("blk"),
+        explode(array_distinct(split(trim(col(textCol)), "\\s+")))
+          .as("word"))
+    val counts = words.groupBy("id").agg(count(lit(1)).as("n_words"))
+
+    val a = words.select(col("lang"), col("blk"), col("word"),
+      col("id").as("id1"))
+    val b = words.select(col("lang"), col("blk"), col("word"),
+      col("id").as("id2"))
+    val inter = a
+      .join(b, Seq("lang", "blk", "word"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("n_inter"))
+
+    inter
+      .join(counts.select(col("id").as("id1"), col("n_words").as("n1")), "id1")
+      .join(counts.select(col("id").as("id2"), col("n_words").as("n2")), "id2")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (col("n1") + col("n2") - col("n_inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  // ----------------------------------------------------------- MinHash LSH
+
+  /** Stable 32-bit token hash (MurmurHash3, fixed seed). */
+  def tokenHash(s: String, seed: Int): Int = MurmurHash3.stringHash(s, seed)
+
+  private val MaxPerm = 256
+  private val P = 4294967311L // first prime > 2^32
+  // (a*x + b) mod p universal-hash constants, fixed seed — computed once
+  // per JVM, not per row.
+  private lazy val (permA, permB) = {
+    val rnd = new java.util.Random(0x5eed)
+    val as = Array.fill(MaxPerm)(1 + rnd.nextInt(Int.MaxValue).toLong)
+    val bs = Array.fill(MaxPerm)(rnd.nextInt(Int.MaxValue).toLong)
+    (as, bs)
+  }
+
+  /** MinHash signature of a token set: one min over the token hashes per
+    * permutation, permutations simulated by the classic (a*x + b) mod p
+    * universal family with constants derived from a fixed seed.
+    */
+  def minhashSignature(tokens: Iterable[String], numPerm: Int): Array[Long] = {
+    require(numPerm <= MaxPerm, s"numPerm <= $MaxPerm")
+    val as = permA
+    val bs = permB
+    val sig = Array.fill(numPerm)(Long.MaxValue)
+    tokens.foreach { t =>
+      val x = tokenHash(t, 42).toLong & 0xffffffffL
+      var i = 0
+      while (i < numPerm) {
+        val h = (as(i) * x + bs(i)) % P
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** Character shingles of width k (the classic near-dup unit). */
+  def shingles(text: String, k: Int = 5): Set[String] =
+    if (text == null || text.length < k) Set(if (text == null) "" else text)
+    else (0 to text.length - k).view.map(i => text.substring(i, i + k)).toSet
+
+  /** Candidate near-dup pairs via banded MinHash LSH, verified with exact
+    * shingle Jaccard. `numPerm` = bands * rowsPerBand.
+    *
+    * Scale path: signatures are computed per-row (map-only); candidates
+    * come from a groupBy on (band, bandHash) — pairs are only formed
+    * within a bucket, and verification re-reads only candidate ids via a
+    * join back to the corpus (no N^2 stage anywhere).
+    */
+  def minhashPairs(
+      docs: DataFrame,
+      threshold: Double = 0.7,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      shingleK: Int = 5,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val numPerm = bands * rowsPerBand
+
+    val sigs = docs
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        (id, minhashSignature(shingles(t, shingleK), numPerm))
+      }
+      .toDF("id", "sig")
+
+    // Band hash: one bucket key per (band, hash of the band's rows).
+    val banded = sigs
+      .select(col("id"), posexplode(
+        array((0 until bands).map { b =>
+          hash(lit(b) +: (0 until rowsPerBand)
+            .map(r => col("sig").getItem(b * rowsPerBand + r)): _*)
+        }: _*)).as(Seq("band", "bucket")))
+
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id1"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id2"))
+    val candidates = l
+      .join(r, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
+
+    // Exact-verify candidates with shingle Jaccard.
+    val texts = docs.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("t"))
+    candidates
+      .join(texts.select(col("id").as("id1"), col("t").as("t1")), "id1")
+      .join(texts.select(col("id").as("id2"), col("t").as("t2")), "id2")
+      .as[(Long, Long, String, String)]
+      .map { case (id1, id2, t1, t2) =>
+        val s1 = shingles(t1, shingleK)
+        val s2 = shingles(t2, shingleK)
+        val inter = s1.intersect(s2).size
+        val jac =
+          if (s1.isEmpty && s2.isEmpty) 1.0
+          else inter.toDouble / (s1.size + s2.size - inter)
+        (id1, id2, math.rint(jac * 1e6) / 1e6)
+      }
+      .toDF("id1", "id2", "jaccard")
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // -------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over whitespace tokens (unweighted): sign of the
+    * per-bit vote across stable token hashes.
+    */
+  def simhash64(tokens: Iterable[String]): Long = {
+    val votes = new Array[Int](64)
+    tokens.foreach { t =>
+      val h1 = tokenHash(t, 7).toLong & 0xffffffffL
+      val h2 = tokenHash(t, 13).toLong & 0xffffffffL
+      val h = (h1 << 32) | h2
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Near-dup pairs with Hamming distance <= maxDist via the pigeonhole
+    * trick: split the 64-bit hash into maxDist+1 blocks; any pair within
+    * distance must agree on >= 1 block, so candidates are an equi-join on
+    * (blockIndex, blockValue).
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      maxDist: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nBlocks = maxDist + 1
+    val width = 64 / nBlocks
+
+    val hashes = docs
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        (id, simhash64(t.trim.split("\\s+").toSeq))
+      }
+      .toDF("id", "sh")
+
+    val blocks = hashes.select(col("id"), col("sh"), posexplode(
+      array((0 until nBlocks).map { b =>
+        // top block keeps the remaining high bits
+        val lo = b * width
+        val w = if (b == nBlocks - 1) 64 - lo else width
+        (shiftrightunsigned(col("sh"), lo)
+          .bitwiseAND(lit(if (w == 64) -1L else (1L << w) - 1L)))
+      }: _*)).as(Seq("blk", "blkval")))
+
+    val l = blocks.select(col("blk"), col("blkval"),
+      col("id").as("id1"), col("sh").as("sh1"))
+    val r = blocks.select(col("blk"), col("blkval"),
+      col("id").as("id2"), col("sh").as("sh2"))
+    l.join(r, Seq("blk", "blkval"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("sh1").bitwiseXOR(col("sh2"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines over a document
+  * corpus: token counting, quality scoring, language identification and
+  * document fingerprinting.
+  *
+  * All scoring/ID functions are pure `Column` expressions (whole-stage
+  * codegen, no UDFs) so they stay inside WSCG at 100 TB and are portable
+  * to the DuckDB oracle; only the rolling-hash fingerprint is a UDF
+  * (deterministic, per-row, no state).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alpha runs, digit runs, single punctuation —
+    * the classic pre-tokenizer shape (regex identical under Java regex and
+    * RE2 for the oracle).
+    */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
+  /** Count non-overlapping occurrences of literal `marker` — portable
+    * replace-based counting (no regex), identical in any engine.
+    */
+  def occurrences(text: Column, marker: String): Column =
+    ((length(text) - length(replace(text, lit(marker)))) / marker.length)
+      .cast("long")
+
+  /** Stopword hit ratio over whitespace tokens. */
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val stops = array(EnStopwords.map(lit): _*)
+    size(filter(toks, t => array_contains(stops, t))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Mean token length (chars excluding whitespace / token count). */
+  def avgTokenLen(text: Column): Column =
+    length(regexp_replace(text, "\\s+", "")).cast("double") /
+      greatest(size(tokens(text)), lit(1)).cast("double")
+
+  /** Heuristic quality score in [0,1]: rewards moderate length, low
+    * punctuation and a plausible stopword ratio — the standard cheap
+    * pre-filter shape for LLM corpus cleaning. Fixed closed-form formula
+    * so the DuckDB oracle can recompute it exactly.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore =
+      least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val punctPenalty = least(punctRatio(text) * lit(4.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    round(
+      greatest(
+        lit(0.0),
+        lit(0.5) * lenScore + lit(0.3) * stopScore -
+          lit(0.2) * punctPenalty + lit(0.2)),
+      6)
+  }
+
+  /** Function-word markers per language for the n-gram-free language-ID
+    * heuristic (replace-based counting keeps it engine-portable; markers
+    * are space-padded so they only hit whole words).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "es" -> Seq(" el ", " la ", " que "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " les ", " est "))
+
+  def langScore(text: Column, lang: String): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    LangMarkers.toMap.apply(lang)
+      .map(m => occurrences(padded, m))
+      .reduce(_ + _)
+  }
+
+  /** Argmax over language scores with a deterministic first-wins tie
+    * break in declaration order, 'und' when all scores are zero.
+    */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, _) => l -> langScore(text, l) }
+    val mx = scores.map(_._2).reduce(greatest(_, _))
+    val total = scores.map(_._2).reduce(_ + _)
+    scores
+      .foldLeft(when(total === 0, lit("und"))) { case (acc, (l, s)) =>
+        acc.when(s === mx, lit(l))
+      }
+      .otherwise(lit("und"))
+  }
+
+  /** 64-bit polynomial rolling-hash fingerprint: minimum of all k-gram
+    * (k=8) character window hashes — a winnowing-style content signature
+    * stable under document reordering of unrelated parts. Deterministic
+    * scalar UDF (no cross-engine oracle; golden-tested).
+    */
+  val FingerprintK = 8
+  def fingerprintOf(s: String): Long = {
+    if (s == null || s.length < FingerprintK) return 0L
+    val B = 1000003L
+    var pow = 1L
+    var i = 0
+    while (i < FingerprintK - 1) { pow *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < FingerprintK) { h = h * B + s.charAt(i); i += 1 }
+    var min = h
+    i = FingerprintK
+    while (i < s.length) {
+      h = (h - s.charAt(i - FingerprintK) * pow) * B + s.charAt(i)
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+  val fingerprintUdf = udf(fingerprintOf _)
+
+  /** Full per-document text-analysis projection over a corpus table. */
+  def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("doc_id"),
+      tokenCount(t).as("n_tokens"),
+      bpeishTokenCount(t).as("n_subwords"),
+      round(avgTokenLen(t), 6).as("avg_token_len"),
+      round(stopwordRatio(t), 6).as("stopword_ratio"),
+      round(punctRatio(t), 6).as("punct_ratio"),
+      qualityScore(t).as("quality"),
+      langId(t).as("lang_pred"),
+      fingerprintUdf(t).as("fingerprint"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, per SURVEY's north star:
+  *   - brute-force cosine top-k: exact baseline — a broadcast join of the
+  *     (small) query set against the corpus, dot products via codegen'd
+  *     higher-order functions (`zip_with`/`aggregate`), ranked per query
+  *     with a window. One pass over the corpus, no shuffle of the corpus
+  *     itself: at 100 TB the scan dominates and parallelizes linearly;
+  *   - LSH-bucketed (random hyperplane / SRP): probe only the corpus rows
+  *     whose signature matches the query bucket — signature is map-only,
+  *     the probe is an equi-join on the bucket key.
+  */
+object VectorSearch {
+
+  /** sum(a[i]*b[i]) as a codegen'd column expression. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact top-k neighbours by cosine for each query id. Scores rounded
+    * to 6 dp before ranking so rank order is reproducible across engines
+    * (ties broken by vec_id).
+    */
+  def cosineTopK(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val queries = embeddings
+      .filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = embeddings
+      .join(broadcast(queries), col(idCol) =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col(idCol).as("neighbor_id"),
+        round(cosine(col(vecCol), col("qvec")), 6).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic random hyperplanes for signed-random-projection LSH. */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long = 0x9e3779b9L): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(nBits, dim)(rnd.nextGaussian())
+  }
+
+  /** SRP signature column: one bit per hyperplane = sign of the dot
+    * product, packed into a long (nBits <= 63).
+    */
+  def srpSignature(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: rank only within the query's SRP bucket. Falls
+    * back to fewer than k results when a bucket is small — the standard
+    * recall/cost trade; increase nBits for precision, decrease for recall.
+    */
+  def srpTopK(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 5,
+      nBits: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(nBits, dim)
+    val signed = embeddings.withColumn("bucket",
+      srpSignature(col(vecCol), planes))
+    val queries = signed
+      .filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        col("bucket"))
+    val scored = signed
+      .join(broadcast(queries), Seq("bucket"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col(idCol).as("neighbor_id"),
+        round(cosine(col(vecCol), col("qvec")), 6).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}
