@@ -1,22 +1,34 @@
 package graft
 
+import graft.queries.{PipelineQueries, Q, RelationalQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
-  * each with a DuckDB-equivalent oracle SQL (column names aligned; doubles
-  * rounded on both sides so engine-order float summation can't flip the
-  * hash compare).
+  * each with a DuckDB-equivalent oracle SQL where the semantics are
+  * SQL-expressible (column names aligned; doubles rounded on both sides so
+  * engine-order float summation can't flip the hash compare; every query
+  * deterministically ordered). Hash-seeded operators (MinHash, SimHash,
+  * SRP-LSH, the winnowing fingerprint) and the DIRT pipeline (biarc-corpus
+  * input) carry no oracle and get the driver's rows-only check; their
+  * semantics are golden-tested in `sbt test` instead.
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    queries("q01_agg_sum_groupby")(spark, "/root/testdata/sf0.001")
-
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // A2: hash aggregation with partial (map-side) combine — TPC-H Q1 shape.
-    "q01_agg_sum_groupby" -> ((s, dir) => {
+  /** All driver-checkable queries, in declared order. */
+  val all: Seq[Q] = Seq(
+    // A1/A2/A10/P15/O1: TPC-H Q1-shaped aggregation (the round-1 flagship).
+    Q.checked(
+      "q01_agg_sum_groupby",
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 4) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""") { (s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -27,19 +39,26 @@ object SparkEntry {
           round(avg("l_quantity"), 4).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
-    })
-  )
+    },
+    RelationalQueries.q02, RelationalQueries.q03, RelationalQueries.q04,
+    RelationalQueries.q05, RelationalQueries.q06, RelationalQueries.q07,
+    RelationalQueries.q08, RelationalQueries.q09, RelationalQueries.q10,
+    RelationalQueries.q11, RelationalQueries.q12, RelationalQueries.q13,
+    RelationalQueries.q14, RelationalQueries.q15, RelationalQueries.q16,
+    RelationalQueries.q17, RelationalQueries.q18, RelationalQueries.q19,
+    RelationalQueries.q20, RelationalQueries.q21, RelationalQueries.q22,
+    PipelineQueries.q30, PipelineQueries.q31, PipelineQueries.q32,
+    PipelineQueries.q33, PipelineQueries.q34, PipelineQueries.q35,
+    PipelineQueries.q36, PipelineQueries.q37, PipelineQueries.q38,
+    PipelineQueries.q39, PipelineQueries.q40)
 
-  def oracleSql: Map[String, String] = Map(
-    "q01_agg_sum_groupby" ->
-      """SELECT l_returnflag, l_linestatus,
-         round(sum(l_quantity), 2) AS sum_qty,
-         round(sum(l_extendedprice), 2) AS sum_base_price,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-         round(avg(l_quantity), 4) AS avg_qty,
-         count(*) AS count_order
-         FROM lineitem
-         GROUP BY l_returnflag, l_linestatus
-         ORDER BY l_returnflag, l_linestatus"""
-  )
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame =
+    queries("q01_agg_sum_groupby")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -1,0 +1,245 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, TextAnalysis, VectorSearch}
+import graft.pipeline.DirtPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators (dedup, text analysis, similarity
+  * search, multimodal plumbing) and the DIRT pipeline itself, as
+  * driver-checkable queries.
+  *
+  * The fixture corpus has no exact duplicates, so dedup queries that need
+  * them run over `dupCorpus`: documents unioned with a copy of the first
+  * 50 docs under offset ids — deterministic, fixture-derived, and exactly
+  * expressible in the oracle SQL (`UNION ALL` + `doc_id + 100000`).
+  */
+object PipelineQueries {
+
+  private val DupOffset = 100000L
+
+  /** documents ∪ re-id'd copy of docs 0-49 (guaranteed exact dups). */
+  def dupCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.unionByName(
+      docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + DupOffset))
+  }
+
+  private val dupCorpusSql =
+    """(SELECT * FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+        FROM documents WHERE doc_id < 50)"""
+
+  // Exact dedup groups (md5 digest) over the dup'd corpus — also exercises
+  // union (O3).
+  val q30 = Q.checked(
+    "q30_dedup_exact_groups",
+    s"""SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS keeper_id
+        FROM $dupCorpusSql
+        GROUP BY digest
+        HAVING count(*) > 1
+        ORDER BY digest""") { (s, d) =>
+    Dedup.exactDupGroups(dupCorpus(s, d)).orderBy("digest")
+  }
+
+  // Exact-dup removal: keep min doc_id per digest.
+  val q31 = Q.checked(
+    "q31_dedup_drop_exact",
+    s"""SELECT doc_id FROM $dupCorpusSql
+        QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+        ORDER BY doc_id""") { (s, d) =>
+    Dedup.dropExactDups(dupCorpus(s, d)).select("doc_id").orderBy("doc_id")
+  }
+
+  // Blocked word-set Jaccard near-dup pairs (block = lang + length bucket).
+  val q32 = Q.checked(
+    "q32_dedup_jaccard",
+    """WITH words AS (
+         SELECT doc_id AS id, lang,
+                CAST(floor(n_chars / 100.0) AS BIGINT) AS blk,
+                unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS word
+         FROM documents),
+       counts AS (SELECT id, count(*) AS n_words FROM words GROUP BY id),
+       inter AS (
+         SELECT a.id AS id1, b.id AS id2, count(*) AS n_inter
+         FROM words a
+         JOIN words b ON a.lang = b.lang AND a.blk = b.blk AND a.word = b.word
+         WHERE a.id < b.id
+         GROUP BY a.id, b.id)
+       SELECT id1, id2, jaccard FROM (
+         SELECT id1, id2,
+                round(n_inter / (c1.n_words + c2.n_words - n_inter), 6) AS jaccard
+         FROM inter
+         JOIN counts c1 ON c1.id = id1
+         JOIN counts c2 ON c2.id = id2)
+       WHERE jaccard >= 0.5
+       ORDER BY id1, id2""") { (s, d) =>
+    Dedup.jaccardPairs(Tables.documents(s, d), threshold = 0.5)
+      .orderBy("id1", "id2")
+  }
+
+  // MinHash LSH near-dup candidates + exact verify — murmur3-seeded, not
+  // SQL-expressible: rows-only (the dup'd corpus guarantees hits).
+  val q33 = Q.rowsOnly("q33_dedup_minhash") { (s, d) =>
+    Dedup.minhashPairs(dupCorpus(s, d), threshold = 0.7)
+      .orderBy("id1", "id2")
+  }
+
+  // SimHash pigeonhole Hamming<=3 pairs — rows-only for the same reason.
+  val q34 = Q.rowsOnly("q34_dedup_simhash") { (s, d) =>
+    Dedup.simhashPairs(dupCorpus(s, d), maxDist = 3)
+      .orderBy("id1", "id2")
+  }
+
+  // Exact brute-force cosine top-k against DuckDB's list_cosine_similarity
+  // (both sides compute in float64; scores rounded to 6dp before ranking).
+  val q35 = Q.checked(
+    "q35_ann_cosine_topk",
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                  FROM embeddings WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9)),
+       scored AS (
+         SELECT q.query_id, e.vec_id AS neighbor_id,
+                round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(q.qvec AS DOUBLE[])), 6) AS cos_sim
+         FROM embeddings e CROSS JOIN q
+         WHERE e.vec_id <> q.query_id)
+       SELECT query_id, neighbor_id, cos_sim, rank FROM (
+         SELECT query_id, neighbor_id, cos_sim,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+         FROM scored)
+       WHERE rank <= 5
+       ORDER BY query_id, neighbor_id""") { (s, d) =>
+    VectorSearch.cosineTopK(Tables.embeddings(s, d), queryIds = 0L to 9L, k = 5)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  // SRP-LSH approximate top-k — hyperplane-seeded, rows-only.
+  val q36 = Q.rowsOnly("q36_ann_srp_topk") { (s, d) =>
+    VectorSearch.srpTopK(Tables.embeddings(s, d), queryIds = 0L to 9L,
+      k = 5, nBits = 6)
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  // Text-analysis projection (all-Column, UDF-free) — the closed-form
+  // quality/lang-ID formulas recomputed exactly by the oracle.
+  val q37 = Q.checked("q37_text_analysis", TextAnalysisSql.sql) { (s, d) =>
+    TextAnalysis.analyze(Tables.documents(s, d))
+      .drop("fingerprint")
+      .withColumn("n_tokens", col("n_tokens").cast("long"))
+      .withColumn("n_subwords", col("n_subwords").cast("long"))
+      .orderBy("doc_id")
+  }
+
+  // Rolling-hash winnowing fingerprint — engine-specific, rows-only
+  // (golden-tested in unit specs).
+  val q38 = Q.rowsOnly("q38_text_fingerprint") { (s, d) =>
+    TextAnalysis.analyze(Tables.documents(s, d))
+      .select("doc_id", "fingerprint")
+      .orderBy("doc_id")
+  }
+
+  // Multimodal plumbing: documents wrapped as binary payloads + typed
+  // metadata, run through the partition-batched (stub) decode. The stub's
+  // deterministic dimensions are recomputed by the oracle, so the schema /
+  // batching / metadata path is fully correctness-checked.
+  val q39 = Q.checked(
+    "q39_multimodal_features",
+    """SELECT doc_id,
+              'text/plain' AS media_type,
+              CAST(length(text) AS BIGINT) AS n_bytes,
+              CAST(16 + length(text) % 64 AS INT) AS width,
+              CAST(16 + (length(text) // 64) % 64 AS INT) AS height,
+              CAST(1 AS INT) AS frames
+       FROM documents
+       ORDER BY doc_id""") { (s, d) =>
+    Multimodal.extractFeatures(Multimodal.asMediaTable(Tables.documents(s, d)))
+      .toDF()
+      .select("doc_id", "media_type", "n_bytes", "width", "height", "frames")
+      .orderBy("doc_id")
+  }
+
+  // DIRT pipeline end-to-end on the committed mini biarc corpus — corpus
+  // lines are not a fixture table, so rows-only here; the hand-computed
+  // closed-form scores are asserted in DirtPipelineSpec.
+  val q40 = Q.rowsOnly("q40_dirt_similarity") { (s, _) =>
+    import s.implicits._
+    DirtPipeline.run(s,
+      s.createDataset(MiniCorpus.lines),
+      MiniCorpus.testSet)
+      .select(col("path1"), col("path2"), round(col("score"), 6).as("score"))
+      .orderBy("path1", "path2")
+  }
+}
+
+/** Mini biarc corpus shared by the DIRT driver query and benches — same
+  * shape as DirtPipelineSpec's hand-computed fixture (die from/of + a
+  * distractor verb), format `head \t word/POS/dep/head... \t count`.
+  */
+object MiniCorpus {
+  val lines: Seq[String] = Seq(
+    "die\tpatients/NNS/nsubj/2 die/VBP/ROOT/0 from/IN/prep/2 cancer/NN/pobj/3\t10",
+    "die\tpeople/NNS/nsubj/2 die/VBP/ROOT/0 from/IN/prep/2 smoking/NN/pobj/3\t5",
+    "die\tpatients/NNS/nsubj/2 die/VBP/ROOT/0 of/IN/prep/2 cancer/NN/pobj/3\t7",
+    "die\tmen/NNS/nsubj/2 die/VBP/ROOT/0 of/IN/prep/2 boredom/NN/pobj/3\t2",
+    "suffer\tpatients/NNS/nsubj/2 suffer/VBP/ROOT/0 from/IN/prep/2 cancer/NN/pobj/3\t4")
+
+  val testSet: Seq[String] = Seq(
+    "X die from Y\tX die of Y",
+    "X die from Y\tX suffer from Y")
+}
+
+/** DuckDB SQL twin of [[graft.operators.TextAnalysis.analyze]] (minus the
+  * fingerprint UDF), assembled programmatically so the marker lists and
+  * formula constants can never drift from the Scala definitions.
+  */
+object TextAnalysisSql {
+  private def occ(marker: String): String =
+    s"CAST((length(padded) - length(replace(padded, '$marker', ''))) / ${marker.length} AS BIGINT)"
+
+  private def langScore(lang: String): String =
+    TextAnalysis.LangMarkers.toMap.apply(lang).map(occ).mkString(" + ")
+
+  val sql: String = {
+    val stopArr = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val langs = TextAnalysis.LangMarkers.map(_._1)
+    val scoreCols = langs.map(l => s"${langScore(l)} AS s_$l").mkString(",\n              ")
+    val mx = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val total = langs.map(l => s"s_$l").mkString(" + ")
+    val langCase = langs.map(l => s"WHEN s_$l = mx THEN '$l'").mkString(" ")
+    s"""WITH t AS (
+         SELECT doc_id, text,
+                regexp_split_to_array(trim(text), '\\s+') AS toks,
+                ' ' || text || ' ' AS padded
+         FROM documents),
+       m AS (
+         SELECT doc_id, text,
+                len(toks) AS n_tokens,
+                len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}')) AS n_subwords,
+                len(list_filter(toks, w -> list_contains($stopArr, w))) AS n_stop,
+                length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace,
+                length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
+                length(text) AS n_chars,
+                $scoreCols
+         FROM t),
+       sc AS (SELECT *, $mx AS mx, $total AS total FROM m)
+       SELECT doc_id,
+              CAST(n_tokens AS BIGINT) AS n_tokens,
+              CAST(n_subwords AS BIGINT) AS n_subwords,
+              round(n_nonspace / greatest(n_tokens, 1), 6) AS avg_token_len,
+              round(n_stop / greatest(n_tokens, 1), 6) AS stopword_ratio,
+              round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+              round(greatest(0.0,
+                0.5 * least(n_chars / 500.0, 1.0)
+                + 0.3 * least((n_stop / greatest(n_tokens, 1)) * 5.0, 1.0)
+                - 0.2 * least((n_punct / greatest(n_chars, 1)) * 4.0, 1.0)
+                + 0.2), 6) AS quality,
+              CASE WHEN total = 0 THEN 'und' $langCase ELSE 'und' END AS lang_pred
+       FROM sc
+       ORDER BY doc_id"""
+  }
+}

@@ -1,0 +1,497 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The generic relational operator surface (SURVEY.md §2: J*, A*, O*, P13-16,
+  * S4/S5/S8) as oracle-checked queries over the fixture tables.
+  *
+  * Conventions shared with the DuckDB oracle SQL:
+  *   - every double is `round`ed so engine-order float summation can't flip
+  *     the hash compare;
+  *   - every query is deterministically ordered by a unique key (and the
+  *     SQL carries the same ORDER BY);
+  *   - `events.ts` is nanosecond-precision parquet; Spark reads it at
+  *     microsecond precision, so oracle SQL casts `ts` to DuckDB's
+  *     microsecond TIMESTAMP before comparing/ordering;
+  *   - DuckDB `sum` over integers yields HUGEINT — oracle SQL casts those
+  *     back to BIGINT to keep schemas aligned.
+  */
+object RelationalQueries {
+
+  // J1/J6/A2: TPC-H Q5-shaped multiway join — broadcastable dims
+  // (region/nation) joined against fact tables; revenue per nation.
+  val q02 = Q.checked(
+    "q02_join_multiway",
+    """SELECT n_name,
+              round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+              count(*) AS n_lineitems
+       FROM region
+         JOIN nation ON n_regionkey = r_regionkey
+         JOIN customer ON c_nationkey = n_nationkey
+         JOIN orders ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+       WHERE r_name = 'ASIA'
+       GROUP BY n_name
+       ORDER BY n_name""") { (s, d) =>
+    Tables.region(s, d).filter(col("r_name") === "ASIA")
+      .join(Tables.nation(s, d), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, d),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy("n_name")
+  }
+
+  // J6 full outer: per-nation BUILDING-segment customer count vs
+  // high-balance supplier count — filters guarantee null sides exist.
+  val q03 = Q.checked(
+    "q03_join_full_outer",
+    """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+                  FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY 1),
+            s AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+                  FROM supplier WHERE s_acctbal > 5000 GROUP BY 1)
+       SELECT coalesce(c.nk, s.nk) AS nationkey,
+              coalesce(n_cust, 0) AS n_cust,
+              coalesce(n_supp, 0) AS n_supp
+       FROM c FULL OUTER JOIN s ON c.nk = s.nk
+       ORDER BY nationkey""") { (s, d) =>
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .groupBy(col("c_nationkey").as("cnk")).agg(count(lit(1)).as("n_cust"))
+    val sp = Tables.supplier(s, d).filter(col("s_acctbal") > 5000)
+      .groupBy(col("s_nationkey").as("snk")).agg(count(lit(1)).as("n_supp"))
+    c.join(sp, col("cnk") === col("snk"), "full_outer")
+      .select(
+        coalesce(col("cnk"), col("snk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  // J6 anti: customers with no finished ('F') order.
+  val q04 = Q.checked(
+    "q04_join_anti",
+    """SELECT c_custkey, c_name
+       FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+       ORDER BY c_custkey""") { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  // J3/J6 semi: customers with at least one finished order.
+  val q05 = Q.checked(
+    "q05_join_semi",
+    """SELECT c_custkey, c_mktsegment
+       FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+       ORDER BY c_custkey""") { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  // J6 right outer: supplier counted into every nation, nations without
+  // suppliers kept by the right side.
+  val q06 = Q.checked(
+    "q06_join_right",
+    """SELECT n_nationkey, n_name, count(s_suppkey) AS n_supp
+       FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+       GROUP BY n_nationkey, n_name
+       ORDER BY n_nationkey""") { (s, d) =>
+    Tables.supplier(s, d)
+      .join(Tables.nation(s, d),
+        col("s_nationkey") === col("n_nationkey"), "right_outer")
+      .groupBy("n_nationkey", "n_name")
+      .agg(count(col("s_suppkey")).as("n_supp"))
+      .orderBy("n_nationkey")
+  }
+
+  // O4 window functions: row_number / rank / lag / lead / running frame sum
+  // per user, ordered by (ts, event_id) so ties can't flip ranks.
+  val q07 = Q.checked(
+    "q07_window_funcs",
+    """SELECT event_id, user_id,
+              row_number() OVER w AS rn,
+              rank() OVER (PARTITION BY user_id ORDER BY round(value, 2) DESC, event_id) AS value_rank,
+              round(lag(value, 1) OVER w, 2) AS prev_value,
+              round(lead(value, 1) OVER w, 2) AS next_value,
+              round(sum(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS run_sum3
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+       ORDER BY event_id""") { (s, d) =>
+    val e = Tables.events(s, d)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wv = Window.partitionBy("user_id")
+      .orderBy(round(col("value"), 2).desc, col("event_id"))
+    val wf = w.rowsBetween(-2, Window.currentRow)
+    e.select(
+      col("event_id"), col("user_id"),
+      row_number().over(w).cast("long").as("rn"),
+      rank().over(wv).cast("long").as("value_rank"),
+      round(lag("value", 1).over(w), 2).as("prev_value"),
+      round(lead("value", 1).over(w), 2).as("next_value"),
+      round(sum("value").over(wf), 2).as("run_sum3"))
+      .orderBy("event_id")
+  }
+
+  // P14 date/time: monthly rollup of events with epoch extraction.
+  val q08 = Q.checked(
+    "q08_datetime_trunc",
+    """SELECT strftime(date_trunc('month', CAST(ts AS TIMESTAMP)), '%Y-%m') AS month,
+              event_type,
+              count(*) AS n_events,
+              round(sum(value), 2) AS sum_value,
+              CAST(floor(min(epoch(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS first_epoch,
+              CAST(max(year(CAST(ts AS TIMESTAMP))) AS INT) AS yr
+       FROM events
+       GROUP BY month, event_type
+       ORDER BY month, event_type""") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(
+        date_format(date_trunc("month", col("ts")), "yyyy-MM").as("month"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"),
+        min(unix_timestamp(col("ts"))).as("first_epoch"),
+        max(year(col("ts"))).as("yr"))
+      .orderBy("month", "event_type")
+  }
+
+  // P16 JSON: parse events.props both via from_json (schema'd) and
+  // get_json_object (path), aggregated per event type.
+  val q09 = Q.checked(
+    "q09_json_props",
+    """SELECT event_type,
+              count(*) AS n,
+              CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+              CAST(max(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS max_k,
+              CAST(sum(CASE WHEN CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) > 50
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+       FROM events
+       GROUP BY event_type
+       ORDER BY event_type""") { (s, d) =>
+    val kSchema = StructType(Seq(StructField("k", LongType)))
+    val e = Tables.events(s, d).select(
+      col("event_type"),
+      from_json(col("props"), kSchema).getField("k").as("k1"),
+      get_json_object(col("props"), "$.k").cast("long").as("k2"))
+    e.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("k1").as("sum_k"),
+        max("k2").as("max_k"),
+        sum(when(col("k1") > 50, 1L).otherwise(0L)).as("n_high"))
+      .orderBy("event_type")
+  }
+
+  // O3/O4 set ops: (F ∩ O) \ P over per-status customer-key sets, then
+  // union with big spenders.
+  val q10 = Q.checked(
+    "q10_setops",
+    """WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+            o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+            p AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'),
+            big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000)
+       SELECT o_custkey FROM (
+         SELECT * FROM ((SELECT * FROM f INTERSECT SELECT * FROM o)
+                        EXCEPT SELECT * FROM p)
+         UNION SELECT * FROM big)
+       ORDER BY o_custkey""") { (s, d) =>
+    val orders = Tables.orders(s, d)
+    def keys(status: String) = orders
+      .filter(col("o_orderstatus") === status).select("o_custkey").distinct()
+    val big = orders
+      .filter(col("o_totalprice") > 400000).select("o_custkey").distinct()
+    keys("F").intersect(keys("O")).except(keys("P"))
+      .unionByName(big).distinct()
+      .orderBy("o_custkey")
+  }
+
+  // A9 rollup with grouping id; null group keys coalesced so ordering
+  // semantics (Spark nulls-first vs DuckDB nulls-last) can't diverge.
+  val q11 = Q.checked(
+    "q11_rollup",
+    """SELECT CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+              coalesce(o_orderstatus, '(all)') AS status,
+              coalesce(o_orderpriority, '(all)') AS priority,
+              count(*) AS n,
+              round(sum(o_totalprice), 2) AS total
+       FROM orders
+       GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+       ORDER BY gid, status, priority""") { (s, d) =>
+    Tables.orders(s, d)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .select(
+        col("gid"),
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("gid", "status", "priority")
+  }
+
+  // A9 cube over lineitem flags.
+  val q12 = Q.checked(
+    "q12_cube",
+    """SELECT CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+              coalesce(l_returnflag, '(all)') AS rflag,
+              coalesce(l_linestatus, '(all)') AS lstatus,
+              count(*) AS n,
+              round(sum(l_quantity), 2) AS sum_qty
+       FROM lineitem
+       GROUP BY CUBE(l_returnflag, l_linestatus)
+       ORDER BY gid, rflag, lstatus""") { (s, d) =>
+    Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+      .select(
+        col("gid"),
+        coalesce(col("l_returnflag"), lit("(all)")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("lstatus"),
+        col("n"), col("sum_qty"))
+      .orderBy("gid", "rflag", "lstatus")
+  }
+
+  // A8 exact count-distinct per group.
+  val q13 = Q.checked(
+    "q13_count_distinct",
+    """SELECT o_orderpriority,
+              count(*) AS n_orders,
+              count(DISTINCT o_custkey) AS n_customers,
+              count(DISTINCT o_orderstatus) AS n_statuses
+       FROM orders
+       GROUP BY o_orderpriority
+       ORDER BY o_orderpriority""") { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(col("o_orderstatus")).as("n_statuses"))
+      .orderBy("o_orderpriority")
+  }
+
+  // A8 approximate distinct (HLL) — implementation-defined sketch, no
+  // cross-engine oracle; rows-only check.
+  val q14 = Q.rowsOnly("q14_approx_distinct") { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"))
+      .orderBy("o_orderpriority")
+  }
+
+  // A10 stats aggregates + ordered distinct string agg.
+  val q15 = Q.checked(
+    "q15_stats_agg",
+    """SELECT l_returnflag,
+              count(*) AS n,
+              round(avg(l_extendedprice), 4) AS avg_price,
+              round(stddev_samp(l_extendedprice), 4) AS sd_price,
+              min(l_quantity) AS min_qty,
+              max(l_quantity) AS max_qty,
+              string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+       FROM lineitem
+       GROUP BY l_returnflag
+       ORDER BY l_returnflag""") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(stddev_samp("l_extendedprice"), 4).as("sd_price"),
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"),
+        array_join(sort_array(collect_set("l_linestatus")), ",").as("statuses"))
+      .orderBy("l_returnflag")
+  }
+
+  // P13 string functions over part.
+  val q16 = Q.checked(
+    "q16_string_fns",
+    """SELECT p_partkey,
+              upper(p_brand) AS brand_u,
+              lower(p_type) AS type_l,
+              substring(p_name, 1, 8) AS name_pfx,
+              length(p_name) AS name_len,
+              concat_ws('-', p_brand, CAST(p_size AS VARCHAR)) AS brand_size,
+              regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
+              lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+              replace(p_name, ' ', '_') AS name_us
+       FROM part
+       ORDER BY p_partkey""") { (s, d) =>
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      lower(col("p_type")).as("type_l"),
+      substring(col("p_name"), 1, 8).as("name_pfx"),
+      length(col("p_name")).cast("long").as("name_len"),
+      concat_ws("-", col("p_brand"), col("p_size").cast("string"))
+        .as("brand_size"),
+      regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"),
+      lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+      regexp_replace(col("p_name"), " ", "_").as("name_us"))
+      .orderBy("p_partkey")
+  }
+
+  // P15 math functions; filtered to bound output size.
+  val q17 = Q.checked(
+    "q17_math_fns",
+    """SELECT l_orderkey, l_linenumber,
+              round(ln(l_quantity + 1), 6) AS ln_qty,
+              round(sqrt(l_extendedprice), 6) AS sqrt_price,
+              round(pow(1.0 + l_discount, 2), 6) AS pow_disc,
+              round(exp(l_discount), 6) AS exp_disc,
+              abs(round(l_tax - 0.5, 2)) AS abs_tax,
+              CAST(ceil(l_quantity) AS BIGINT) AS ceil_qty,
+              CAST(floor(l_quantity) AS BIGINT) AS floor_qty,
+              CAST(l_orderkey % 7 AS BIGINT) AS key_mod
+       FROM lineitem
+       WHERE l_orderkey < 1000
+       ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 1000)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(log(col("l_quantity") + 1), 6).as("ln_qty"),
+        round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+        round(pow(lit(1.0) + col("l_discount"), 2), 6).as("pow_disc"),
+        round(exp(col("l_discount")), 6).as("exp_disc"),
+        abs(round(col("l_tax") - 0.5, 2)).as("abs_tax"),
+        ceil(col("l_quantity")).as("ceil_qty"),
+        floor(col("l_quantity")).as("floor_qty"),
+        (col("l_orderkey") % 7).as("key_mod"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // G4 explode + word count over documents.
+  val q18 = Q.checked(
+    "q18_explode_wordcount",
+    """SELECT word, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+       FROM (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS word
+             FROM documents)
+       GROUP BY word
+       HAVING count(*) >= 5
+       ORDER BY word""") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+      .filter(col("n_docs") >= 5)
+      .orderBy("word")
+  }
+
+  // O4 top-k via global sort + limit (TakeOrderedAndProject).
+  val q19 = Q.checked(
+    "q19_topk_limit",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+       FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey
+       LIMIT 100""") { (s, d) =>
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  // J7 range join: events within 1 hour of an earlier event by the same
+  // user; equi on user_id + range residual, AQE-skew-splittable.
+  val q20 = Q.checked(
+    "q20_range_join",
+    """SELECT e1.user_id AS user_id,
+              count(*) AS n_pairs,
+              round(min(e2.value - e1.value), 2) AS min_delta,
+              round(max(e2.value - e1.value), 2) AS max_delta
+       FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id FROM events) e1
+         JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id FROM events) e2
+           ON e1.user_id = e2.user_id
+          AND e2.ts > e1.ts
+          AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+       GROUP BY e1.user_id
+       ORDER BY user_id""") { (s, d) =>
+    val e = Tables.events(s, d).select("user_id", "ts", "value", "event_id")
+    val e1 = e.select(col("user_id").as("u1"), col("ts").as("ts1"),
+      col("value").as("v1"), col("event_id").as("id1"))
+    val e2 = e.select(col("user_id").as("u2"), col("ts").as("ts2"),
+      col("value").as("v2"), col("event_id").as("id2"))
+    e1.join(e2,
+      col("u1") === col("u2") &&
+        col("ts2") > col("ts1") &&
+        col("ts2") <= col("ts1") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("u1").as("user_id"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(min(col("v2") - col("v1")), 2).as("min_delta"),
+        round(max(col("v2") - col("v1")), 2).as("max_delta"))
+      .orderBy("user_id")
+  }
+
+  // S5/S8 sink+source roundtrip: nation → TSV on disk → schema'd CSV read
+  // → broadcast join region. Result must equal the pure-parquet oracle.
+  val q21 = Q.checked(
+    "q21_tsv_roundtrip",
+    """SELECT n_nationkey, n_name, r_name
+       FROM nation JOIN region ON n_regionkey = r_regionkey
+       ORDER BY n_nationkey""") { (s, d) =>
+    val path = s"${sys.props("java.io.tmpdir")}/graft_tsv_nation"
+    Tables.nation(s, d)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .coalesce(1)
+      .write.mode("overwrite").option("sep", "\t").csv(path)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    s.read.schema(schema).option("sep", "\t").csv(path)
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name", "r_name")
+      .orderBy("n_nationkey")
+  }
+
+  // S4 partitioned parquet write: orders partitioned by status on disk,
+  // read back (partition pruning applies to the status filter downstream).
+  val q22 = Q.checked(
+    "q22_partitioned_write",
+    """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+       FROM orders
+       GROUP BY o_orderstatus
+       ORDER BY o_orderstatus""") { (s, d) =>
+    val path = s"${sys.props("java.io.tmpdir")}/graft_part_orders"
+    Tables.orders(s, d)
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    s.read.parquet(path)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .select(col("o_orderstatus").cast("string").as("o_orderstatus"),
+        col("n"), col("total"))
+      .orderBy("o_orderstatus")
+  }
+}
