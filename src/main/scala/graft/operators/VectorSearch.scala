@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -29,9 +30,59 @@ object VectorSearch {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Total order for top-k ranking: higher score first, lower id breaks
+    * ties — a deterministic total order, so two-phase selection is exactly
+    * equivalent to a global sort.
+    */
+  private def better(a: (Long, Double), b: (Long, Double)): Boolean =
+    a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+
+  /** Exact distributed top-k per query over (query_id, neighbor_id, score)
+    * rows, in two bounded phases: a per-partition k-sized heap per query
+    * (map-side, no shuffle of the corpus), then a final per-query merge of
+    * the ≤ k·numPartitions survivors. Replaces the naive
+    * `Window.partitionBy(query_id)` plan, which funnels every scored
+    * corpus row for a query through a single task — a full-corpus
+    * single-reducer at 100 TB.
+    */
+  def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    // heap head = current worst of the kept k, so push/pop is O(log k)
+    val worstFirst: Ordering[(Long, Double)] =
+      Ordering.fromLessThan((a, b) => better(a, b))
+    scored
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { rows =>
+        val heaps = mutable.HashMap.empty[Long, mutable.PriorityQueue[(Long, Double)]]
+        rows.foreach { case (q, id, s) =>
+          val h = heaps.getOrElseUpdate(q,
+            mutable.PriorityQueue.empty[(Long, Double)](worstFirst))
+          if (h.size < k) h.enqueue((id, s))
+          else if (better((id, s), h.head)) { h.dequeue(); h.enqueue((id, s)) }
+        }
+        heaps.iterator.flatMap { case (q, h) =>
+          h.iterator.map { case (id, s) => (q, id, s) }
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        it.map { case (_, id, s) => (id, s) }
+          .toArray
+          .sortWith(better)
+          .take(k)
+          .iterator
+          .zipWithIndex
+          .map { case ((id, s), i) => (q, id, s, i + 1) }
+      }
+      .toDF("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
   /** Exact top-k neighbours by cosine for each query id. Scores rounded
     * to 6 dp before ranking so rank order is reproducible across engines
-    * (ties broken by vec_id).
+    * (ties broken by vec_id). One broadcast of the query set, one pass
+    * over the corpus, bounded two-phase top-k — no global window.
     */
   def cosineTopK(
       embeddings: DataFrame,
@@ -48,11 +99,7 @@ object VectorSearch {
         col("query_id"),
         col(idCol).as("neighbor_id"),
         round(cosine(col(vecCol), col("qvec")), 6).as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** Deterministic random hyperplanes for signed-random-projection LSH. */
@@ -96,10 +143,6 @@ object VectorSearch {
         col("query_id"),
         col(idCol).as("neighbor_id"),
         round(cosine(col(vecCol), col("qvec")), 6).as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, k)
   }
 }

@@ -85,7 +85,11 @@ object DirtPipeline {
       swMargins: DataFrame,
       psMargins: DataFrame,
       n: Long,
-      broadcastMargins: Boolean = true): DataFrame = {
+      broadcastMargins: Boolean = false): DataFrame = {
+    // The f(slot,word) margin table is vocabulary-sized — NOT broadcastable
+    // on a large corpus. Default to a plain shuffle join and let
+    // AQE/auto-broadcast promote it when the stats say it is small; the
+    // flag stays for callers that know their vocabulary is tiny.
     val sw = if (broadcastMargins) broadcast(swMargins) else swMargins
     triples
       .join(sw, Seq("slot", "word"), "inner")
@@ -131,11 +135,13 @@ object DirtPipeline {
     val spark = mi.sparkSession
 
     // Pairs active in the corpus: at least one member path has features.
-    val miPaths = mi.select("path").distinct()
+    // The tiny member list is the broadcast side of an inner join against
+    // mi's path column (no full `mi.select(path).distinct()` shuffle —
+    // one scan, duplicates collapsed on the already-small match set).
     val members = pairs
       .select(explode(array(col("p1"), col("p2"))).as("path"), col("p1"), col("p2"))
-    val activePairs = members
-      .join(miPaths, Seq("path"), "left_semi")
+    val activePairs = mi.select("path")
+      .join(broadcast(members), Seq("path"))
       .select("p1", "p2")
       .distinct()
 
@@ -157,7 +163,14 @@ object DirtPipeline {
           .as("numY"))
 
     // Four denominator lookups (Job 4 reduce `:967-970`), missing -> 0.0.
+    // sumMi is one row per (corpus path, slot) — millions at scale; the
+    // reference's Job-4 side cache holds only the test-set member paths
+    // (`DirtDriver.java:924-953`). Same here: semi-join down to the
+    // broadcast member list FIRST, so the later broadcast(s1)/broadcast(s2)
+    // ships a table bounded by 2·|pairs|, not the corpus vocabulary.
+    val memberPaths = members.select("path").distinct()
     val sm = sumMi
+      .join(broadcast(memberPaths), Seq("path"), "left_semi")
       .groupBy("path")
       .agg(
         sum(when(col("slot") === "X", col("sum_mi")).otherwise(0.0)).as("smX"),

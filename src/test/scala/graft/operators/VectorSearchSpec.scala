@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The two-phase distributed top-k must be exactly equivalent to a local
+  * full sort by (score desc, id asc) — including tie groups that span
+  * partition boundaries.
+  */
+class VectorSearchSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("vector-search-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("topKPerQuery equals local sort, with cross-partition ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // many exact ties (scores quantized to 1dp) across 8 input partitions
+    val rows = for {
+      q <- 0L until 5L
+      id <- 0L until 400L
+    } yield (q, id, math.rint(rnd.nextDouble() * 10) / 10)
+    val scored = rows.toDF("query_id", "neighbor_id", "cos_sim")
+      .repartition(8)
+
+    val k = 7
+    val got = VectorSearch.topKPerQuery(scored, k)
+      .as[(Long, Long, Double, Int)].collect()
+      .sortBy(t => (t._1, t._4))
+
+    val expected = rows
+      .groupBy(_._1)
+      .toSeq
+      .flatMap { case (q, g) =>
+        g.sortBy { case (_, id, s) => (-s, id) }
+          .take(k)
+          .zipWithIndex
+          .map { case ((_, id, s), i) => (q, id, s, i + 1) }
+      }
+      .sortBy(t => (t._1, t._4))
+
+    assert(got.toSeq == expected)
+  }
+
+  test("cosineTopK ranks self-excluded neighbours by rounded cosine") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(1f, 0.01f)),
+      (2L, Array(0f, 1f)),
+      (3L, Array(-1f, 0f)),
+      (4L, Array(0.9f, 0.1f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = VectorSearch.cosineTopK(df, queryIds = Seq(0L), k = 2)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    assert(out.map(_._2).toSeq == Seq(1L, 4L)) // most-aligned first
+    assert(out.map(_._4).toSeq == Seq(1, 2))
+    assert(out.forall(_._3 <= 1.0))
+  }
+}
