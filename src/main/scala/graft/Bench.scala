@@ -1,24 +1,92 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.pipeline.DirtPipeline
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import java.nio.file.{Files, Paths}
+
+/** Round benchmark: runs every SparkEntry query against
+  * `SPARK_GRAFT_SF_DIR` plus a synthetic-corpus DIRT pipeline throughput
+  * run, and emits ONE JSON line with per-query seconds. A failed query is
+  * reported in an `errors` map — never silently timed as a success.
+  * The line goes to stdout (unwrapped — build.sbt forces StdoutOutput so
+  * sbt can't prefix it) and to `bench.json` for good measure.
+  */
 object Bench {
+
+  /** Deterministic synthetic biarc corpus: 50 verbs x from/of variants
+    * over a ~1k-noun vocabulary, Zipf-free but weight-varied — enough to
+    * exercise extraction, the triple aggregation, margin joins and the
+    * pair self-join at a row count the fixture tables don't provide.
+    */
+  def syntheticCorpus(spark: SparkSession, n: Long): Dataset[String] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val v = s"v${i % 50}"
+      val prep = if (i % 2 == 0) "from" else "of"
+      val x = s"n${i % 997}"
+      val y = s"m${(i * 7) % 997}"
+      val cnt = 1 + (i % 3)
+      s"$v\t$x/NNS/nsubj/2 $v/VBP/ROOT/0 $prep/IN/prep/2 $y/NN/pobj/3\t$cnt"
+    }
+  }
+
+  def syntheticTestSet: Seq[String] =
+    (0 until 50 by 5).map(k => s"X v$k from Y\tX v$k of Y")
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val dirtRows = sys.env.getOrElse("SPARK_GRAFT_DIRT_ROWS", "200000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+    def time(name: String)(body: => Unit): Unit = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        body
+        timings(name) = (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.take(1).mkString.take(200)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      time(name) { fn(spark, sfDir).count() }
+    }
+    time(s"dirt_synthetic_${dirtRows}") {
+      DirtPipeline.run(spark, syntheticCorpus(spark, dirtRows),
+        syntheticTestSet).count()
+    }
+
+    val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+      .mkString("{", ",", "}")
+    val total = timings.values.sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":"${esc(sfDir)}"}"""
+    println(json)
+    Files.writeString(Paths.get("bench.json"), json + "\n")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -156,8 +156,12 @@ object Dedup {
     import spark.implicits._
     val numPerm = bands * rowsPerBand
 
+    // Repartition the projected (id, text) pairs before the CPU-heavy
+    // signature map: input splits track bytes, not compute, and a single
+    // split must not serialize the whole corpus through one task.
     val sigs = docs
       .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .map { case (id, t) =>
         (id, minhashSignature(shingles(t, shingleK), numPerm))
@@ -240,6 +244,7 @@ object Dedup {
 
     val hashes = docs
       .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .map { case (id, t) =>
         (id, simhash64(t.trim.split("\\s+").toSeq))

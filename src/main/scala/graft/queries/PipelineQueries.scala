@@ -83,8 +83,12 @@ object PipelineQueries {
 
   // MinHash LSH near-dup candidates + exact verify — murmur3-seeded, not
   // SQL-expressible: rows-only (the dup'd corpus guarantees hits).
+  // Tight banding (8x16: candidate prob ~ J^16 per band) — the fixture
+  // docs share one small vocabulary, so shingle sets overlap heavily and
+  // loose 4-row bands would make candidate generation quadratic.
   val q33 = Q.rowsOnly("q33_dedup_minhash") { (s, d) =>
-    Dedup.minhashPairs(dupCorpus(s, d), threshold = 0.7)
+    Dedup.minhashPairs(dupCorpus(s, d), threshold = 0.7,
+      bands = 8, rowsPerBand = 16)
       .orderBy("id1", "id2")
   }
 
