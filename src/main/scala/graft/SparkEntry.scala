@@ -50,7 +50,8 @@ object SparkEntry {
     PipelineQueries.q30, PipelineQueries.q31, PipelineQueries.q32,
     PipelineQueries.q33, PipelineQueries.q34, PipelineQueries.q35,
     PipelineQueries.q36, PipelineQueries.q37, PipelineQueries.q38,
-    PipelineQueries.q39, PipelineQueries.q40)
+    PipelineQueries.q39, PipelineQueries.q40,
+    PipelineQueries.q41, PipelineQueries.q42)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

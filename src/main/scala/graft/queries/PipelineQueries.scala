@@ -167,6 +167,52 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // Streaming operators run in batch mode (they are plain event-time
+  // transformations; the watermark is a no-op on a bounded DF), so the
+  // exact same code the streaming specs exercise micro-batched gets an
+  // oracle row here. Tumbling window start == floor(epoch/21600)*21600.
+  val q41 = Q.checked(
+    "q41_stream_tumbling_batch",
+    """SELECT CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) * 21600)
+                AS TIMESTAMP) AS window_start,
+              event_type,
+              count(*) AS n_events,
+              round(sum(value), 2) AS sum_value
+       FROM events
+       GROUP BY window_start, event_type
+       ORDER BY window_start, event_type""") { (s, d) =>
+    graft.streaming.StreamOps
+      .tumblingCounts(Tables.events(s, d), "6 hours", "1 hour")
+      .orderBy("window_start", "event_type")
+  }
+
+  // Session windows (gap 2h) vs the gaps-and-islands SQL formulation:
+  // a new session starts when the gap to the previous event is >= 2h;
+  // session end = last event + gap (Spark session_window semantics).
+  val q42 = Q.checked(
+    "q42_stream_session_batch",
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+       d AS (SELECT user_id, ts,
+                    CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 2 HOUR
+                         THEN 1 ELSE 0 END AS new_sess
+             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       s AS (SELECT user_id, ts,
+                    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sess_id
+             FROM d)
+       SELECT min(ts) AS session_start,
+              max(ts) + INTERVAL 2 HOUR AS session_end,
+              user_id,
+              count(*) AS n_events
+       FROM s
+       GROUP BY user_id, sess_id
+       ORDER BY user_id, session_start""") { (s, d) =>
+    graft.streaming.StreamOps
+      .sessionCounts(Tables.events(s, d), "2 hours", "1 hour")
+      .orderBy("user_id", "session_start")
+  }
+
   // DIRT pipeline end-to-end on the committed mini biarc corpus — corpus
   // lines are not a fixture table, so rows-only here; the hand-computed
   // closed-form scores are asserted in DirtPipelineSpec.

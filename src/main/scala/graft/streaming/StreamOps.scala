@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+
+/** Structured Streaming surface (SURVEY.md §2.7 [EXT]): the reference is a
+  * pure batch pipeline, but the engine's event table maps naturally onto
+  * `readStream` → event-time transforms → `writeStream`.
+  *
+  * Every operator here is a plain transformation over a (possibly
+  * streaming) DataFrame, so each has a batch twin by construction — the
+  * specs assert streaming output == the batch computation on the same
+  * rows. State is bounded by watermarks (windowed aggs, dedup) or by
+  * explicit `GroupState` (running counts), never unbounded.
+  */
+object StreamOps {
+
+  /** Tumbling-window counts per event type with late-data handling: rows
+    * later than `watermarkDelay` behind the max seen event time are
+    * dropped, and closed windows are emitted exactly once (append mode).
+    */
+  def tumblingCounts(events: DataFrame, windowDur: String,
+      watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding-window per-user activity (window length > slide). */
+  def slidingUserActivity(events: DataFrame, windowDur: String,
+      slideDur: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur, slideDur).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("user_id"),
+        col("n_events"))
+
+  /** Session windows: events gapped < `gap` apart merge into one session
+    * per user.
+    */
+  def sessionCounts(events: DataFrame, gap: String,
+      watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  /** Stateful exactly-once dedup on event_id, state expiring with the
+    * watermark (`dropDuplicatesWithinWatermark`): the streaming twin of a
+    * batch `dropDuplicates`.
+    */
+  def dedupEvents(events: DataFrame, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  final case class UserEvent(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+  final case class UserStat(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Custom keyed state via mapGroupsWithState: a running per-user
+    * (count, sum) updated on every micro-batch — the `KeyValueGroupedDataset`
+    * surface for state machines the windowed aggs can't express.
+    */
+  def runningUserStats(events: Dataset[UserEvent]): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserStat, UserStat] {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(uid, 0L, 0.0))
+          var n = prev.n_events
+          var s = prev.sum_value
+          rows.foreach { e => n += 1; s += e.value }
+          val next = UserStat(uid, n, math.rint(s * 100) / 100)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,127 @@
+package graft.streaming
+
+import graft.streaming.StreamOps.{UserEvent, UserStat}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Batch-equivalence specs: each streaming operator, fed through a
+  * MemoryStream in micro-batches (with late/duplicate data where the
+  * semantics demand it), must agree with the batch computation over the
+  * same rows.
+  */
+class StreamOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("stream-ops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  def ev(id: Long, minute: Int, uid: Long, typ: String, v: Double): UserEvent =
+    UserEvent(id, ts(minute), uid, typ, v)
+
+  test("tumbling window agg with watermark equals batch agg on closed windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val out = StreamOps.tumblingCounts(input.toDF(), "10 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").start()
+
+    val early = Seq(
+      ev(1, 1, 1, "click", 1.0), ev(2, 3, 1, "click", 2.0),
+      ev(3, 11, 2, "buy", 5.0), ev(4, 14, 1, "click", 3.0))
+    input.addData(early: _*)
+    q.processAllAvailable()
+    // advance watermark far past both windows, closing them
+    input.addData(ev(99, 59, 9, "late-driver", 0.0))
+    q.processAllAvailable()
+
+    val got = spark.table("tumbling")
+      .select("window_start", "event_type", "n_events", "sum_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val want = early.toDF()
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("s"))
+      .select(col("w.start"), col("event_type"), col("n"), col("s"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    q.stop()
+    assert(got == want)
+    assert(got.size == 3) // 10:00 click, 10:10 click, 10:10 buy
+  }
+
+  test("dropDuplicatesWithinWatermark equals batch distinct-by-id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val out = StreamOps.dedupEvents(input.toDF(), "30 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+
+    input.addData(ev(1, 1, 1, "a", 1.0), ev(2, 2, 1, "a", 1.0))
+    q.processAllAvailable()
+    input.addData(ev(1, 1, 1, "a", 1.0), ev(3, 4, 2, "b", 2.0)) // id 1 dup
+    q.processAllAvailable()
+
+    val got = spark.table("dedup").select("event_id").as[Long].collect().sorted
+    q.stop()
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("session windows merge gapped events per user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val out = StreamOps.sessionCounts(input.toDF(), "5 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+
+    // user 1: events at 10:01,10:03,10:06 -> one session (gaps < 5m);
+    //         event at 10:20 -> second session
+    input.addData(ev(1, 1, 1, "a", 0), ev(2, 3, 1, "a", 0),
+      ev(3, 6, 1, "a", 0), ev(4, 20, 1, "a", 0))
+    q.processAllAvailable()
+    input.addData(ev(99, 59, 9, "late-driver", 0))
+    q.processAllAvailable()
+
+    val got = spark.table("sessions")
+      .filter(col("user_id") === 1)
+      .select("n_events").as[Long].collect().sorted.toSeq
+    q.stop()
+    assert(got == Seq(1L, 3L))
+  }
+
+  test("mapGroupsWithState running stats equal batch groupBy across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val out = StreamOps.runningUserStats(input.toDS())
+    val q = out.writeStream.format("memory").queryName("running")
+      .outputMode("update").start()
+
+    input.addData(ev(1, 1, 1, "a", 1.5), ev(2, 2, 1, "a", 2.5),
+      ev(3, 3, 2, "b", 10.0))
+    q.processAllAvailable()
+    input.addData(ev(4, 4, 1, "a", 6.0), ev(5, 5, 2, "b", 0.5))
+    q.processAllAvailable()
+
+    // last update per user wins
+    val got = spark.table("running").as[UserStat].collect()
+      .groupBy(_.user_id).map { case (u, rows) =>
+        u -> rows.maxBy(_.n_events)
+      }
+    q.stop()
+    assert(got(1L) == UserStat(1L, 3L, 10.0))
+    assert(got(2L) == UserStat(2L, 2L, 10.5))
+  }
+}
