@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan invariants for the headline queries — the properties that
+  * keep them fast at 100 TB, locked as assertions so a regression in plan
+  * shape fails CI, not just the bench:
+  *
+  *   - filters reach the parquet scan (PushedFilters);
+  *   - projections prune the scan (ReadSchema);
+  *   - dimension joins broadcast;
+  *   - the exact top-k contains no Window over the scored corpus;
+  *   - aggregations are two-phase (map-side partial before the exchange).
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("plan-audit-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q17: filter is pushed down to the lineitem parquet scan") {
+    val p = plan("q17_math_fns")
+    assert(p.contains("PushedFilters"), p.take(500))
+    assert(p.contains("LessThan(l_orderkey,1000)"), p.take(2000))
+  }
+
+  test("q18: documents scan prunes to the two referenced columns") {
+    val p = plan("q18_explode_wordcount")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      p.take(2000))
+  }
+
+  test("q02: dimension joins broadcast, fact tables do not") {
+    val p = plan("q02_join_multiway")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q01: aggregation is two-phase (map-side partial)") {
+    val p = plan("q01_agg_sum_groupby")
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(p.contains("partial_sum"), p.take(2000))
+  }
+
+  test("q35: exact top-k plans no Window over the scored corpus") {
+    val p = plan("q35_ann_cosine_topk")
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("q07: window functions share one shuffle on the partition key") {
+    val p = plan("q07_window_funcs")
+    // rn/lag/lead/run_sum3 share ORDER BY (ts, event_id); only value_rank
+    // needs its own sort — never more than 2 exchanges for user_id.
+    val exchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(p).size
+    assert(exchanges <= 2, s"$exchanges user_id exchanges:\n${p.take(3000)}")
+  }
+}
