@@ -47,11 +47,12 @@ object SparkEntry {
     RelationalQueries.q14, RelationalQueries.q15, RelationalQueries.q16,
     RelationalQueries.q17, RelationalQueries.q18, RelationalQueries.q19,
     RelationalQueries.q20, RelationalQueries.q21, RelationalQueries.q22,
+    RelationalQueries.q23,
     PipelineQueries.q30, PipelineQueries.q31, PipelineQueries.q32,
     PipelineQueries.q33, PipelineQueries.q34, PipelineQueries.q35,
     PipelineQueries.q36, PipelineQueries.q37, PipelineQueries.q38,
     PipelineQueries.q39, PipelineQueries.q40,
-    PipelineQueries.q41, PipelineQueries.q42)
+    PipelineQueries.q41, PipelineQueries.q42, PipelineQueries.q44)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -129,6 +129,15 @@ object PipelineQueries {
       .orderBy("query_id", "neighbor_id")
   }
 
+  // IVF coarse-quantized ANN — deterministic k-means cells, probe the 6
+  // nearest of 16; k-means is not SQL-expressible, rows-only (recall vs
+  // the exact search is asserted in SkewAndIvfSpec).
+  val q44 = Q.rowsOnly("q44_ann_ivf_topk") { (s, d) =>
+    graft.operators.Ivf.ivfTopK(Tables.embeddings(s, d),
+      queryIds = 0L to 9L, k = 5, nList = 16, nProbe = 6, iters = 2)
+      .orderBy("query_id", "neighbor_id")
+  }
+
   // Text-analysis projection (all-Column, UDF-free) — the closed-form
   // quality/lang-ID formulas recomputed exactly by the oracle.
   val q37 = Q.checked("q37_text_analysis", TextAnalysisSql.sql) { (s, d) =>

@@ -453,6 +453,33 @@ object RelationalQueries {
       .orderBy("user_id")
   }
 
+  // J7 as-of join: each purchase picks the latest at-or-before signup of
+  // the same user (union + last-carry-forward, one shuffle on user_id);
+  // DuckDB checks it with its native ASOF JOIN.
+  val q23 = Q.checked(
+    "q23_asof_join",
+    """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                  FROM events WHERE event_type = 'purchase'),
+            s AS (SELECT event_id AS s_event_id, user_id,
+                         CAST(ts AS TIMESTAMP) AS ts, value AS s_value
+                  FROM events WHERE event_type = 'signup')
+       SELECT p.event_id, p.user_id, round(p.value, 2) AS value,
+              s.s_event_id AS asof_event_id, round(s.s_value, 2) AS asof_value
+       FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+       ORDER BY p.event_id""") { (s, d) =>
+    val e = Tables.events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val signups = e.filter(col("event_type") === "signup")
+      .select("event_id", "user_id", "ts", "value")
+    graft.operators.AsOfJoin
+      .asOfJoin(purchases, signups, Seq("user_id"), "ts", "ts",
+        Seq("event_id", "value"))
+      .select(col("event_id"), col("user_id"), round(col("value"), 2).as("value"),
+        col("asof_event_id"), round(col("asof_value"), 2).as("asof_value"))
+      .orderBy("event_id")
+  }
+
   // S5/S8 sink+source roundtrip: nation → TSV on disk → schema'd CSV read
   // → broadcast join region. Result must equal the pure-parquet oracle.
   val q21 = Q.checked(

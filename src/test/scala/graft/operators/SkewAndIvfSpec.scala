@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SkewAndIvfSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("skew-ivf-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("saltedJoin is row-identical to the plain join on skewed keys") {
+    import spark.implicits._
+    // 90% of rows share one hot key
+    val big = (1 to 1000).map(i =>
+      (if (i % 10 == 0) s"k$i" else "hot", i.toLong)).toDF("k", "v")
+    val small = Seq(("hot", "H"), ("k10", "T"), ("absent", "X"))
+      .toDF("k", "tag")
+
+    val plain = big.join(small, Seq("k"))
+      .select("k", "v", "tag").collect().map(_.toSeq).toSeq
+    val salted = SkewJoin.saltedJoin(big, small, Seq("k"), saltFactor = 8)
+      .select("k", "v", "tag").collect().map(_.toSeq).toSeq
+    assert(salted.sortBy(_.toString) == plain.sortBy(_.toString))
+    assert(plain.count(_.head == "hot") == 900)
+  }
+
+  test("saltedAgg equals direct groupBy") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (if (i % 5 == 0) "a" else "b", i.toLong))
+      .toDF("k", "v")
+    val direct = df.groupBy("k")
+      .agg(count(lit(1)).as("n_rows"), sum("v").as("sum_v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = SkewJoin.saltedAgg(df, Seq("k"), Seq("v"), saltFactor = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == direct)
+  }
+
+  test("IVF top-k is deterministic and recalls most exact neighbours") {
+    val emb = Tables.embeddings(spark, sf)
+    val qids = 0L to 9L
+    val exact = VectorSearch.cosineTopK(emb, qids, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf1 = Ivf.ivfTopK(emb, qids, k = 5, nList = 16, nProbe = 6, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf2 = Ivf.ivfTopK(emb, qids, k = 5, nList = 16, nProbe = 6, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(ivf1 == ivf2) // deterministic training + probe
+    val recall = exact.intersect(ivf1).size.toDouble / exact.size
+    info(f"IVF recall@5 = $recall%.2f (nProbe=6/16)")
+    assert(recall >= 0.5, s"recall $recall")
+
+    // full probe recovers the exact result
+    val full = Ivf.ivfTopK(emb, qids, k = 5, nList = 8, nProbe = 8, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact)
+  }
+}
