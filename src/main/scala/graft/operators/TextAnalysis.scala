@@ -54,22 +54,26 @@ object TextAnalysis {
     length(regexp_replace(text, "\\s+", "")).cast("double") /
       greatest(size(tokens(text)), lit(1)).cast("double")
 
-  /** Heuristic quality score in [0,1]: rewards moderate length, low
-    * punctuation and a plausible stopword ratio — the standard cheap
-    * pre-filter shape for LLM corpus cleaning. Fixed closed-form formula
-    * so the DuckDB oracle can recompute it exactly.
+  /** Heuristic quality score, integer-valued in [0, 1000]: rewards
+    * moderate length (up to 500), a plausible stopword ratio (up to 300)
+    * and low punctuation (down to -200, rebased +200) — the standard
+    * cheap pre-filter shape for LLM corpus cleaning. Deliberately pure
+    * small-integer arithmetic (exact in IEEE doubles, floor-quantized),
+    * so ANY engine recomputes it bit-identically — a fractional formula
+    * rounded to 6dp can land on .5 decimal boundaries where BigDecimal
+    * half-up (Spark) and float-multiply rounding (DuckDB) disagree.
     */
   def qualityScore(text: Column): Column = {
-    val lenScore =
-      least(length(text).cast("double") / lit(500.0), lit(1.0))
-    val punctPenalty = least(punctRatio(text) * lit(4.0), lit(1.0))
-    val stopScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
-    round(
-      greatest(
-        lit(0.0),
-        lit(0.5) * lenScore + lit(0.3) * stopScore -
-          lit(0.2) * punctPenalty + lit(0.2)),
-      6)
+    val toks = tokens(text)
+    val nTok = greatest(size(toks), lit(1))
+    val stops = array(EnStopwords.map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(stops, t)))
+    val nChars = greatest(length(text), lit(1))
+    val nPunct = length(regexp_replace(text, "[^\\p{Punct}]", ""))
+    val lenK = least(length(text), lit(500))
+    val stopK = floor(lit(300) * least(nStop * 5, nTok) / nTok)
+    val punctK = floor(lit(200) * least(nPunct * 4, nChars) / nChars)
+    greatest(lit(0), lenK + stopK - punctK + lit(200)).cast("long")
   }
 
   /** Function-word markers per language for the n-gram-free language-ID

@@ -292,11 +292,11 @@ object TextAnalysisSql {
               round(n_nonspace / greatest(n_tokens, 1), 6) AS avg_token_len,
               round(n_stop / greatest(n_tokens, 1), 6) AS stopword_ratio,
               round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
-              round(greatest(0.0,
-                0.5 * least(n_chars / 500.0, 1.0)
-                + 0.3 * least((n_stop / greatest(n_tokens, 1)) * 5.0, 1.0)
-                - 0.2 * least((n_punct / greatest(n_chars, 1)) * 4.0, 1.0)
-                + 0.2), 6) AS quality,
+              CAST(greatest(0,
+                least(n_chars, 500)
+                + (300 * least(n_stop * 5, greatest(n_tokens, 1))) // greatest(n_tokens, 1)
+                - (200 * least(n_punct * 4, greatest(n_chars, 1))) // greatest(n_chars, 1)
+                + 200) AS BIGINT) AS quality,
               CASE WHEN total = 0 THEN 'und' $langCase ELSE 'und' END AS lang_pred
        FROM sc
        ORDER BY doc_id"""
