@@ -14,15 +14,17 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
 
-  /** Deterministic synthetic biarc corpus: 50 verbs x from/of variants
-    * over a ~1k-noun vocabulary, Zipf-free but weight-varied — enough to
-    * exercise extraction, the triple aggregation, margin joins and the
-    * pair self-join at a row count the fixture tables don't provide.
+  /** Deterministic synthetic biarc corpus with a Zipf-like (geometric)
+    * verb distribution — half the corpus is verb v0, a quarter v1, … —
+    * so the MI margin join and the pair self-join see the hot-path skew
+    * real corpora have (SURVEY.md §7.5.6) and AQE's skew handling is
+    * actually exercised, not just present.
     */
   def syntheticCorpus(spark: SparkSession, n: Long): Dataset[String] = {
     import spark.implicits._
     spark.range(n).map { i =>
-      val v = s"v${i % 50}"
+      // geometric: P(vK) = 2^-(K+1), capped at v19
+      val v = s"v${math.min(java.lang.Long.numberOfTrailingZeros(i + 1), 19)}"
       val prep = if (i % 2 == 0) "from" else "of"
       val x = s"n${i % 997}"
       val y = s"m${(i * 7) % 997}"
@@ -32,7 +34,7 @@ object Bench {
   }
 
   def syntheticTestSet: Seq[String] =
-    (0 until 50 by 5).map(k => s"X v$k from Y\tX v$k of Y")
+    (0 until 10).map(k => s"X v$k from Y\tX v$k of Y")
 
   private def esc(s: String): String =
     s.flatMap {
