@@ -102,6 +102,12 @@ object Evaluate {
 
   /** F1-maximizing threshold over labeled pairs only
     * (`find_optimal_threshold`, `evaluate_dirt.py:103-134`).
+    *
+    * Reference-faithful quirk kept intact: the optimum may be recorded
+    * mid-tie-group (precision computed before later pairs with the SAME
+    * score are processed), so the reported precision can be unachievable
+    * by an actual `score >= threshold` classification when ties straddle
+    * the optimum — the Python original behaves identically.
     */
   def sweep(ranked: Seq[(Pair, Double)], pos: Set[Pair],
       neg: Set[Pair]): SweepResult = {

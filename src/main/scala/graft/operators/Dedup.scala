@@ -190,6 +190,9 @@ object Dedup {
     candidates
       .join(texts.select(col("id").as("id1"), col("t").as("t1")), "id1")
       .join(texts.select(col("id").as("id2"), col("t").as("t2")), "id2")
+      // using-column joins reorder columns (join key first) and
+      // .as[Tuple] binds by ordinal — select explicitly or ids swap
+      .select(col("id1"), col("id2"), col("t1"), col("t2"))
       .as[(Long, Long, String, String)]
       .map { case (id1, id2, t1, t2) =>
         val s1 = shingles(t1, shingleK)

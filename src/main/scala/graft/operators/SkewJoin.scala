@@ -38,14 +38,13 @@ object SkewJoin {
       .drop("__salt")
   }
 
-  /** Salted aggregation: two-phase groupBy for hot grouping keys — first
-    * a partial aggregate on (keys, salt), then the final merge on keys.
-    * `aggExprs` maps column -> "sum" | "count" | "max" | "min"; the same
-    * result as a direct groupBy, with the hot key's partial work spread
-    * over `saltFactor` tasks. (Catalyst's partial aggregation already does
-    * this for algebraic aggs; this shape is for forcing the split when a
-    * downstream stage must stay keyed, or under `spark.sql.aggregate`
-    * hints that disable partials.)
+  /** Salted aggregation: two-phase groupBy for hot grouping keys — a
+    * partial count+sum per (keys, salt), then the final merge on keys.
+    * Emits `n_rows` plus `sum_<c>` for every column in `sumCols`; result
+    * equals the direct groupBy, with the hot key's partial work spread
+    * over `saltFactor` tasks. (Catalyst's partial aggregation already
+    * does this for algebraic aggs; this shape forces the split when a
+    * downstream stage must stay keyed on the hot key.)
     */
   def saltedAgg(
       df: DataFrame,

@@ -35,8 +35,10 @@ object DirtCli {
     spark.sparkContext.setLogLevel("WARN")
 
     val testLines = Files.readAllLines(Paths.get(testSetFile)).asScala.toSeq
+    // persisted: consumed by the TSV sink and (optionally) the eval sweep
     val scored = DirtPipeline.run(spark,
       spark.read.textFile(corpusPath), testLines)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     writeTsv(scored, outDir)
 
     if (args.length >= 5) {

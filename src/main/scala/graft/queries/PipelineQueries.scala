@@ -164,9 +164,9 @@ object PipelineQueries {
     "q39_multimodal_features",
     """SELECT doc_id,
               'text/plain' AS media_type,
-              CAST(length(text) AS BIGINT) AS n_bytes,
-              CAST(16 + length(text) % 64 AS INT) AS width,
-              CAST(16 + (length(text) // 64) % 64 AS INT) AS height,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width,
+              CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INT) AS height,
               CAST(1 AS INT) AS frames
        FROM documents
        ORDER BY doc_id""") { (s, d) =>

@@ -487,7 +487,9 @@ object RelationalQueries {
     """SELECT n_nationkey, n_name, r_name
        FROM nation JOIN region ON n_regionkey = r_regionkey
        ORDER BY n_nationkey""") { (s, d) =>
-    val path = s"${sys.props("java.io.tmpdir")}/graft_tsv_nation"
+    // pid-scoped path: concurrent graft processes must not clobber each
+    // other's roundtrip directories mid-read
+    val path = s"${sys.props("java.io.tmpdir")}/graft_tsv_nation_${ProcessHandle.current().pid()}"
     Tables.nation(s, d)
       .select("n_nationkey", "n_name", "n_regionkey")
       .coalesce(1)
@@ -511,7 +513,7 @@ object RelationalQueries {
        FROM orders
        GROUP BY o_orderstatus
        ORDER BY o_orderstatus""") { (s, d) =>
-    val path = s"${sys.props("java.io.tmpdir")}/graft_part_orders"
+    val path = s"${sys.props("java.io.tmpdir")}/graft_part_orders_${ProcessHandle.current().pid()}"
     Tables.orders(s, d)
       .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
     s.read.parquet(path)

@@ -52,18 +52,22 @@ class PorterStemExpressionSpec extends AnyFunSuite {
     assert(out == Seq(Some("caus"), None))
   }
 
-  test("extensions inject porter_stem into a fresh session") {
-    val s2 = SparkSession.builder()
-      .master("local[2]")
-      .appName("porter-ext-spec")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-      .newSession()
-    // newSession shares the context; re-apply extensions to its state
-    new GraftExtensions()
-    GraftFunctions.register(s2)
+  test("GraftExtensions injection registers a resolvable porter_stem") {
+    // a shared-context test JVM can't build a truly fresh session, so
+    // exercise the extensions path directly: apply the injector to a real
+    // SparkSessionExtensions and install its functions into a session
+    // state, exactly as BaseSessionStateBuilder does at session build.
+    val exts = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(exts)
+    val s2 = spark.newSession()
+    // registerFunctions is private[sql] in source but public in bytecode
+    exts.getClass
+      .getMethod("registerFunctions",
+        classOf[org.apache.spark.sql.catalyst.analysis.FunctionRegistry])
+      .invoke(exts, s2.sessionState.functionRegistry)
     assert(s2.sql("SELECT porter_stem('conditional') AS s")
       .collect().head.getString(0) == Porter.stem("conditional"))
+    // the base session did NOT get the function this way (isolation)
+    GraftFunctions.register(spark)
   }
 }

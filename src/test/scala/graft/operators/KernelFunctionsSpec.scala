@@ -45,10 +45,10 @@ class KernelFunctionsSpec extends AnyFunSuite {
     val base = "abcdefghijklmnopqrstuvwxyz0123456789"
     val f = TextAnalysis.fingerprintOf(base)
     assert(f == TextAnalysis.fingerprintOf(base))
-    // winnowing min-hash: prepending content can only add candidate
-    // windows, so the min over windows never increases
-    assert(TextAnalysis.fingerprintOf("ZZZZ" + base) <= f ||
-      TextAnalysis.fingerprintOf("ZZZZ" + base) != 0L)
+    // winnowing min-hash: extending the text adds candidate windows and
+    // keeps every window of the original, so the min never increases
+    assert(TextAnalysis.fingerprintOf("ZZZZ" + base) <= f)
+    assert(TextAnalysis.fingerprintOf(base + "ZZZZ") <= f)
     assert(TextAnalysis.fingerprintOf("short") == 0L) // < k chars
     assert(TextAnalysis.fingerprintOf(null) == 0L)
   }
@@ -59,6 +59,20 @@ class KernelFunctionsSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+
+  test("minhashPairs emits canonical id1 < id2 pairs") {
+    import spark.implicits._
+    // regression: using-column joins reorder columns and ordinal tuple
+    // binding once swapped the ids in the verify stage
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (100001L, "the quick brown fox jumps over the lazy dog again"),
+      (7L, "some completely different text with other content here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs == Seq((1L, 100001L, 1.0)))
+  }
 
   test("sampleFrames strides payload bytes with bounds respected") {
     import spark.implicits._
