@@ -480,6 +480,70 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  // P16 array functions: distinct/sort/slice/contains/join over word
+  // arrays (arrays stringified for a representation-neutral compare).
+  val q24 = Q.checked(
+    "q24_array_fns",
+    """SELECT doc_id,
+              len(list_distinct(string_split(text, ' '))) AS n_distinct,
+              array_to_string(list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 3), ',') AS first3,
+              CAST(list_contains(string_split(text, ' '), 'spark') AS BOOLEAN) AS has_spark,
+              string_split(text, ' ')[1] AS first_word
+       FROM documents
+       ORDER BY doc_id""") { (s, d) =>
+    val words = split(col("text"), " ")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(array_distinct(words)).cast("long").as("n_distinct"),
+      array_join(slice(sort_array(array_distinct(words)), 1, 3), ",")
+        .as("first3"),
+      array_contains(words, "spark").as("has_spark"),
+      words.getItem(0).as("first_word"))
+      .orderBy("doc_id")
+  }
+
+  // P16 map functions: JSON parsed into a real MapType, keys/values
+  // checked against DuckDB's JSON functions as ground truth.
+  val q25 = Q.checked(
+    "q25_map_fns",
+    """SELECT event_id,
+              array_to_string(json_keys(props), ',') AS keys_str,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+              CAST(len(json_keys(props)) AS INT) AS n_keys
+       FROM events
+       ORDER BY event_id""") { (s, d) =>
+    val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType,
+      org.apache.spark.sql.types.LongType))
+    Tables.events(s, d).select(
+      col("event_id"),
+      array_join(map_keys(m), ",").as("keys_str"),
+      element_at(m, "k").as("k_value"),
+      size(map_keys(m)).as("n_keys"))
+      .orderBy("event_id")
+  }
+
+  // A10 second-moment statistics: correlation / sample covariance and
+  // variance (both engines use the same two-pass-free definitions;
+  // rounded well away from representability noise).
+  val q26 = Q.checked(
+    "q26_stat_corr",
+    """SELECT l_returnflag,
+              round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+              round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_cov,
+              round(var_samp(l_discount), 6) AS disc_var
+       FROM lineitem
+       GROUP BY l_returnflag
+       ORDER BY l_returnflag""") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr("l_quantity", "l_extendedprice"), 4).as("qty_price_corr"),
+        round(covar_samp("l_quantity", "l_extendedprice"), 2).as("qty_price_cov"),
+        round(var_samp("l_discount"), 6).as("disc_var"))
+      .orderBy("l_returnflag")
+  }
+
   // S5/S8 sink+source roundtrip: nation → TSV on disk → schema'd CSV read
   // → broadcast join region. Result must equal the pure-parquet oracle.
   val q21 = Q.checked(
