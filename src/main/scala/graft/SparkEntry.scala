@@ -53,7 +53,8 @@ object SparkEntry {
     PipelineQueries.q33, PipelineQueries.q34, PipelineQueries.q35,
     PipelineQueries.q36, PipelineQueries.q37, PipelineQueries.q38,
     PipelineQueries.q39, PipelineQueries.q40,
-    PipelineQueries.q41, PipelineQueries.q42, PipelineQueries.q44)
+    PipelineQueries.q41, PipelineQueries.q42, PipelineQueries.q44,
+    PipelineQueries.q45, PipelineQueries.q46)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -207,6 +207,63 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ------------------------------------------- embedding-cosine near-dup
+
+  /** Exact embedding-cosine near-dup pairs: all (id1 < id2) with rounded
+    * cosine >= threshold. Quadratic — the correctness baseline for
+    * [[embeddingPairsLsh]] and small-table use only.
+    */
+  def embeddingPairsExact(
+      embeddings: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val a = embeddings.select(col(idCol).cast("long").as("id1"),
+      col(vecCol).as("v1"))
+    val b = embeddings.select(col(idCol).cast("long").as("id2"),
+      col(vecCol).as("v2"))
+    a.join(b, col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(VectorSearch.cosine(col("v1"), col("v2")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Scale path: signed-random-projection LSH with `tables` independent
+    * hash tables of `nBits` hyperplane bits each — candidates share a
+    * bucket in >= 1 table, then exact-cosine verified. Map-only signature
+    * pass, bucket-local candidate joins, no quadratic stage. Recall per
+    * true pair at cosine c is 1-(1-p^nBits)^tables with
+    * p = 1 - arccos(c)/pi; tune (nBits, tables) to the threshold.
+    */
+  def embeddingPairsLsh(
+      embeddings: DataFrame,
+      threshold: Double,
+      nBits: Int = 2,
+      tables: Int = 4,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val vecs = embeddings.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("vec"))
+    val banded = vecs.select(col("id"), col("vec"), posexplode(
+      array((0 until tables).map { t =>
+        VectorSearch.srpSignature(col("vec"),
+          VectorSearch.hyperplanes(nBits, dim, seed = 0x5eedL + t))
+      }: _*)).as(Seq("table", "bucket")))
+
+    val l = banded.select(col("table"), col("bucket"),
+      col("id").as("id1"), col("vec").as("v1"))
+    val r = banded.select(col("table"), col("bucket"),
+      col("id").as("id2"), col("vec").as("v2"))
+    l.join(r, Seq("table", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2", "v1", "v2")
+      .distinct()
+      .select(col("id1"), col("id2"),
+        round(VectorSearch.cosine(col("v1"), col("v2")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over whitespace tokens (unweighted): sign of the

@@ -98,6 +98,29 @@ object PipelineQueries {
       .orderBy("id1", "id2")
   }
 
+  // Embedding-cosine near-dup, exact variant — the oracle-checked
+  // correctness baseline for the LSH scale path.
+  val q45 = Q.checked(
+    "q45_dedup_embedding_exact",
+    """SELECT id1, id2, cos_sim FROM (
+         SELECT a.vec_id AS id1, b.vec_id AS id2,
+                round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[]), 6) AS cos_sim
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+       WHERE cos_sim >= 0.4
+       ORDER BY id1, id2""") { (s, d) =>
+    Dedup.embeddingPairsExact(Tables.embeddings(s, d), threshold = 0.4)
+      .orderBy("id1", "id2")
+  }
+
+  // LSH-bucketed variant (hyperplane-seeded → rows-only); recall vs the
+  // exact baseline is asserted in DedupEmbeddingSpec.
+  val q46 = Q.rowsOnly("q46_dedup_embedding_lsh") { (s, d) =>
+    Dedup.embeddingPairsLsh(Tables.embeddings(s, d), threshold = 0.4,
+      nBits = 2, tables = 4)
+      .orderBy("id1", "id2")
+  }
+
   // Exact brute-force cosine top-k against DuckDB's list_cosine_similarity
   // (both sides compute in float64; scores rounded to 6dp before ranking).
   val q35 = Q.checked(
