@@ -544,6 +544,42 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
+  // S4+/J6 bucketed co-located join: both fact tables written bucketed on
+  // the join key, so the join needs NO exchange (PlanAuditSpec asserts the
+  // shuffle-free plan) — the brief's "bucketing for co-located joins".
+  val q27 = Q.checked(
+    "q27_bucketed_join",
+    """SELECT o_orderstatus,
+              count(*) AS n,
+              round(sum(l_extendedprice), 2) AS total_price
+       FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       GROUP BY o_orderstatus
+       ORDER BY o_orderstatus""") { (s, d) =>
+    // a fresh session's in-memory catalog doesn't know tables written by
+    // earlier JVMs, but their warehouse directories survive — drop both
+    // or saveAsTable fails with LOCATION_ALREADY_EXISTS
+    Seq("graft_orders_bkt", "graft_lineitem_bkt").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), t)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    Tables.orders(s, d)
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("graft_orders_bkt")
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_extendedprice")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("graft_lineitem_bkt")
+    s.table("graft_orders_bkt")
+      .join(s.table("graft_lineitem_bkt"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_extendedprice"), 2).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
   // S5/S8 sink+source roundtrip: nation → TSV on disk → schema'd CSV read
   // → broadcast join region. Result must equal the pure-parquet oracle.
   val q21 = Q.checked(

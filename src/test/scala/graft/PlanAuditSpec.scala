@@ -57,6 +57,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(3000))
   }
 
+  test("q27: bucketed join plans no exchange on the join key") {
+    val df = SparkEntry.queries("q27_bucketed_join")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p.take(3000))
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey"), p.take(3000))
+  }
+
   test("q07: window functions share one shuffle on the partition key") {
     val p = plan("q07_window_funcs")
     // rn/lag/lead/run_sum3 share ORDER BY (ts, event_id); only value_rank
