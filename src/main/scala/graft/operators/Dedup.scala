@@ -218,13 +218,19 @@ object Dedup {
       threshold: Double,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val a = embeddings.select(col(idCol).cast("long").as("id1"),
       col(vecCol).as("v1"))
     val b = embeddings.select(col(idCol).cast("long").as("id2"),
       col(vecCol).as("v2"))
     a.join(b, col("id1") < col("id2"))
-      .select(col("id1"), col("id2"),
-        round(VectorSearch.cosine(col("v1"), col("v2")), 6).as("cos_sim"))
+      .select(col("id1"), col("id2"), col("v1"), col("v2"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (i1, i2, v1, v2) =>
+        (i1, i2, VectorSearch.roundedCosine(v1, v2))
+      }
+      .toDF("id1", "id2", "cos_sim")
       .filter(col("cos_sim") >= threshold)
   }
 
@@ -251,16 +257,25 @@ object Dedup {
           VectorSearch.hyperplanes(nBits, dim, seed = 0x5eedL + t))
       }: _*)).as(Seq("table", "bucket")))
 
-    val l = banded.select(col("table"), col("bucket"),
-      col("id").as("id1"), col("vec").as("v1"))
-    val r = banded.select(col("table"), col("bucket"),
-      col("id").as("id2"), col("vec").as("v2"))
-    l.join(r, Seq("table", "bucket"))
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val l = banded.select(col("table"), col("bucket"), col("id").as("id1"))
+    val r = banded.select(col("table"), col("bucket"), col("id").as("id2"))
+    // dedup candidates on ids ONLY (distinct over vector payloads would
+    // shuffle the vectors once per table), then join the vectors back
+    val candidates = l.join(r, Seq("table", "bucket"))
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2", "v1", "v2")
+      .select("id1", "id2")
       .distinct()
-      .select(col("id1"), col("id2"),
-        round(VectorSearch.cosine(col("v1"), col("v2")), 6).as("cos_sim"))
+    candidates
+      .join(vecs.select(col("id").as("id1"), col("vec").as("v1")), "id1")
+      .join(vecs.select(col("id").as("id2"), col("vec").as("v2")), "id2")
+      .select(col("id1"), col("id2"), col("v1"), col("v2"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (i1, i2, v1, v2) =>
+        (i1, i2, VectorSearch.roundedCosine(v1, v2))
+      }
+      .toDF("id1", "id2", "cos_sim")
       .filter(col("cos_sim") >= threshold)
   }
 

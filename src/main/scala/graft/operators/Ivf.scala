@@ -128,10 +128,11 @@ object Ivf {
     val scored = corpus
       .join(broadcast(queries), Seq("cell"))
       .filter(col("id") =!= col("query_id"))
-      .select(
-        col("query_id"),
-        col("id").as("neighbor_id"),
-        round(VectorSearch.cosine(col("vec"), col("qvec")), 6).as("cos_sim"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("vec"), col("qvec"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (q, n, v, qv) => (q, n, VectorSearch.roundedCosine(v, qv)) }
+      .toDF("query_id", "neighbor_id", "cos_sim")
     VectorSearch.topKPerQuery(scored, k)
   }
 }

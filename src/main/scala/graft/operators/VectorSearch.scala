@@ -19,7 +19,10 @@ import scala.collection.mutable
   */
 object VectorSearch {
 
-  /** sum(a[i]*b[i]) as a codegen'd column expression. */
+  /** sum(a[i]*b[i]) as a column expression. NOTE: Spark's higher-order
+    * functions are interpreted, not whole-stage codegen'd — use
+    * [[cosineArrays]] inside typed maps on hot paths.
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -29,6 +32,29 @@ object VectorSearch {
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Primitive-array cosine with the SAME IEEE semantics as the Column
+    * formulation (per-element float→double widening, left-to-right
+    * accumulation, dot/(sqrt·sqrt)) — results are bit-identical, so the
+    * two are interchangeable under hash-compare.
+    */
+  def cosineArrays(a: Array[Float], b: Array[Float]): Double = {
+    var dab = 0.0; var daa = 0.0; var dbb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dab += x * y; daa += x * x; dbb += y * y
+      i += 1
+    }
+    dab / (math.sqrt(daa) * math.sqrt(dbb))
+  }
+
+  def roundedCosine(a: Array[Float], b: Array[Float]): Double = {
+    // mirrors round(col, 6): HALF_UP on the double's decimal value
+    BigDecimal(cosineArrays(a, b))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
 
   /** Total order for top-k ranking: higher score first, lower id breaks
     * ties — a deterministic total order, so two-phase selection is exactly
@@ -90,15 +116,18 @@ object VectorSearch {
       k: Int = 5,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val queries = embeddings
       .filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val scored = embeddings
       .join(broadcast(queries), col(idCol) =!= col("query_id"))
-      .select(
-        col("query_id"),
-        col(idCol).as("neighbor_id"),
-        round(cosine(col(vecCol), col("qvec")), 6).as("cos_sim"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col(vecCol), col("qvec"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (q, n, v, qv) => (q, n, roundedCosine(v, qv)) }
+      .toDF("query_id", "neighbor_id", "cos_sim")
     topKPerQuery(scored, k)
   }
 
@@ -129,6 +158,8 @@ object VectorSearch {
       dim: Int = 64,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val planes = hyperplanes(nBits, dim)
     val signed = embeddings.withColumn("bucket",
       srpSignature(col(vecCol), planes))
@@ -139,10 +170,11 @@ object VectorSearch {
     val scored = signed
       .join(broadcast(queries), Seq("bucket"))
       .filter(col(idCol) =!= col("query_id"))
-      .select(
-        col("query_id"),
-        col(idCol).as("neighbor_id"),
-        round(cosine(col(vecCol), col("qvec")), 6).as("cos_sim"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col(vecCol), col("qvec"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (q, n, v, qv) => (q, n, roundedCosine(v, qv)) }
+      .toDF("query_id", "neighbor_id", "cos_sim")
     topKPerQuery(scored, k)
   }
 }
