@@ -101,6 +101,41 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == Seq(1L, 3L))
   }
 
+  test("incremental DIRT triples equal the batch aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      "die\tpatients/NNS/nsubj/2 die/VBP/ROOT/0 from/IN/prep/2 cancer/NN/pobj/3\t10",
+      "die\tpeople/NNS/nsubj/2 die/VBP/ROOT/0 from/IN/prep/2 smoking/NN/pobj/3\t5",
+      "die\tpatients/NNS/nsubj/2 die/VBP/ROOT/0 of/IN/prep/2 cancer/NN/pobj/3\t7",
+      "suffer\tpatients/NNS/nsubj/2 suffer/VBP/ROOT/0 from/IN/prep/2 cancer/NN/pobj/3\t4")
+
+    val input = MemoryStream[String]
+    val q = DirtStreaming.streamingTriples(input.toDS())
+      .writeStream.format("memory").queryName("dirt_triples")
+      .outputMode("complete").start()
+    // the same corpus arriving in two micro-batches (state accumulates
+    // the weighted counts across them)
+    input.addData(corpus.take(2): _*)
+    q.processAllAvailable()
+    input.addData(corpus.drop(2): _*)
+    q.processAllAvailable()
+
+    val streamed = spark.table("dirt_triples")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    q.stop()
+
+    val batch = graft.pipeline.DirtPipeline.triples(
+      graft.pipeline.DirtPipeline.extractInstances(
+        graft.pipeline.DirtPipeline.parseCorpus(spark.createDataset(corpus))))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("mapGroupsWithState running stats equal batch groupBy across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
