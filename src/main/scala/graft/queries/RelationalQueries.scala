@@ -580,6 +580,41 @@ object RelationalQueries {
       .orderBy("o_orderstatus")
   }
 
+  // A-family pivot: orderstatus spread into columns per priority (oracle
+  // recomputes as portable conditional aggregation).
+  val q28 = Q.checked(
+    "q28_pivot",
+    """SELECT o_orderpriority,
+              CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+              CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+              CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+       FROM orders
+       GROUP BY o_orderpriority
+       ORDER BY o_orderpriority""") { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy("o_orderpriority")
+  }
+
+  // A-family unpivot/melt: customer metrics to long form.
+  val q29 = Q.checked(
+    "q29_unpivot",
+    """SELECT c_custkey, metric, value FROM (
+         SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+         UNION ALL
+         SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value FROM customer)
+       ORDER BY c_custkey, metric""") { (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal").as("acctbal"),
+        col("c_nationkey").cast("double").as("nationkey"))
+      .unpivot(Array(col("c_custkey")),
+        Array(col("acctbal"), col("nationkey")), "metric", "value")
+      .orderBy("c_custkey", "metric")
+  }
+
   // S5/S8 sink+source roundtrip: nation → TSV on disk → schema'd CSV read
   // → broadcast join region. Result must equal the pure-parquet oracle.
   val q21 = Q.checked(
