@@ -16,20 +16,30 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 case class TopKAggregator(k: Int)
     extends Aggregator[(Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
+  require(k > 0, s"k must be positive, got $k")
 
   private def better(a: (Long, Double), b: (Long, Double)): Boolean =
     a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
 
-  /** Keep the best k of an already-individually-sorted concatenation. */
   private def prune(xs: Seq[(Long, Double)]): Seq[(Long, Double)] =
     xs.sortWith(better).take(k)
+
+  /** O(k) ordered insert into a best-first buffer (the per-row hot path —
+    * no full re-sort per accepted element).
+    */
+  private def insert(buf: Seq[(Long, Double)],
+      in: (Long, Double)): Seq[(Long, Double)] = {
+    val i = buf.indexWhere(x => better(in, x))
+    val at = if (i < 0) buf.size else i
+    buf.patch(at, Seq(in), 0)
+  }
 
   override def zero: Seq[(Long, Double)] = Vector.empty
 
   override def reduce(buf: Seq[(Long, Double)],
       in: (Long, Double)): Seq[(Long, Double)] =
-    if (buf.size < k) prune(buf :+ in)
-    else if (better(in, buf.last)) prune(buf :+ in)
+    if (buf.size < k) insert(buf, in)
+    else if (better(in, buf.last)) insert(buf, in).take(k)
     else buf
 
   override def merge(a: Seq[(Long, Double)],

@@ -227,8 +227,8 @@ object Dedup {
     a.join(b, col("id1") < col("id2"))
       .select(col("id1"), col("id2"), col("v1"), col("v2"))
       .as[(Long, Long, Array[Float], Array[Float])]
-      .map { case (i1, i2, v1, v2) =>
-        (i1, i2, VectorSearch.roundedCosine(v1, v2))
+      .flatMap { case (i1, i2, v1, v2) =>
+        VectorSearch.finiteRoundedCosine(v1, v2).map(c => (i1, i2, c))
       }
       .toDF("id1", "id2", "cos_sim")
       .filter(col("cos_sim") >= threshold)
@@ -272,8 +272,8 @@ object Dedup {
       .join(vecs.select(col("id").as("id2"), col("vec").as("v2")), "id2")
       .select(col("id1"), col("id2"), col("v1"), col("v2"))
       .as[(Long, Long, Array[Float], Array[Float])]
-      .map { case (i1, i2, v1, v2) =>
-        (i1, i2, VectorSearch.roundedCosine(v1, v2))
+      .flatMap { case (i1, i2, v1, v2) =>
+        VectorSearch.finiteRoundedCosine(v1, v2).map(c => (i1, i2, c))
       }
       .toDF("id1", "id2", "cos_sim")
       .filter(col("cos_sim") >= threshold)

@@ -131,7 +131,8 @@ object Ivf {
       .select(col("query_id"), col("id").as("neighbor_id"),
         col("vec"), col("qvec"))
       .as[(Long, Long, Array[Float], Array[Float])]
-      .map { case (q, n, v, qv) => (q, n, VectorSearch.roundedCosine(v, qv)) }
+      .flatMap { case (q, n, v, qv) =>
+        VectorSearch.finiteRoundedCosine(v, qv).map(c => (q, n, c)) }
       .toDF("query_id", "neighbor_id", "cos_sim")
     VectorSearch.topKPerQuery(scored, k)
   }

@@ -35,14 +35,16 @@ object VectorSearch {
 
   /** Primitive-array cosine with the SAME IEEE semantics as the Column
     * formulation (per-element float→double widening, left-to-right
-    * accumulation, dot/(sqrt·sqrt)) — results are bit-identical, so the
-    * two are interchangeable under hash-compare.
+    * accumulation, dot/(sqrt·sqrt)) — bit-identical results on equal-
+    * length non-degenerate vectors. Ragged lengths and zero norms yield
+    * NaN (the Column path yields NULL there); callers drop those rows
+    * via [[finiteRoundedCosine]].
     */
   def cosineArrays(a: Array[Float], b: Array[Float]): Double = {
+    if (a == null || b == null || a.length != b.length) return Double.NaN
     var dab = 0.0; var daa = 0.0; var dbb = 0.0
     var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) {
+    while (i < a.length) {
       val x = a(i).toDouble; val y = b(i).toDouble
       dab += x * y; daa += x * x; dbb += y * y
       i += 1
@@ -50,10 +52,15 @@ object VectorSearch {
     dab / (math.sqrt(daa) * math.sqrt(dbb))
   }
 
-  def roundedCosine(a: Array[Float], b: Array[Float]): Double = {
-    // mirrors round(col, 6): HALF_UP on the double's decimal value
-    BigDecimal(cosineArrays(a, b))
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  /** Cosine rounded like `round(col, 6)` (HALF_UP on the double's decimal
+    * value); None for degenerate inputs (zero-norm, ragged, null) —
+    * mirroring the Column path, where the NULL result dropped the row.
+    */
+  def finiteRoundedCosine(a: Array[Float], b: Array[Float]): Option[Double] = {
+    val c = cosineArrays(a, b)
+    if (java.lang.Double.isFinite(c))
+      Some(BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    else None
   }
 
   /** Total order for top-k ranking: higher score first, lower id breaks
@@ -126,7 +133,8 @@ object VectorSearch {
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         col(vecCol), col("qvec"))
       .as[(Long, Long, Array[Float], Array[Float])]
-      .map { case (q, n, v, qv) => (q, n, roundedCosine(v, qv)) }
+      .flatMap { case (q, n, v, qv) =>
+        finiteRoundedCosine(v, qv).map(c => (q, n, c)) }
       .toDF("query_id", "neighbor_id", "cos_sim")
     topKPerQuery(scored, k)
   }
@@ -173,7 +181,8 @@ object VectorSearch {
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         col(vecCol), col("qvec"))
       .as[(Long, Long, Array[Float], Array[Float])]
-      .map { case (q, n, v, qv) => (q, n, roundedCosine(v, qv)) }
+      .flatMap { case (q, n, v, qv) =>
+        finiteRoundedCosine(v, qv).map(c => (q, n, c)) }
       .toDF("query_id", "neighbor_id", "cos_sim")
     topKPerQuery(scored, k)
   }

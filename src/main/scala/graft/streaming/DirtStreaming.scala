@@ -1,9 +1,7 @@
 package graft.streaming
 
-import graft.Triple
-import graft.text.{BiarcParser, PathExtractor}
+import graft.pipeline.DirtPipeline
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.functions._
 
 /** Incremental DIRT (SURVEY.md §2.7): the pipeline's base statistics are
   * monotone weighted counts, so the extraction stage runs unchanged over
@@ -19,16 +17,11 @@ object DirtStreaming {
     * "update"/"complete"; state is keyed by the triple, bounded by
     * vocabulary — the same cardinality the batch shuffle carries.
     */
-  def streamingTriples(lines: Dataset[String]): DataFrame = {
-    val spark = lines.sparkSession
-    import spark.implicits._
-    lines
-      .flatMap(BiarcParser.parseLine(_))
-      .flatMap(PathExtractor.extract(_))
-      .flatMap(pi => Seq(
-        Triple(pi.path, "X", pi.x, pi.cnt),
-        Triple(pi.path, "Y", pi.y, pi.cnt)))
-      .groupBy("path", "slot", "word")
-      .agg(sum("cnt").as("cnt"))
-  }
+  def streamingTriples(lines: Dataset[String]): DataFrame =
+    // the batch stages compose unchanged — all typed transforms plus one
+    // aggregation are streaming-safe, so streamed==batch holds by
+    // construction rather than by keeping two copies in sync
+    DirtPipeline.triples(
+      DirtPipeline.extractInstances(
+        DirtPipeline.parseCorpus(lines)))
 }

@@ -58,10 +58,18 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("q27: bucketed join plans no exchange on the join key") {
-    val df = SparkEntry.queries("q27_bucketed_join")(spark, sf)
-    val p = df.queryExecution.executedPlan.toString
-    assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p.take(3000))
-    assert(!p.contains("Exchange hashpartitioning(l_orderkey"), p.take(3000))
+    // force a non-broadcast join so the assertion can't pass vacuously —
+    // with auto-broadcast on, tiny test tables would broadcast and never
+    // plan an exchange regardless of bucketing
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q27_bucketed_join")(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(3000))
+      assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p.take(3000))
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey"), p.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("q07: window functions share one shuffle on the partition key") {

@@ -38,6 +38,11 @@ class TopKAggregatorSpec extends AnyFunSuite {
     }
   }
 
+  test("non-positive k is rejected at construction") {
+    intercept[IllegalArgumentException](TopKAggregator(0))
+    intercept[IllegalArgumentException](TopKAggregator(-3))
+  }
+
   test("buffer never exceeds k and merge is order-insensitive") {
     val agg = TopKAggregator(3)
     val a = Seq((1L, 9.0), (2L, 8.0), (3L, 7.0))

@@ -27,7 +27,7 @@ class DedupEmbeddingSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact)) // verify step guarantees no false positives
     val recall = lsh.size.toDouble / exact.size
     info(f"embedding LSH recall = $recall%.2f (${lsh.size}/${exact.size})")
-    assert(recall >= 0.5, s"recall $recall")
+    assert(recall >= 0.8, s"recall $recall") // deterministic seeds: 0.94 observed
 
     // deterministic across runs (fixed hyperplane seeds)
     val again = Dedup.embeddingPairsLsh(emb, threshold = 0.4,

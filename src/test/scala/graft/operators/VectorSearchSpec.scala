@@ -53,7 +53,8 @@ class VectorSearchSpec extends AnyFunSuite {
       (1L, Array(1f, 0.01f)),
       (2L, Array(0f, 1f)),
       (3L, Array(-1f, 0f)),
-      (4L, Array(0.9f, 0.1f)))
+      (4L, Array(0.9f, 0.1f)),
+      (5L, Array(0f, 0f))) // zero norm: cosine undefined, row dropped
     val df = vecs.toDF("vec_id", "embedding")
     val out = VectorSearch.cosineTopK(df, queryIds = Seq(0L), k = 2)
       .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
