@@ -30,7 +30,7 @@ object SkewJoin {
     // deterministic per-row salt: spreads each key's rows without RNG
     // (keeps retries/speculative tasks consistent)
     val salted = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col): _*), lit(saltFactor)))
+      pmod(hash(big.columns.toIndexedSeq.map(col): _*), lit(saltFactor)))
     val replicated = small.withColumn("__salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     salted
@@ -52,7 +52,7 @@ object SkewJoin {
       sumCols: Seq[String],
       saltFactor: Int = 16): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col): _*), lit(saltFactor)))
+      pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(saltFactor)))
     val partial = salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(count(lit(1)).as("__n"),

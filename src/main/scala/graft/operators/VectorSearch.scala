@@ -150,7 +150,7 @@ object VectorSearch {
     */
   def srpSignature(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit): _*)
+      val planeCol = array(p.toIndexedSeq.map(lit): _*)
       when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
