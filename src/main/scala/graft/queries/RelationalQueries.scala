@@ -615,6 +615,48 @@ object RelationalQueries {
       .orderBy("c_custkey", "metric")
   }
 
+  // A-family exact percentiles (sort-based linear interpolation in both
+  // engines; approx_percentile is sketch-based and stays rows-only).
+  val q47 = Q.checked(
+    "q47_percentiles",
+    """SELECT l_returnflag,
+              round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+              round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+              round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price
+       FROM lineitem
+       GROUP BY l_returnflag
+       ORDER BY l_returnflag""") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"))
+      .orderBy("l_returnflag")
+  }
+
+  // O4 rank statistics: percent_rank / cume_dist / ntile, deterministic
+  // ordering via (value, event_id).
+  val q48 = Q.checked(
+    "q48_window_rank_stats",
+    """SELECT event_id,
+              round(percent_rank() OVER w, 6) AS pct_rank,
+              round(cume_dist() OVER w, 6) AS cume,
+              CAST(ntile(4) OVER w AS BIGINT) AS quartile
+       FROM events
+       WINDOW w AS (PARTITION BY event_type ORDER BY round(value, 2), event_id)
+       ORDER BY event_id""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type")
+      .orderBy(round(col("value"), 2), col("event_id"))
+    Tables.events(s, d).select(
+      col("event_id"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume"),
+      ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy("event_id")
+  }
+
   // S5/S8 sink+source roundtrip: nation → TSV on disk → schema'd CSV read
   // → broadcast join region. Result must equal the pure-parquet oracle.
   val q21 = Q.checked(
