@@ -50,6 +50,7 @@ object SparkEntry {
     RelationalQueries.q23, RelationalQueries.q24, RelationalQueries.q25,
     RelationalQueries.q26, RelationalQueries.q27, RelationalQueries.q28,
     RelationalQueries.q29, RelationalQueries.q47, RelationalQueries.q48,
+    RelationalQueries.q49,
     PipelineQueries.q30, PipelineQueries.q31, PipelineQueries.q32,
     PipelineQueries.q33, PipelineQueries.q34, PipelineQueries.q35,
     PipelineQueries.q36, PipelineQueries.q37, PipelineQueries.q38,

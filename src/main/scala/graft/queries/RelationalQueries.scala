@@ -657,6 +657,28 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  // SQL entry surface: scalar and correlated subqueries through
+  // spark.sql over a registered view — identical text runs on DuckDB.
+  val q49 = Q.checked(
+    "q49_sql_subqueries",
+    """SELECT o_orderkey,
+              round(o_totalprice / (SELECT avg(o_totalprice) FROM orders), 6) AS global_ratio,
+              round(o_totalprice / (SELECT avg(o2.o_totalprice) FROM orders o2
+                                    WHERE o2.o_custkey = o.o_custkey), 6) AS cust_ratio
+       FROM orders o
+       WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+       ORDER BY o_orderkey""") { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderkey,
+                round(o_totalprice / (SELECT avg(o_totalprice) FROM orders), 6) AS global_ratio,
+                round(o_totalprice / (SELECT avg(o2.o_totalprice) FROM orders o2
+                                      WHERE o2.o_custkey = o.o_custkey), 6) AS cust_ratio
+         FROM orders o
+         WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+         ORDER BY o_orderkey""")
+  }
+
   // S5/S8 sink+source roundtrip: nation → TSV on disk → schema'd CSV read
   // → broadcast join region. Result must equal the pure-parquet oracle.
   val q21 = Q.checked(
