@@ -49,6 +49,18 @@ object DirtCli {
       println(f"Max F1:         ${report.best.f1}%.4f")
       println(f"Precision:      ${report.best.precision}%.4f")
       println(f"Recall:         ${report.best.recall}%.4f")
+      // error-analysis exemplars (`evaluate_dirt.py:156-224`)
+      def block(title: String, xs: Seq[(Evaluate.Pair, Double)]): Unit = {
+        println(s"--- $title ---")
+        if (xs.isEmpty) println("(none)")
+        xs.foreach { case ((p1, p2), sc) =>
+          println(f"Score: $sc%.4f | ($p1, $p2)")
+        }
+      }
+      block("True Positives", report.truePositives)
+      block("False Positives", report.falsePositives)
+      block("True Negatives", report.trueNegatives)
+      block("False Negatives", report.falseNegatives)
     }
     spark.stop()
   }
