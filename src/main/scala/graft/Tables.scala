@@ -32,9 +32,19 @@ object Tables {
     * `CAST(ts AS TIMESTAMP)` ns→µs behavior used by the oracle SQL.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
+    // scoped set/restore: the conf is consumed at schema-inference time
+    // (the read.parquet call below), so restoring it immediately after
+    // keeps this read working without silently changing how any LATER
+    // nanos-annotated parquet column is read in the same session
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try apply(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

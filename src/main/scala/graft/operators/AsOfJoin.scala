@@ -54,8 +54,11 @@ object AsOfJoin {
       (df, c) => df.withColumn(c, lit(null)))
       .select((leftCols ++ Seq("__ts", "__side", "__payload")).map(col): _*)
 
+    // __payload as the final sort key: when several right rows share
+    // (key, ts), the carried payload is deterministically the struct-max
+    // one, not whichever the shuffle happened to order last
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     lView.unionByName(rView)

@@ -10,8 +10,9 @@ import scala.util.hashing.MurmurHash3
   *
   *   - exact:   hash-groupBy on a content digest — one shuffle on digest;
   *   - jaccard: blocked pairwise word-set Jaccard — candidate generation
-  *     restricted by blocking keys so the self-join never goes quadratic
-  *     in the corpus, only within a block;
+  *     restricted by blocking keys AND the AllPairs/PPJoin prefix filter,
+  *     so the self-join never goes quadratic in the corpus or in a block
+  *     full of ubiquitous words;
   *   - minhash: MinHash signatures + banded LSH — candidates only for
   *     pairs sharing a band bucket, verified with exact Jaccard;
   *   - simhash: 64-bit SimHash + pigeonhole block index for Hamming<=k
@@ -37,27 +38,94 @@ object Dedup {
         min(col(idCol)).as("keeper_id"))
       .filter(col("n_docs") > 1)
 
-  /** Corpus with exact duplicates removed (keep min id per digest). */
+  /** Corpus with exact duplicates removed (keep min id per digest).
+    *
+    * Shape: `groupBy(digest).agg(min(id))` + left-semi join back — all
+    * algebraic, so the map-side partial absorbs a viral digest duplicated
+    * millions of times. (A `row_number` window partitioned by digest would
+    * funnel every copy of a hot digest through one task; windows are not
+    * AQE-splittable. PlanAuditSpec asserts this plan stays window-free.)
+    */
   def dropExactDups(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
-    docs
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val keepers = docs
+      .groupBy(md5(col(textCol)).as("__digest"))
+      .agg(min(col(idCol)).as("__keeper"))
+    docs.join(keepers,
+      md5(col(textCol)) === keepers("__digest") &&
+        col(idCol) === keepers("__keeper"),
+      "left_semi")
   }
 
   // ------------------------------------------------- blocked word Jaccard
 
-  /** Pairwise word-set Jaccard over candidate pairs restricted to a
-    * blocking key (default: language + length bucket — near-dups share
-    * both). Emits (id1 < id2, jaccard) for pairs >= `threshold`.
+  /** (id, lang, blk, word) rows: one per distinct word per doc, with the
+    * (lang, length-bucket) blocking key near-dups must share.
+    */
+  private def blockedWords(docs: DataFrame, lenBucket: Int,
+      textCol: String, idCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("id"),
+      col("lang"),
+      floor(col("n_chars") / lenBucket.toDouble).cast("long").as("blk"),
+      explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("word"))
+
+  /** Prefix-filtered candidate pairs for [[jaccardPairs]]: each doc's
+    * prefix is its `n - ceil(t*n) + 1` rarest words (within-block document
+    * frequency ascending, word as tie-break); by the prefix-filter lemma
+    * (Bayardo et al. WWW'07; Xiao et al. PPJoin) any pair with
+    * Jaccard >= t shares a prefix word, so joining only prefixes loses no
+    * true pair while ubiquitous words — the quadratic-blowup drivers —
+    * never enter the join. A size-ratio filter (J <= min/max when sets
+    * differ in size) prunes candidates before verification.
     *
-    * Plan shape: explode distinct words -> self equi-join on
-    * (block, word) -> pair-count aggregation -> jaccard. The block key
-    * keeps the join linear-ish in corpus size; within-block skew is AQE's
-    * job. Fully SQL-expressible for the oracle.
+    * The per-doc ranking window partitions by doc id — group size is one
+    * document's vocabulary, bounded, unlike a per-word or per-digest
+    * window.
+    */
+  def jaccardCandidates(
+      docs: DataFrame,
+      threshold: Double = 0.5,
+      lenBucket: Int = 100,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = blockedWords(docs, lenBucket, textCol, idCol)
+    val df = words.groupBy("lang", "blk", "word")
+      .agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("id"))
+      .orderBy(col("df"), col("word"))
+    val ranked = words
+      .join(df, Seq("lang", "blk", "word"))
+      .withColumn("rank", row_number().over(byRarity))
+      .withColumn("n_words",
+        count(lit(1)).over(Window.partitionBy(col("id"))))
+    val prefixes = ranked.filter(
+      col("rank") <= col("n_words") - ceil(lit(threshold) * col("n_words")) + 1)
+
+    val a = prefixes.select(col("lang"), col("blk"), col("word"),
+      col("id").as("id1"), col("n_words").as("n1"))
+    val b = prefixes.select(col("lang"), col("blk"), col("word"),
+      col("id").as("id2"), col("n_words").as("n2"))
+    a.join(b, Seq("lang", "blk", "word"))
+      .filter(col("id1") < col("id2"))
+      // necessary size condition: J <= min(n1,n2)/max(n1,n2)
+      .filter(least(col("n1"), col("n2")).cast("double") >=
+        lit(threshold) * greatest(col("n1"), col("n2")).cast("double"))
+      .select("id1", "id2")
+      .distinct()
+  }
+
+  /** Pairwise word-set Jaccard >= `threshold` within (language, length
+    * bucket) blocks, emitted as (id1 < id2, jaccard).
+    *
+    * Output is EXACTLY the naive blocked all-pairs join (the oracle SQL
+    * keeps that formulation), but the plan is the AllPairs/PPJoin shape:
+    * candidates come from [[jaccardCandidates]]'s prefix join — immune to
+    * high-document-frequency words that make a plain (block, word)
+    * self-join quadratic in block size — and each candidate pair is then
+    * verified with one `array_intersect` over the two docs' word sets
+    * (one row per pair, not one per shared word).
     */
   def jaccardPairs(
       docs: DataFrame,
@@ -65,28 +133,17 @@ object Dedup {
       lenBucket: Int = 100,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val words = docs
-      .select(
-        col(idCol).as("id"),
-        col("lang"),
-        floor(col("n_chars") / lenBucket.toDouble).cast("long").as("blk"),
-        explode(array_distinct(split(trim(col(textCol)), "\\s+")))
-          .as("word"))
-    val counts = words.groupBy("id").agg(count(lit(1)).as("n_words"))
+    val docWords = blockedWords(docs, lenBucket, textCol, idCol)
+      .groupBy("id")
+      .agg(collect_set(col("word")).as("words"),
+        count(lit(1)).as("n_words"))
 
-    val a = words.select(col("lang"), col("blk"), col("word"),
-      col("id").as("id1"))
-    val b = words.select(col("lang"), col("blk"), col("word"),
-      col("id").as("id2"))
-    val inter = a
-      .join(b, Seq("lang", "blk", "word"))
-      .filter(col("id1") < col("id2"))
-      .groupBy("id1", "id2")
-      .agg(count(lit(1)).as("n_inter"))
-
-    inter
-      .join(counts.select(col("id").as("id1"), col("n_words").as("n1")), "id1")
-      .join(counts.select(col("id").as("id2"), col("n_words").as("n2")), "id2")
+    jaccardCandidates(docs, threshold, lenBucket, textCol, idCol)
+      .join(docWords.select(col("id").as("id1"), col("words").as("w1"),
+        col("n_words").as("n1")), "id1")
+      .join(docWords.select(col("id").as("id2"), col("words").as("w2"),
+        col("n_words").as("n2")), "id2")
+      .withColumn("n_inter", size(array_intersect(col("w1"), col("w2"))))
       .withColumn("jaccard",
         round(col("n_inter").cast("double") /
           (col("n1") + col("n2") - col("n_inter")).cast("double"), 6))
@@ -249,16 +306,23 @@ object Dedup {
       dim: Int = 64,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val vecs = embeddings.select(col(idCol).cast("long").as("id"),
-      col(vecCol).as("vec"))
-    val banded = vecs.select(col("id"), col("vec"), posexplode(
-      array((0 until tables).map { t =>
-        VectorSearch.srpSignature(col("vec"),
-          VectorSearch.hyperplanes(nBits, dim, seed = 0x5eedL + t))
-      }: _*)).as(Seq("table", "bucket")))
-
     val spark = embeddings.sparkSession
     import spark.implicits._
+    // all tables' signatures in ONE typed pass over the primitive vector
+    // (bit-identical to the Column/HOF formulation, ~20x cheaper — the
+    // signature pass touches every row × tables × nBits planes)
+    val allPlanes = Array.tabulate(tables)(t =>
+      VectorSearch.hyperplanes(nBits, dim, seed = 0x5eedL + t))
+    val vecs = embeddings.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("vec"))
+    val banded = vecs
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        (id, v, allPlanes.map(p => VectorSearch.srpSignatureArray(v, p)).toSeq)
+      }
+      .toDF("id", "vec", "sigs")
+      .select(col("id"), col("vec"),
+        posexplode(col("sigs")).as(Seq("table", "bucket")))
     val l = banded.select(col("table"), col("bucket"), col("id").as("id1"))
     val r = banded.select(col("table"), col("bucket"), col("id").as("id2"))
     // dedup candidates on ids ONLY (distinct over vector payloads would

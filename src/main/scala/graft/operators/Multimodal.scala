@@ -8,16 +8,17 @@ import org.apache.spark.sql.types._
   * `binary` columns with a typed metadata struct, and run decode /
   * feature-extract steps as partition-batched transforms.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked deterministic STUB (`stubDecode`) — the Spark-side
-  * contract (schema, batching, partition mapping, null handling) is the
-  * real, tested part; swapping the stub for a JNI/codec call changes no
-  * plan shape.
+  * Image payloads are decoded for real with the JDK's own codecs
+  * (`javax.imageio` ships PNG/JPEG/BMP/GIF readers — no external
+  * dependency): width/height, exact integer mean luminance, and an 8-bin
+  * luminance histogram feature. Media types the JVM has no codec for
+  * (audio/video) fall back to the clearly-marked deterministic
+  * `stubDecode`, as does any image payload the codec rejects.
   *
-  * Scale notes: `mapPartitions` keeps per-batch codec state (a real
-  * decoder would be initialized once per partition, not per row); the
-  * payload column stays unprojected until the decode step, so column
-  * pruning keeps it off every other operator's scan.
+  * Scale notes: `mapPartitions` keeps per-batch codec state (decoder
+  * initialized once per partition, not per row); the payload column stays
+  * unprojected until the decode step, so column pruning keeps it off
+  * every other operator's scan.
   */
 object Multimodal {
 
@@ -54,16 +55,26 @@ object Multimodal {
       width: Int,
       height: Int,
       frames: Int,
+      mean_luma: Int,
+      feature: Array[Float])
+
+  /** One decoded payload: dimensions, frame count, exact integer mean
+    * luminance (sum of per-pixel `(299r+587g+114b)/1000`, integer-divided
+    * by pixel count — integer-valued end to end so it survives any
+    * cross-engine rounding), and an 8-bin normalized luminance histogram.
+    */
+  case class Decoded(width: Int, height: Int, frames: Int, mean_luma: Int,
       feature: Array[Float])
 
   /** STUB decode: a real implementation would hand `bytes` to a codec.
     * Here it derives deterministic pseudo-dimensions and an 8-dim
     * byte-histogram feature so the pipeline shape is exercised end to
-    * end. Marked clearly as a stand-in.
+    * end. Marked clearly as a stand-in — used only for media types the
+    * JVM has no codec for (see [[decode]]).
     */
   def stubDecode(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
-    // ??? <- real codec call goes here (image decode / audio PCM /
-    //        video frame sampling); stubbed: no codecs in this container.
+    // stand-in for codec-less media types (audio PCM / video frame
+    // sampling); image/* payloads take the real ImageIO path in decode()
     if (bytes == null || bytes.isEmpty) (0, 0, 0, Array.fill(8)(0f))
     else {
       val w = 16 + (bytes.length % 64)
@@ -80,6 +91,61 @@ object Multimodal {
     }
   }
 
+  /** Real image decode via the JDK's bundled readers (PNG/JPEG/BMP/GIF).
+    * None when the payload is empty or no installed reader accepts it.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[Decoded] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        val hist = new Array[Float](8)
+        var lumaSum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+              + 114 * (rgb & 0xff)) / 1000
+            hist(luma >> 5) += 1f
+            lumaSum += luma
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        var b = 0
+        while (b < 8) { hist(b) /= n; b += 1 }
+        Decoded(w, h, 1, (lumaSum / n).toInt, hist)
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Decode dispatch: image payloads go through the real [[decodeImage]]
+    * codec path (stub fallback only if the codec rejects the bytes);
+    * everything else takes [[stubDecode]] with the mean unsigned byte
+    * standing in for mean luminance.
+    */
+  def decode(mediaType: String, bytes: Array[Byte]): Decoded = {
+    def stub: Decoded = {
+      val (w, h, fr, feat) = stubDecode(bytes)
+      val mean =
+        if (bytes == null || bytes.isEmpty) 0
+        else {
+          var s = 0L; var i = 0
+          while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
+          (s / bytes.length).toInt
+        }
+      Decoded(w, h, fr, mean, feat)
+    }
+    if (mediaType != null && mediaType.startsWith("image/"))
+      decodeImage(bytes).getOrElse(stub)
+    else stub
+  }
+
   /** Partition-batched decode + feature extraction: one decoder context
     * per partition, rows streamed through it.
     */
@@ -91,12 +157,61 @@ object Multimodal {
         col("meta.n_bytes"))
       .as[(Long, Array[Byte], String, Long)]
       .mapPartitions { rows =>
-        // per-partition decoder init would happen here
+        // ImageIO reader discovery happens once per JVM; per-partition
+        // decoder state (e.g. a reusable native context) would init here
         rows.map { case (id, payload, mt, nb) =>
-          val (w, h, fr, feat) = stubDecode(payload)
-          MediaFeatures(id, mt, nb, w, h, fr, feat)
+          val d = decode(mt, payload)
+          MediaFeatures(id, mt, nb, d.width, d.height, d.frames,
+            d.mean_luma, d.feature)
         }
       }
+  }
+
+  /** Deterministic real-PNG media table derived from the fixture docs:
+    * per doc, a solid-gray image whose dimensions and gray level are
+    * closed-form functions of doc_id (width 16+id%48, height 16+id%31,
+    * gray id%256), encoded through the actual ImageIO PNG writer. Solid
+    * gray makes mean luminance exactly the gray level, so a SQL oracle
+    * can recompute everything the real decoder must report.
+    */
+  def syntheticPngTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 16 + (id % 48).toInt
+          val h = 16 + (id % 31).toInt
+          val g = (id % 256).toInt
+          (id, encodePng(w, h, g))
+        }
+      }
+      .toDF("doc_id", "payload")
+      .select(
+        col("doc_id"),
+        col("payload"),
+        struct(
+          lit("image/png").as("media_type"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("digest")).as("meta"))
+  }
+
+  /** Solid-gray PNG bytes via the JDK encoder (headless-safe). */
+  def encodePng(width: Int, height: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Deterministic "frame sample" over a payload: every strideth byte,

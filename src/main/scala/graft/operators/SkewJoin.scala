@@ -17,20 +17,32 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Inner equi-join `big ⋈ small` on `keys`, salted: big rows get a
-    * deterministic salt from a hash of the whole row, small rows are
-    * replicated across every salt value. Result is row-identical to the
-    * unsalted join.
+    * deterministic salt, small rows are replicated across every salt
+    * value. Result is row-identical to the unsalted join.
+    *
+    * The salt hashes the `uniquifier` column when the caller has one (a
+    * row id, an event id) — a hot key whose rows are fully identical
+    * still spreads. Without a uniquifier it falls back to hashing the
+    * whole row, which spreads hot keys of *distinct* rows but necessarily
+    * lands identical duplicate rows in one salt bucket (documented
+    * caveat: deterministic salting cannot separate indistinguishable
+    * rows; pass a uniquifier or deduplicate first).
     */
   def saltedJoin(
       big: DataFrame,
       small: DataFrame,
       keys: Seq[String],
-      saltFactor: Int = 16): DataFrame = {
+      saltFactor: Int = 16,
+      uniquifier: Option[String] = None): DataFrame = {
     require(saltFactor > 0)
     // deterministic per-row salt: spreads each key's rows without RNG
     // (keeps retries/speculative tasks consistent)
+    val saltSource = uniquifier match {
+      case Some(c) => Seq(col(c))
+      case None    => big.columns.toIndexedSeq.map(col)
+    }
     val salted = big.withColumn("__salt",
-      pmod(hash(big.columns.toIndexedSeq.map(col): _*), lit(saltFactor)))
+      pmod(hash(saltSource: _*), lit(saltFactor)))
     val replicated = small.withColumn("__salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     salted

@@ -112,6 +112,31 @@ object VectorSearch {
       .toDF("query_id", "neighbor_id", "cos_sim", "rank")
   }
 
+  /** All (query_id, neighbor_id, cos_sim) scores for a broadcast query
+    * set: one broadcast of the queries, one pass over the corpus, scores
+    * rounded to 6 dp (see [[finiteRoundedCosine]]). The shared scoring
+    * stage of [[cosineTopK]] and the `TopKAggregator` UDAF query surface.
+    */
+  def cosineScores(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val queries = embeddings
+      .filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    embeddings
+      .join(broadcast(queries), col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col(vecCol), col("qvec"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .flatMap { case (q, n, v, qv) =>
+        finiteRoundedCosine(v, qv).map(c => (q, n, c)) }
+      .toDF("query_id", "neighbor_id", "cos_sim")
+  }
+
   /** Exact top-k neighbours by cosine for each query id. Scores rounded
     * to 6 dp before ranking so rank order is reproducible across engines
     * (ties broken by vec_id). One broadcast of the query set, one pass
@@ -122,22 +147,8 @@ object VectorSearch {
       queryIds: Seq[Long],
       k: Int = 5,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val queries = embeddings
-      .filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val scored = embeddings
-      .join(broadcast(queries), col(idCol) =!= col("query_id"))
-      .select(col("query_id"), col(idCol).as("neighbor_id"),
-        col(vecCol), col("qvec"))
-      .as[(Long, Long, Array[Float], Array[Float])]
-      .flatMap { case (q, n, v, qv) =>
-        finiteRoundedCosine(v, qv).map(c => (q, n, c)) }
-      .toDF("query_id", "neighbor_id", "cos_sim")
-    topKPerQuery(scored, k)
-  }
+      vecCol: String = "embedding"): DataFrame =
+    topKPerQuery(cosineScores(embeddings, queryIds, idCol, vecCol), k)
 
   /** Deterministic random hyperplanes for signed-random-projection LSH. */
   def hyperplanes(nBits: Int, dim: Int, seed: Long = 0x9e3779b9L): Array[Array[Double]] = {
@@ -145,14 +156,33 @@ object VectorSearch {
     Array.fill(nBits, dim)(rnd.nextGaussian())
   }
 
-  /** SRP signature column: one bit per hyperplane = sign of the dot
-    * product, packed into a long (nBits <= 63).
+  /** SRP signature of one vector for one hyperplane table: bit i = sign of
+    * dot(vec, planes(i)), packed into a long (nBits <= 63). Primitive-loop
+    * twin of the Column formulation
+    * `when(dot(vec, planeCol) >= 0, 1L << i)` summed over planes — same
+    * IEEE accumulation order (float→double widening, left-to-right), so
+    * buckets are bit-identical; a null or plane-length-mismatched vector
+    * sets no bits, mirroring null-propagation through the HOF dot. Spark's
+    * higher-order functions are interpreted per element (~20x slower than
+    * this loop, see [[dot]]'s note), and the signature pass touches every
+    * corpus row × every plane — it must stay in a typed map.
     */
-  def srpSignature(vec: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.toIndexedSeq.map(lit): _*)
-      when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  def srpSignatureArray(vec: Array[Float], planes: Array[Array[Double]]): Long = {
+    if (vec == null) return 0L
+    var sig = 0L
+    var i = 0
+    while (i < planes.length) {
+      val p = planes(i)
+      if (vec.length == p.length) {
+        var d = 0.0
+        var j = 0
+        while (j < p.length) { d += vec(j).toDouble * p(j); j += 1 }
+        if (d >= 0) sig |= (1L << i)
+      }
+      i += 1
+    }
+    sig
+  }
 
   /** Approximate top-k: rank only within the query's SRP bucket. Falls
     * back to fewer than k results when a bucket is small — the standard
@@ -169,17 +199,20 @@ object VectorSearch {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val planes = hyperplanes(nBits, dim)
-    val signed = embeddings.withColumn("bucket",
-      srpSignature(col(vecCol), planes))
+    val signed = embeddings
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v, srpSignatureArray(v, planes)) }
+      .toDF("id", "vec", "bucket")
     val queries = signed
-      .filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      .filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("vec").as("qvec"),
         col("bucket"))
     val scored = signed
       .join(broadcast(queries), Seq("bucket"))
-      .filter(col(idCol) =!= col("query_id"))
-      .select(col("query_id"), col(idCol).as("neighbor_id"),
-        col(vecCol), col("qvec"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("vec"), col("qvec"))
       .as[(Long, Long, Array[Float], Array[Float])]
       .flatMap { case (q, n, v, qv) =>
         finiteRoundedCosine(v, qv).map(c => (q, n, c)) }

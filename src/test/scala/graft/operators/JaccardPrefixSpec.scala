@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The prefix-filtered Jaccard join (AllPairs/PPJoin shape) must be
+  * EXACT — identical output to the naive blocked all-pairs join — while
+  * its candidate generation stays linear-ish on corpora where ubiquitous
+  * words make the naive (block, word) self-join quadratic.
+  */
+class JaccardPrefixSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("jaccard-prefix-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** docs schema jaccardPairs expects: doc_id, text, lang, n_chars. */
+  private def docsDF(texts: Seq[String]) = {
+    import spark.implicits._
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", 50L) } // one block
+      .toDF("doc_id", "text", "lang", "n_chars")
+  }
+
+  /** Reference implementation: per-pair word-set Jaccard in plain Scala. */
+  private def naivePairs(texts: Seq[String], t: Double): Set[(Long, Long, Double)] = {
+    val sets = texts.map(_.trim.split("\\s+").toSet)
+    (for {
+      i <- sets.indices; j <- sets.indices if i < j
+      inter = sets(i).intersect(sets(j)).size
+      union = sets(i).size + sets(j).size - inter
+      jac = BigDecimal(inter.toDouble / union)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jac >= t
+    } yield (i.toLong, j.toLong, jac)).toSet
+  }
+
+  test("prefix-filtered output is exactly the naive all-pairs result") {
+    import spark.implicits._
+    // four near-dup families + shared stopwords + a lone outlier: pairs
+    // above AND below threshold, ties in doc frequency, varied set sizes
+    val texts = Seq(
+      "the a quick brown fox jumps over lazy dog",
+      "the a quick brown fox jumps over lazy cat",
+      "the a quick brown fox leaps over lazy dog",
+      "the a slow green turtle crawls under busy road",
+      "the a slow green turtle crawls under busy street",
+      "the a completely different document about spark engines",
+      "unique singleton text sharing nothing with anything else")
+    val got = Dedup.jaccardPairs(docsDF(texts), threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == naivePairs(texts, 0.5))
+    assert(got.nonEmpty) // the family pairs must actually qualify
+  }
+
+  test("ubiquitous words never enter the candidate join (linear, not quadratic)") {
+    // every doc shares 3 stopwords; the rest of each doc is unique.
+    // Naive (block, word) join: 3 * n*(n-1)/2 rows. Prefix join: the
+    // stopwords are every doc's HIGHEST-df words, so no doc's rarest-half
+    // prefix contains them -> zero candidates.
+    val n = 200
+    val texts = (0 until n).map(i =>
+      s"the of and u${i}a u${i}b u${i}c u${i}d u${i}e")
+    val cands = Dedup.jaccardCandidates(docsDF(texts), threshold = 0.5)
+    assert(cands.count() == 0L,
+      s"expected 0 prefix candidates, naive would emit ${3L * n * (n - 1) / 2} join rows")
+    assert(Dedup.jaccardPairs(docsDF(texts), threshold = 0.5).count() == 0L)
+  }
+
+  test("candidates superset the qualifying pairs (no lost true pair)") {
+    import spark.implicits._
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta",
+      "alpha beta gamma delta epsilon eta",
+      "alpha beta gamma delta theta iota",
+      "kappa lambda mu nu xi omicron")
+    val truth = naivePairs(texts, 0.5).map { case (a, b, _) => (a, b) }
+    val cands = Dedup.jaccardCandidates(docsDF(texts), threshold = 0.5)
+      .as[(Long, Long)].collect().toSet
+    assert(truth.subsetOf(cands), s"lost true pairs: ${truth.diff(cands)}")
+  }
+}

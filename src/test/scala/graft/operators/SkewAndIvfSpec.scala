@@ -32,6 +32,47 @@ class SkewAndIvfSpec extends AnyFunSuite {
     assert(plain.count(_.head == "hot") == 900)
   }
 
+  test("saltedJoin with a uniquifier spreads a hot key of identical rows") {
+    import spark.implicits._
+    // force a shuffle join: with auto-broadcast on, the tiny small side
+    // broadcasts and the output partitioning would reflect the input
+    // splits, not the salt — both assertions would be vacuous
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // AQE would coalesce these kilobyte-sized test partitions back into
+    // one, hiding the salt spread this test observes
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // all 1000 big rows are identical on every non-uniquifier column —
+      // the pathological case whole-row-hash salting cannot spread
+      val big = (0 until 1000).map(i => ("hot", 42L, i.toLong))
+        .toDF("k", "v", "row_id")
+      val small = Seq(("hot", "H")).toDF("k", "tag")
+
+      val salted = SkewJoin.saltedJoin(big, small, Seq("k"),
+        saltFactor = 8, uniquifier = Some("row_id"))
+      // row-identity first
+      assert(salted.count() == 1000L)
+      // spread: the join shuffles on (k, __salt); with a uniquifier-
+      // derived salt the hot key's rows land in >1 reduce partition
+      val sizes = salted.rdd
+        .mapPartitions(it => Iterator(it.size)).collect().filter(_ > 0)
+      assert(sizes.length > 1, s"all rows in one partition: ${sizes.toSeq}")
+      assert(sizes.max < 1000, s"no spread: ${sizes.toSeq}")
+
+      // caveat check: WITHOUT a uniquifier, identical rows share one salt
+      val unsalted = SkewJoin.saltedJoin(
+        big.drop("row_id"), small, Seq("k"), saltFactor = 8)
+      val sizes2 = unsalted.rdd
+        .mapPartitions(it => Iterator(it.size)).collect().filter(_ > 0)
+      assert(sizes2.length == 1) // documented limitation, locked as a test
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("saltedAgg equals direct groupBy") {
     import spark.implicits._
     val df = (1 to 500).map(i => (if (i % 5 == 0) "a" else "b", i.toLong))

@@ -60,6 +60,40 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.size == 3) // 10:00 click, 10:10 click, 10:10 buy
   }
 
+  test("sliding window activity equals batch overlapping-window agg") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val out = StreamOps.slidingUserActivity(
+      input.toDF(), "10 minutes", "5 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("sliding")
+      .outputMode("append").start()
+
+    val early = Seq(
+      ev(1, 1, 1, "a", 0), ev(2, 7, 1, "a", 0), ev(3, 12, 2, "a", 0))
+    input.addData(early: _*)
+    q.processAllAvailable()
+    input.addData(ev(99, 59, 9, "late-driver", 0))
+    q.processAllAvailable()
+
+    val got = spark.table("sliding")
+      .select("window_start", "user_id", "n_events")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val want = early.toDF()
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start"), col("user_id"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    q.stop()
+    assert(got == want)
+    // each event lands in windowDur/slide = 2 windows; event at 10:07
+    // shares the 10:00 window with the 10:01 event
+    assert(got.size == 5)
+  }
+
   test("dropDuplicatesWithinWatermark equals batch distinct-by-id") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
