@@ -36,6 +36,39 @@ object Bench {
   def syntheticTestSet: Seq[String] =
     (0 until 10).map(k => s"X v$k from Y\tX v$k of Y")
 
+  /** Like [[syntheticCorpus]] but with verb-correlated filler pools:
+    * verb k draws X from n_{50k..50k+99} and Y from m_{50k..50k+99}
+    * (pools overlap 50% between adjacent verbs), so slot MI is genuinely
+    * positive and the from/of variants of one verb share fillers — Lin
+    * scores come out nonzero and the evaluation sweep in the lifecycle
+    * bench does real TP/FP bookkeeping instead of sweeping zeros.
+    *
+    * Preps and fillers are drawn via a 64-bit mix of the row index:
+    * the verb index is `numberOfTrailingZeros(i+1)`, so any i-arithmetic
+    * pattern (i%2, i%100) is correlated with the power-of-two verb
+    * structure — with `i % 2` preps, each verb would only ever see ONE
+    * preposition and every test pair would score 0.
+    */
+  def syntheticCorpusCorrelated(spark: SparkSession, n: Long): Dataset[String] = {
+    import spark.implicits._
+    // splitmix64 finalizer — decorrelates draws from the verb structure
+    def mix(i: Long, salt: Long): Long = {
+      var z = i + salt * 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+      z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+      (z ^ (z >>> 33)) & Long.MaxValue
+    }
+    spark.range(n).map { i =>
+      val k = math.min(java.lang.Long.numberOfTrailingZeros(i + 1), 19)
+      val v = s"v$k"
+      val prep = if (mix(i, 1) % 3 == 0) "from" else "of"
+      val x = s"n${k * 50 + mix(i, 2) % 100}"
+      val y = s"m${k * 50 + mix(i, 3) % 100}"
+      val cnt = 1 + (i % 3)
+      s"$v\t$x/NNS/nsubj/2 $v/VBP/ROOT/0 $prep/IN/prep/2 $y/NN/pobj/3\t$cnt"
+    }
+  }
+
   private def esc(s: String): String =
     s.flatMap {
       case '"' => "\\\""
@@ -82,6 +115,23 @@ object Bench {
     time(s"dirt_synthetic_${dirtRows}") {
       DirtPipeline.run(spark, syntheticCorpus(spark, dirtRows),
         syntheticTestSet).count()
+    }
+    // the FULL reference lifecycle with a throughput number: pipeline ->
+    // TSV sink -> max-dedup + threshold sweep (P/R/F1), not just the
+    // pipeline half. Labels split the synthetic test set so the sweep
+    // does real TP/FP bookkeeping.
+    time(s"dirt_lifecycle_${dirtRows}") {
+      val scored = DirtPipeline.run(spark,
+        syntheticCorpusCorrelated(spark, dirtRows), syntheticTestSet)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val out = s"${sys.props("java.io.tmpdir")}/graft_bench_tsv_${ProcessHandle.current().pid()}"
+        graft.pipeline.DirtCli.writeTsv(scored, out)
+        val report = graft.eval.Evaluate.evaluate(scored,
+          posLines = syntheticTestSet.take(5),
+          negLines = syntheticTestSet.drop(5))
+        require(report.scoredPairs > 0, "lifecycle produced no scored pairs")
+      } finally scored.unpersist()
     }
 
     val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }

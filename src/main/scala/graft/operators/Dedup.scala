@@ -70,62 +70,97 @@ object Dedup {
       floor(col("n_chars") / lenBucket.toDouble).cast("long").as("blk"),
       explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("word"))
 
-  /** Prefix-filtered candidate pairs for [[jaccardPairs]]: each doc's
-    * prefix is its `n - ceil(t*n) + 1` rarest words (within-block document
-    * frequency ascending, word as tie-break); by the prefix-filter lemma
-    * (Bayardo et al. WWW'07; Xiao et al. PPJoin) any pair with
-    * Jaccard >= t shares a prefix word, so joining only prefixes loses no
-    * true pair while ubiquitous words — the quadratic-blowup drivers —
-    * never enter the join. A size-ratio filter (J <= min/max when sets
-    * differ in size) prunes candidates before verification.
-    *
-    * The per-doc ranking window partitions by doc id — group size is one
-    * document's vocabulary, bounded, unlike a per-word or per-digest
-    * window.
+  /** Per-doc profile for the prefix-filtered join: the doc's full word
+    * set sorted by within-block document frequency ascending (word as
+    * tie-break), its size, and two prefix slices — the probing prefix
+    * `n - ceil(t*n) + 1` and the shorter indexing prefix
+    * `n - ceil((2t/(1+t))*n) + 1` (PPJoin's asymmetric prefixes; the
+    * indexing bound holds for the smaller set of a pair). One explode +
+    * one df aggregation + one per-doc collect; the sort and slice happen
+    * in a typed map over each doc's own (bounded) vocabulary — no window
+    * over an unbounded key.
     */
+  private def docProfiles(
+      docs: DataFrame,
+      threshold: Double,
+      lenBucket: Int,
+      textCol: String,
+      idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = blockedWords(docs, lenBucket, textCol, idCol)
+    val df = words.groupBy("lang", "blk", "word")
+      .agg(count(lit(1)).as("df"))
+    words
+      .join(df, Seq("lang", "blk", "word"))
+      .groupBy("id", "lang", "blk")
+      .agg(collect_list(struct(col("df"), col("word"))).as("wd"))
+      .select(col("id").cast("long").as("id"), col("lang"), col("blk"),
+        col("wd"))
+      .as[(Long, String, Long, Seq[(Long, String)])]
+      .map { case (id, lang, blk, wd) =>
+        val sorted = wd.sorted // (df asc, word asc): rarest first
+        val n = sorted.length
+        val probeLen = n - math.ceil(threshold * n).toInt + 1
+        val indexLen =
+          n - math.ceil(2 * threshold / (1 + threshold) * n).toInt + 1
+        (id, lang, blk, n, sorted.map(_._2),
+          sorted.take(probeLen).map(_._2), sorted.take(indexLen).map(_._2))
+      }
+      .toDF("id", "lang", "blk", "n_words", "words", "prefix", "index_prefix")
+  }
+
+  /** Prefix-join candidate pairs over doc profiles: by the prefix-filter
+    * lemma (Bayardo et al. WWW'07; Xiao et al. PPJoin) any pair with
+    * Jaccard >= t has overlap >= ceil(t/(1+t)*(n1+n2)), which forces a
+    * shared word between the SMALLER doc's indexing prefix and the larger
+    * doc's probing prefix — so joining those prefixes loses no true pair
+    * while ubiquitous words (the quadratic-blowup drivers) never enter
+    * the join. A size-ratio filter (J <= min/max) prunes before
+    * verification.
+    */
+  private def candidatesFromProfiles(profiles: DataFrame,
+      threshold: Double): DataFrame = {
+    // smaller set (by n, id tie-break) contributes its short indexing
+    // prefix; the larger contributes the probing prefix
+    val idx = profiles.select(col("lang"), col("blk"),
+      explode(col("index_prefix")).as("word"),
+      col("id").as("ida"), col("n_words").as("na"))
+    val prb = profiles.select(col("lang"), col("blk"),
+      explode(col("prefix")).as("word"),
+      col("id").as("idb"), col("n_words").as("nb"))
+    idx.join(prb, Seq("lang", "blk", "word"))
+      .filter(col("na") < col("nb") ||
+        (col("na") === col("nb") && col("ida") < col("idb")))
+      // necessary size condition: J <= min(n1,n2)/max(n1,n2)
+      .filter(col("na").cast("double") >=
+        lit(threshold) * col("nb").cast("double"))
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"))
+      .distinct()
+  }
+
+  /** Candidate pairs only (exposed for plan/volume assertions). */
   def jaccardCandidates(
       docs: DataFrame,
       threshold: Double = 0.5,
       lenBucket: Int = 100,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val words = blockedWords(docs, lenBucket, textCol, idCol)
-    val df = words.groupBy("lang", "blk", "word")
-      .agg(count(lit(1)).as("df"))
-    val byRarity = Window.partitionBy(col("id"))
-      .orderBy(col("df"), col("word"))
-    val ranked = words
-      .join(df, Seq("lang", "blk", "word"))
-      .withColumn("rank", row_number().over(byRarity))
-      .withColumn("n_words",
-        count(lit(1)).over(Window.partitionBy(col("id"))))
-    val prefixes = ranked.filter(
-      col("rank") <= col("n_words") - ceil(lit(threshold) * col("n_words")) + 1)
-
-    val a = prefixes.select(col("lang"), col("blk"), col("word"),
-      col("id").as("id1"), col("n_words").as("n1"))
-    val b = prefixes.select(col("lang"), col("blk"), col("word"),
-      col("id").as("id2"), col("n_words").as("n2"))
-    a.join(b, Seq("lang", "blk", "word"))
-      .filter(col("id1") < col("id2"))
-      // necessary size condition: J <= min(n1,n2)/max(n1,n2)
-      .filter(least(col("n1"), col("n2")).cast("double") >=
-        lit(threshold) * greatest(col("n1"), col("n2")).cast("double"))
-      .select("id1", "id2")
-      .distinct()
-  }
+      idCol: String = "doc_id"): DataFrame =
+    candidatesFromProfiles(
+      docProfiles(docs, threshold, lenBucket, textCol, idCol), threshold)
 
   /** Pairwise word-set Jaccard >= `threshold` within (language, length
     * bucket) blocks, emitted as (id1 < id2, jaccard).
     *
     * Output is EXACTLY the naive blocked all-pairs join (the oracle SQL
     * keeps that formulation), but the plan is the AllPairs/PPJoin shape:
-    * candidates come from [[jaccardCandidates]]'s prefix join — immune to
-    * high-document-frequency words that make a plain (block, word)
-    * self-join quadratic in block size — and each candidate pair is then
-    * verified with one `array_intersect` over the two docs' word sets
-    * (one row per pair, not one per shared word).
+    * prefix-join candidates — immune to high-document-frequency words
+    * that make a plain (block, word) self-join quadratic in block size —
+    * each verified with one `array_intersect` over the two docs' word
+    * sets (one row per pair, not one per shared word). The profile table
+    * is persisted: it feeds both sides of the candidate join and both
+    * verify lookups.
     */
   def jaccardPairs(
       docs: DataFrame,
@@ -133,15 +168,13 @@ object Dedup {
       lenBucket: Int = 100,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val docWords = blockedWords(docs, lenBucket, textCol, idCol)
-      .groupBy("id")
-      .agg(collect_set(col("word")).as("words"),
-        count(lit(1)).as("n_words"))
-
-    jaccardCandidates(docs, threshold, lenBucket, textCol, idCol)
-      .join(docWords.select(col("id").as("id1"), col("words").as("w1"),
+    val profiles =
+      docProfiles(docs, threshold, lenBucket, textCol, idCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    candidatesFromProfiles(profiles, threshold)
+      .join(profiles.select(col("id").as("id1"), col("words").as("w1"),
         col("n_words").as("n1")), "id1")
-      .join(docWords.select(col("id").as("id2"), col("words").as("w2"),
+      .join(profiles.select(col("id").as("id2"), col("words").as("w2"),
         col("n_words").as("n2")), "id2")
       .withColumn("n_inter", size(array_intersect(col("w1"), col("w2"))))
       .withColumn("jaccard",
