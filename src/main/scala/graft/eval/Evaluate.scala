@@ -90,9 +90,10 @@ object Evaluate {
       .groupBy("path1", "path2")
       .agg(max("score").as("score"))
 
-  /** Collect the (small, labeled-relevant) ranked list driver-side —
-    * the sweep is over at most |test set| pairs, exactly like the
-    * reference's single-process evaluator (SURVEY.md §3.3).
+  /** Collect a ranked list driver-side. The collect is unbounded on an
+    * arbitrary scored DF — [[evaluate]] semi-joins down to the labeled
+    * pair set FIRST, so the driver only ever holds <= |pos|+|neg| rows;
+    * call this directly only on DFs you know are test-set-sized.
     */
   def rankedPairs(deduped: DataFrame): Seq[(Pair, Double)] =
     deduped.collect()
@@ -155,7 +156,20 @@ object Evaluate {
       pythonCompat: Boolean = false): EvalReport = {
     val pos = loadGroundTruth(posLines, pythonCompat)
     val neg = loadGroundTruth(negLines, pythonCompat)
-    val ranked = rankedPairs(maxDedup(scored))
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val deduped = maxDedup(scored)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (ranked, total) =
+      try {
+        // the driver-side list is bounded by the labeled set: only
+        // labeled pairs affect the sweep/curve/exemplars, so unlabeled
+        // corpus pairs never leave the cluster (they are only counted)
+        val labeledDf = (pos ++ neg).toSeq.toDF("path1", "path2")
+        (rankedPairs(deduped.join(broadcast(labeledDf),
+          Seq("path1", "path2"), "left_semi")),
+          deduped.count().toInt)
+      } finally deduped.unpersist()
     val best = sweep(ranked, pos, neg)
     val threshold = if (best.threshold <= 0) 0.01 else best.threshold
     val scoreMap = ranked.toMap
@@ -172,7 +186,7 @@ object Evaluate {
       .filter(_._2 < threshold)
       .take(nExamples)
 
-    EvalReport(best, ranked.size, prCurve(ranked, pos, neg),
+    EvalReport(best, total, prCurve(ranked, pos, neg),
       tps, fps, tns, fns)
   }
 }

@@ -101,20 +101,18 @@ object Multimodal {
         new java.io.ByteArrayInputStream(bytes))).map { img =>
         val w = img.getWidth
         val h = img.getHeight
+        // one bulk ARGB transfer instead of per-pixel getRGB calls
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
         val hist = new Array[Float](8)
         var lumaSum = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
-              + 114 * (rgb & 0xff)) / 1000
-            hist(luma >> 5) += 1f
-            lumaSum += luma
-            x += 1
-          }
-          y += 1
+        var i = 0
+        while (i < px.length) {
+          val rgb = px(i)
+          val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+            + 114 * (rgb & 0xff)) / 1000
+          hist(luma >> 5) += 1f
+          lumaSum += luma
+          i += 1
         }
         val n = w.toLong * h
         var b = 0
@@ -203,12 +201,9 @@ object Multimodal {
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val rgb = (gray << 16) | (gray << 8) | gray
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
-      y += 1
-    }
+    val px = new Array[Int](width * height)
+    java.util.Arrays.fill(px, rgb)
+    img.setRGB(0, 0, width, height, px, 0, width)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray

@@ -66,6 +66,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p.take(3000))
   }
 
+  test("q32: prefix-filtered jaccard plans equi-joins only, no windows") {
+    // every stage must stay an equi-join/aggregation — a nested-loop or
+    // cartesian would mean candidate generation regressed to all-pairs,
+    // and a Window would mean per-key single-task ranking came back
+    val p = plan("q32_dedup_jaccard")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
   test("q27: bucketed join plans no exchange on the join key") {
     // force a non-broadcast join so the assertion can't pass vacuously —
     // with auto-broadcast on, tiny test tables would broadcast and never

@@ -46,6 +46,32 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(got.toSeq == expected)
   }
 
+  test("srpSignatureArray is bit-identical to the Column/HOF formulation") {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val planes = VectorSearch.hyperplanes(nBits = 6, dim = 8, seed = 123L)
+    val vecs = (0 until 200).map(i =>
+      Array.tabulate(8)(j => (((i * 31 + j * 17) % 13) - 6).toFloat / 3f))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "vec")
+    // the pre-typed-loop Column formulation, reconstructed: the typed
+    // path replaced it for speed and must never drift from its buckets
+    def dotC(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val colSig = planes.zipWithIndex.map { case (p, i) =>
+      when(dotC(col("vec"), array(p.toIndexedSeq.map(lit): _*)) >= 0,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val expected = df.select(col("id"), colSig.as("sig"))
+      .as[(Long, Long)].collect().toMap
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      assert(VectorSearch.srpSignatureArray(v, planes) == expected(i.toLong),
+        s"vec $i")
+    }
+  }
+
   test("cosineTopK ranks self-excluded neighbours by rounded cosine") {
     import spark.implicits._
     val vecs = Seq(
