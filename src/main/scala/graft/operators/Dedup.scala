@@ -59,16 +59,32 @@ object Dedup {
 
   // ------------------------------------------------- blocked word Jaccard
 
-  /** (id, lang, blk, word) rows: one per distinct word per doc, with the
+  /** Distinct word n-gram tokens of a text column: whitespace words for
+    * n=1, space-joined sliding n-grams otherwise (a doc shorter than n
+    * words contributes its whole text as one token, like [[shingles]]).
+    * Per-doc tokenization only — interpreted HOFs are fine here, this is
+    * one pass over the corpus, not a pairwise hot path.
+    */
+  def ngramTokens(text: Column, n: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    if (n <= 1) array_distinct(toks)
+    else array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** (id, lang, blk, word) rows: one per distinct token per doc, with the
     * (lang, length-bucket) blocking key near-dups must share.
     */
   private def blockedWords(docs: DataFrame, lenBucket: Int,
-      textCol: String, idCol: String): DataFrame =
+      textCol: String, idCol: String, ngram: Int): DataFrame =
     docs.select(
       col(idCol).as("id"),
       col("lang"),
       floor(col("n_chars") / lenBucket.toDouble).cast("long").as("blk"),
-      explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("word"))
+      explode(ngramTokens(col(textCol), ngram)).as("word"))
 
   /** Per-doc profile for the prefix-filtered join: the doc's full word
     * set sorted by within-block document frequency ascending (word as
@@ -85,10 +101,11 @@ object Dedup {
       threshold: Double,
       lenBucket: Int,
       textCol: String,
-      idCol: String): DataFrame = {
+      idCol: String,
+      ngram: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val words = blockedWords(docs, lenBucket, textCol, idCol)
+    val words = blockedWords(docs, lenBucket, textCol, idCol, ngram)
     val df = words.groupBy("lang", "blk", "word")
       .agg(count(lit(1)).as("df"))
     words
@@ -146,12 +163,15 @@ object Dedup {
       threshold: Double = 0.5,
       lenBucket: Int = 100,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame =
+      idCol: String = "doc_id",
+      ngram: Int = 1): DataFrame =
     candidatesFromProfiles(
-      docProfiles(docs, threshold, lenBucket, textCol, idCol), threshold)
+      docProfiles(docs, threshold, lenBucket, textCol, idCol, ngram),
+      threshold)
 
-  /** Pairwise word-set Jaccard >= `threshold` within (language, length
-    * bucket) blocks, emitted as (id1 < id2, jaccard).
+  /** Pairwise token-set Jaccard >= `threshold` within (language, length
+    * bucket) blocks, emitted as (id1 < id2, jaccard). Tokens are words
+    * for `ngram = 1`, sliding word n-grams otherwise.
     *
     * Output is EXACTLY the naive blocked all-pairs join (the oracle SQL
     * keeps that formulation), but the plan is the AllPairs/PPJoin shape:
@@ -167,9 +187,10 @@ object Dedup {
       threshold: Double = 0.5,
       lenBucket: Int = 100,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      ngram: Int = 1): DataFrame = {
     val profiles =
-      docProfiles(docs, threshold, lenBucket, textCol, idCol)
+      docProfiles(docs, threshold, lenBucket, textCol, idCol, ngram)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     candidatesFromProfiles(profiles, threshold)
       .join(profiles.select(col("id").as("id1"), col("words").as("w1"),

@@ -81,6 +81,45 @@ object PipelineQueries {
       .orderBy("id1", "id2")
   }
 
+  // Word-TRIGRAM Jaccard near-dup pairs: same prefix-filtered machinery
+  // on sliding 3-gram tokens — far more discriminating than unigrams
+  // (word order matters), the "n-gram Jaccard" dedup variant. The oracle
+  // recomputes the naive all-pairs formulation with a DuckDB list
+  // comprehension; output-exactness of the prefix filter makes the two
+  // formulations hash-equal.
+  val q53 = Q.checked(
+    "q53_dedup_ngram_jaccard",
+    """WITH t AS (
+         SELECT doc_id AS id, lang,
+                CAST(floor(n_chars / 100.0) AS BIGINT) AS blk,
+                regexp_split_to_array(trim(text), '\s+') AS toks
+         FROM documents),
+       g AS (
+         SELECT id, lang, blk,
+                unnest(CASE WHEN len(toks) >= 3
+                  THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+                                      for i in range(1, len(toks) - 1)])
+                  ELSE [array_to_string(toks, ' ')] END) AS word
+         FROM t),
+       counts AS (SELECT id, count(*) AS n_words FROM g GROUP BY id),
+       inter AS (
+         SELECT a.id AS id1, b.id AS id2, count(*) AS n_inter
+         FROM g a
+         JOIN g b ON a.lang = b.lang AND a.blk = b.blk AND a.word = b.word
+         WHERE a.id < b.id
+         GROUP BY a.id, b.id)
+       SELECT id1, id2, jaccard FROM (
+         SELECT id1, id2,
+                round(n_inter / (c1.n_words + c2.n_words - n_inter), 6) AS jaccard
+         FROM inter
+         JOIN counts c1 ON c1.id = id1
+         JOIN counts c2 ON c2.id = id2)
+       WHERE jaccard >= 0.5
+       ORDER BY id1, id2""") { (s, d) =>
+    Dedup.jaccardPairs(Tables.documents(s, d), threshold = 0.5, ngram = 3)
+      .orderBy("id1", "id2")
+  }
+
   // MinHash LSH near-dup candidates + exact verify — murmur3-seeded, not
   // SQL-expressible: rows-only (the dup'd corpus guarantees hits).
   // Tight banding (8x16: candidate prob ~ J^16 per band) — the fixture

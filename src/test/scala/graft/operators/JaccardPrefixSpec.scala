@@ -71,6 +71,34 @@ class JaccardPrefixSpec extends AnyFunSuite {
     assert(Dedup.jaccardPairs(docsDF(texts), threshold = 0.5).count() == 0L)
   }
 
+  test("trigram tokens: exact vs naive, short docs collapse to one token") {
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy cat",   // shares 6 of 7 grams
+      "dog lazy the over jumps fox brown quick the",   // same words, reversed
+      "tiny doc",                                      // < 3 words
+      "tiny doc")                                      // exact dup of short doc
+    def grams(t: String): Set[String] = {
+      val w = t.trim.split("\\s+").toSeq
+      if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSet
+      else Set(w.mkString(" "))
+    }
+    val expected = (for {
+      i <- texts.indices; j <- texts.indices if i < j
+      a = grams(texts(i)); b = grams(texts(j))
+      inter = a.intersect(b).size
+      jac = BigDecimal(inter.toDouble / (a.size + b.size - inter))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jac >= 0.5
+    } yield (i.toLong, j.toLong, jac)).toSet
+    val got = Dedup.jaccardPairs(docsDF(texts), threshold = 0.5, ngram = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expected)
+    assert(got.contains((3L, 4L, 1.0))) // short-doc whole-text token
+    assert(!got.exists(p => p._1 == 0L && p._2 == 2L)) // reversed != near-dup
+  }
+
   test("candidates superset the qualifying pairs (no lost true pair)") {
     import spark.implicits._
     val texts = Seq(
