@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators for training-data pipelines: reproducible
+  * sampling/splitting and sequence packing.
+  *
+  * Everything here is deterministic by CONTENT, not by RNG: the sampling
+  * bucket is derived from a salted md5 of the text, so a subset is stable
+  * across runs, cluster sizes, and partitionings — re-running the
+  * pipeline on a grown corpus keeps every previously-selected document
+  * selected (the property RNG-based `sample()` cannot give), and the
+  * same expression is computable by any SQL engine for auditing.
+  */
+object Curation {
+
+  /** Deterministic bucket in [0, 10000): first 8 hex digits of the
+    * salted content md5, as an integer, mod 10⁴. Map-only, codegen'd.
+    */
+  def hashBucket(text: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), text)), 1, 8), 16, 10)
+      .cast("long") % 10000
+
+  /** Reproducible `fraction`-sample: keep rows whose content bucket
+    * falls below fraction·10⁴. No RNG, no shuffle — a map-side filter
+    * that pushes to the scan.
+    */
+  def hashSample(docs: DataFrame, fraction: Double, salt: String = "graft",
+      textCol: String = "text"): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction in [0,1]: $fraction")
+    docs.filter(
+      hashBucket(col(textCol), salt) < math.round(fraction * 10000).toInt)
+  }
+
+  /** Deterministic train/val/test assignment from the same bucket:
+    * buckets [0, testPct·100) → "test", the next valPct·100 → "val",
+    * the rest → "train". Disjoint and exhaustive by construction.
+    */
+  def splitLabel(text: Column, salt: String = "graft",
+      valPct: Int = 10, testPct: Int = 10): Column = {
+    val b = hashBucket(text, salt)
+    when(b < testPct * 100, "test")
+      .when(b < (testPct + valPct) * 100, "val")
+      .otherwise("train")
+  }
+
+  /** Sequence packing: assign docs to fixed-token context bins by a
+    * running token sum — bin = floor(tokens-before-this-doc / ctx), the
+    * streaming first-fit a packer would apply reading docs in id order.
+    * Emits one row per (source, shard, bin) with doc/token counts.
+    *
+    * Scale shape: the running sum is a window per (source, shard), and
+    * `nShards` (content-hash derived, deterministic) bounds each window
+    * partition to ~|source|/nShards docs — size nShards so a partition
+    * fits a task; a per-source-only window would funnel a 100 TB
+    * source's docs through one task.
+    */
+  def packBins(docs: DataFrame, ctxTokens: Int = 512, nShards: Int = 8,
+      salt: String = "graft", textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val nTok = size(split(trim(col(textCol)), "\\s+")).cast("long")
+    val w = Window.partitionBy("source", "shard").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(idCol), col("source"),
+        (hashBucket(col(textCol), salt) % nShards).as("shard"),
+        nTok.as("n_tokens"))
+      .withColumn("bin",
+        floor((sum("n_tokens").over(w) - col("n_tokens")) /
+          ctxTokens.toDouble).cast("long"))
+      .groupBy("source", "shard", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"))
+  }
+}

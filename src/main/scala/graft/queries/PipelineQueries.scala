@@ -370,6 +370,55 @@ object PipelineQueries {
       .orderBy("user_id", "session_start")
   }
 
+  // Reproducible content-hash train/val/test split: the bucket is an
+  // integer derived from the salted md5 of the text (conv(hex) in Spark,
+  // '0x'-cast in DuckDB — same value), so the split is stable across
+  // runs/engines/partitionings, unlike RNG sampling. Map-only.
+  val q54 = Q.checked(
+    "q54_curation_hash_split",
+    """SELECT doc_id,
+              CASE WHEN b < 1000 THEN 'test'
+                   WHEN b < 2000 THEN 'val'
+                   ELSE 'train' END AS split
+       FROM (SELECT doc_id,
+                    ('0x' || substr(md5('graft' || text), 1, 8))::BIGINT % 10000 AS b
+             FROM documents)
+       ORDER BY doc_id""") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.operators.Curation.splitLabel(col("text")).as("split"))
+      .orderBy("doc_id")
+  }
+
+  // Sequence packing summary: docs binned into 512-token context windows
+  // by a running token sum per (source, content-hash shard) — the
+  // deterministic first-fit a packer applies reading docs in id order;
+  // sharding bounds each running-sum partition (scale note in Curation).
+  val q55 = Q.checked(
+    "q55_curation_pack_bins",
+    """WITH d AS (
+         SELECT doc_id, source,
+                CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                ('0x' || substr(md5('graft' || text), 1, 8))::BIGINT % 10000 % 8 AS shard
+         FROM documents),
+       b AS (
+         SELECT source, shard, n_tokens,
+                CAST(floor((sum(n_tokens) OVER (PARTITION BY source, shard
+                                                ORDER BY doc_id
+                                                ROWS UNBOUNDED PRECEDING)
+                            - n_tokens) / 512.0) AS BIGINT) AS bin
+         FROM d)
+       SELECT source, shard, bin,
+              count(*) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       FROM b
+       GROUP BY source, shard, bin
+       ORDER BY source, shard, bin""") { (s, d) =>
+    graft.operators.Curation.packBins(Tables.documents(s, d),
+      ctxTokens = 512, nShards = 8)
+      .orderBy("source", "shard", "bin")
+  }
+
   // DIRT pipeline end-to-end on the committed mini biarc corpus — corpus
   // lines are not a fixture table, so rows-only here; the hand-computed
   // closed-form scores are asserted in DirtPipelineSpec.

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Content-hash curation: sampling/splitting must be deterministic and
+  * content-stable (the point of hashing over RNG), and packing bins must
+  * respect the first-fit running-sum contract.
+  */
+class CurationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("curation-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("hashSample is deterministic, monotone in fraction, ~proportional") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count().toDouble
+    val s20a = Curation.hashSample(docs, 0.2).select("doc_id").collect().toSet
+    val s20b = Curation.hashSample(docs, 0.2).select("doc_id").collect().toSet
+    assert(s20a == s20b) // rerun-stable
+    val s50 = Curation.hashSample(docs, 0.5).select("doc_id").collect().toSet
+    assert(s20a.subsetOf(s50)) // growing the fraction keeps prior picks
+    assert(math.abs(s20a.size / n - 0.2) < 0.06, s"${s20a.size / n}")
+    assert(Curation.hashSample(docs, 0.0).count() == 0L)
+    assert(Curation.hashSample(docs, 1.0).count() == n.toLong)
+  }
+
+  test("splitLabel partitions the corpus disjointly and exhaustively") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val byId = docs
+      .select(col("doc_id"), Curation.splitLabel(col("text")).as("split"))
+      .as[(Long, String)].collect()
+    assert(byId.length == docs.count())
+    val counts = byId.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    assert(counts("train") > counts.getOrElse("val", 0))
+    // a duplicated text must land in the same split (content-keyed)
+    val dup = Seq((1L, "same text"), (2L, "same text"))
+      .toDF("doc_id", "text")
+      .select(Curation.splitLabel(col("text")).as("s"))
+      .as[String].collect()
+    assert(dup.distinct.length == 1)
+  }
+
+  test("packBins: contiguous bins, conserved tokens, bounded overflow") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val ctx = 256
+    val bins = Curation.packBins(docs, ctxTokens = ctx, nShards = 4)
+      .as[(String, Long, Long, Long, Long)].collect()
+
+    val totalTokens = docs
+      .select(sum(size(split(trim(col("text")), "\\s+")).cast("long")))
+      .head().getLong(0)
+    assert(bins.map(_._5).sum == totalTokens) // every token lands in a bin
+
+    val maxDoc = docs
+      .select(max(size(split(trim(col("text")), "\\s+")).cast("long")))
+      .head().getLong(0)
+    bins.groupBy(b => (b._1, b._2)).foreach { case (key, bs) =>
+      val ids = bs.map(_._3).sorted
+      assert(ids.toList == (0L until ids.length).toList,
+        s"non-contiguous bins for $key: ${ids.toSeq}")
+      // first-fit: a bin only exceeds ctx by the doc that crosses the
+      // boundary, so sum < ctx + maxDoc; and every non-final bin must
+      // have reached the ctx boundary (otherwise the next doc would
+      // have joined it)
+      bs.foreach(b => assert(b._5 < ctx + maxDoc, s"$key bin ${b._3}"))
+    }
+  }
+}
