@@ -51,6 +51,7 @@ object SparkEntry {
     RelationalQueries.q26, RelationalQueries.q27, RelationalQueries.q28,
     RelationalQueries.q29, RelationalQueries.q47, RelationalQueries.q48,
     RelationalQueries.q49, RelationalQueries.q51,
+    RelationalQueries.q57, RelationalQueries.q58,
     PipelineQueries.q30, PipelineQueries.q31, PipelineQueries.q32,
     PipelineQueries.q33, PipelineQueries.q34, PipelineQueries.q35,
     PipelineQueries.q36, PipelineQueries.q37, PipelineQueries.q38,
@@ -58,7 +59,7 @@ object SparkEntry {
     PipelineQueries.q41, PipelineQueries.q42, PipelineQueries.q43,
     PipelineQueries.q44, PipelineQueries.q45, PipelineQueries.q46,
     PipelineQueries.q50, PipelineQueries.q52, PipelineQueries.q53,
-    PipelineQueries.q54, PipelineQueries.q55)
+    PipelineQueries.q54, PipelineQueries.q55, PipelineQueries.q56)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

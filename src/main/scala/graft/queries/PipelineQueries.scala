@@ -370,6 +370,28 @@ object PipelineQueries {
       .orderBy("user_id", "session_start")
   }
 
+  // Stream-stream interval join, batch twin: clicks paired with the same
+  // user's purchases within the following hour — the classic attribution
+  // join. The streaming mode (watermarked both sides, bounded state) is
+  // exercised in StreamOpsSpec; this oracle pins the join semantics.
+  val q56 = Q.checked(
+    "q56_stream_interval_join",
+    """SELECT c.event_id AS left_id, p.event_id AS right_id, c.user_id
+       FROM events c
+       JOIN events p
+         ON c.user_id = p.user_id
+        AND c.event_type = 'click' AND p.event_type = 'purchase'
+        AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+       ORDER BY left_id, right_id""") { (s, d) =>
+    val ev = Tables.events(s, d)
+    graft.streaming.StreamOps.intervalJoin(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"),
+      "1 hour", maxGapHours = 1)
+      .orderBy("left_id", "right_id")
+  }
+
   // Reproducible content-hash train/val/test split: the bucket is an
   // integer derived from the salted md5 of the text (conv(hex) in Spark,
   // '0x'-cast in DuckDB — same value), so the split is stable across

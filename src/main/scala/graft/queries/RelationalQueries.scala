@@ -724,6 +724,45 @@ object RelationalQueries {
       .orderBy("n_nationkey")
   }
 
+  // S7+ ORC sink/source roundtrip (built-in columnar format beside
+  // parquet): part -> ORC on disk -> read back -> aggregate. Result must
+  // equal the pure-parquet oracle, proving the roundtrip is lossless.
+  val q57 = Q.checked(
+    "q57_orc_roundtrip",
+    """SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS total
+       FROM part
+       GROUP BY p_brand
+       ORDER BY p_brand""") { (s, d) =>
+    val path = s"${sys.props("java.io.tmpdir")}/graft_orc_part_${ProcessHandle.current().pid()}"
+    Tables.part(s, d).write.mode("overwrite").orc(path)
+    s.read.orc(path)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), round(sum("p_retailprice"), 2).as("total"))
+      .orderBy("p_brand")
+  }
+
+  // S8+ JSON-lines sink/source roundtrip with an explicit read schema
+  // (inference would widen s_nationkey to long): supplier -> JSON ->
+  // schema'd read -> aggregate; equals the pure-parquet oracle.
+  val q58 = Q.checked(
+    "q58_json_roundtrip",
+    """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS total_bal
+       FROM supplier
+       GROUP BY s_nationkey
+       ORDER BY s_nationkey""") { (s, d) =>
+    val path = s"${sys.props("java.io.tmpdir")}/graft_json_supplier_${ProcessHandle.current().pid()}"
+    Tables.supplier(s, d).write.mode("overwrite").json(path)
+    val schema = StructType(Seq(
+      StructField("s_suppkey", LongType),
+      StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType),
+      StructField("s_acctbal", DoubleType)))
+    s.read.schema(schema).json(path)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"), round(sum("s_acctbal"), 2).as("total_bal"))
+      .orderBy("s_nationkey")
+  }
+
   // S4 partitioned parquet write: orders partitioned by status on disk,
   // read back (partition pruning applies to the status filter downstream).
   val q22 = Q.checked(

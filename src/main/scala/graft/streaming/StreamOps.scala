@@ -51,6 +51,29 @@ object StreamOps {
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col("user_id"), col("n_events"))
 
+  /** Stream-stream interval join: every left event paired with the right
+    * events of the same user whose timestamp falls in
+    * [left.ts, left.ts + maxGapHours]. Both sides carry watermarks and
+    * the join condition bounds right.ts relative to left.ts from BOTH
+    * directions, so each side's buffered state expires as the watermark
+    * advances — bounded state, the requirement for stream-stream joins
+    * at scale. Works identically on bounded DFs (the batch twin oracle).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      watermarkDelay: String, maxGapHours: Int): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay)
+      .select(col("event_id").as("left_id"), col("user_id"),
+        col("ts").as("left_ts"))
+    val r = right.withWatermark("ts", watermarkDelay)
+      .select(col("event_id").as("right_id"),
+        col("user_id").as("__r_user"), col("ts").as("right_ts"))
+    l.join(r,
+      col("user_id") === col("__r_user") &&
+        col("right_ts") >= col("left_ts") &&
+        col("right_ts") <= col("left_ts") + expr(s"INTERVAL $maxGapHours HOURS"))
+      .select("left_id", "right_id", "user_id")
+  }
+
   /** Stateful exactly-once dedup on event_id, state expiring with the
     * watermark (`dropDuplicatesWithinWatermark`): the streaming twin of a
     * batch `dropDuplicates`.

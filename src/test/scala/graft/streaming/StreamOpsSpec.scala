@@ -135,6 +135,32 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == Seq(1L, 3L))
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[UserEvent]
+    val buys = MemoryStream[UserEvent]
+    val out = StreamOps.intervalJoin(clicks.toDF(), buys.toDF(),
+      "30 minutes", maxGapHours = 1)
+    val q = out.writeStream.format("memory").queryName("ivjoin")
+      .outputMode("append").start()
+
+    // user 1: click at 10:05; buys at 10:10 (match, delivered in a LATER
+    // micro-batch than the click) and 10:04 (before the click — no match)
+    // user 2: click at 10:20, buy at 10:30 (match)
+    clicks.addData(ev(1, 5, 1, "click", 0), ev(2, 20, 2, "click", 0))
+    buys.addData(ev(10, 4, 1, "purchase", 0))
+    q.processAllAvailable()
+    buys.addData(ev(11, 10, 1, "purchase", 0), ev(12, 30, 2, "purchase", 0))
+    q.processAllAvailable()
+
+    val got = spark.table("ivjoin")
+      .select("left_id", "right_id", "user_id")
+      .as[(Long, Long, Long)].collect().toSet
+    q.stop()
+    assert(got == Set((1L, 11L, 1L), (2L, 12L, 2L)))
+  }
+
   test("incremental DIRT triples equal the batch aggregation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
