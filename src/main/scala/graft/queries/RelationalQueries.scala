@@ -570,7 +570,11 @@ object RelationalQueries {
         s.conf.get("spark.sql.warehouse.dir"), t)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     }
+    // prune to the two consumed columns before the bucketed write — the
+    // sink is the expensive half of this query and a bucketed table only
+    // needs what its consumers read
     Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus")
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable(ordersBkt)
     Tables.lineitem(s, d)

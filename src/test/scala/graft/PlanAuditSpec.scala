@@ -70,10 +70,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // every stage must stay an equi-join/aggregation — a nested-loop or
     // cartesian would mean candidate generation regressed to all-pairs,
     // and a Window would mean per-key single-task ranking came back
-    val p = plan("q32_dedup_jaccard")
-    assert(!p.contains("CartesianProduct"), p.take(3000))
-    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
-    assert(!p.contains("Window"), p.take(3000))
+    Seq("q32_dedup_jaccard", "q53_dedup_ngram_jaccard").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(3000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(3000)}")
+      assert(!p.contains("Window"), s"$q: ${p.take(3000)}")
+    }
   }
 
   test("q27: bucketed join plans no exchange on the join key") {
