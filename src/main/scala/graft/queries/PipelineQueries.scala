@@ -392,6 +392,27 @@ object PipelineQueries {
       .orderBy("left_id", "right_id")
   }
 
+  // The mapGroupsWithState custom-state operator, batch twin: on a
+  // bounded Dataset the state machine sees each user's full group in one
+  // pass, so its output must equal the plain groupBy — giving the
+  // custom-keyed-state surface an oracle row (the cross-micro-batch
+  // behavior is exercised in StreamOpsSpec).
+  val q59 = Q.checked(
+    "q59_stateful_user_stats",
+    """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+       FROM events
+       GROUP BY user_id
+       ORDER BY user_id""") { (s, d) =>
+    import s.implicits._
+    graft.streaming.StreamOps.runningUserStats(
+      Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[graft.streaming.StreamOps.UserEvent])
+      .toDF()
+      .select(col("user_id"), col("n_events"), col("sum_value"))
+      .orderBy("user_id")
+  }
+
   // Reproducible content-hash train/val/test split: the bucket is an
   // integer derived from the salted md5 of the text (conv(hex) in Spark,
   // '0x'-cast in DuckDB — same value), so the split is stable across
