@@ -53,11 +53,19 @@ object GraftFunctions {
   def porterStem(c: Column): Column =
     org.apache.spark.sql.functions.call_function("porter_stem", c)
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def cosineSim(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("cosine_sim", a, b)
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "porter_stem",
       exprs => PorterStemExpression(exprs.head),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim",
+      exprs => CosineSimExpression(exprs(0), exprs(1)),
+      "scala_udf")
+  }
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` injects the
@@ -65,9 +73,14 @@ object GraftFunctions {
   */
 class GraftExtensions
     extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("porter_stem"),
       PorterStemExpression.info,
       (exprs: Seq[Expression]) => PorterStemExpression(exprs.head)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
+      CosineSimExpression.info,
+      (exprs: Seq[Expression]) => CosineSimExpression(exprs(0), exprs(1))))
+  }
 }

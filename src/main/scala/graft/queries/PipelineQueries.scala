@@ -158,6 +158,34 @@ object PipelineQueries {
       .orderBy("id1", "id2")
   }
 
+  // The same exact embedding near-dup through the NATIVE cosine_sim
+  // Catalyst expression (whole-stage codegen, no typed flatMap, no HOFs)
+  // — same oracle as q45, so the expression's cross-engine numeric
+  // semantics are pinned. isnan guard: Spark SQL orders NaN above all
+  // doubles, so a bare `>= threshold` would KEEP degenerate vectors the
+  // typed path drops.
+  val q60 = Q.checked(
+    "q60_native_cosine_expr",
+    """SELECT id1, id2, cos_sim FROM (
+         SELECT a.vec_id AS id1, b.vec_id AS id2,
+                round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[]), 6) AS cos_sim
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE a.vec_id < 1000 AND b.vec_id < 1000)
+       WHERE cos_sim >= 0.4
+       ORDER BY id1, id2""") { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") < 1000)
+    val a = emb.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+    val b = emb.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+    a.join(b, col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(graft.functions.GraftFunctions.cosineSim(col("v1"), col("v2")), 6)
+          .as("cos_sim"))
+      .filter(!isnan(col("cos_sim")) && col("cos_sim") >= 0.4)
+      .orderBy("id1", "id2")
+  }
+
   // LSH-bucketed variant (hyperplane-seeded → rows-only); recall vs the
   // exact baseline is asserted in DedupEmbeddingSpec.
   val q46 = Q.rowsOnly("q46_dedup_embedding_lsh") { (s, d) =>

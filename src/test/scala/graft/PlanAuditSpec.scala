@@ -78,6 +78,15 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q55: packing window partitions by (source, shard), not source alone") {
+    // the content-hash shard bounds each running-sum partition; losing it
+    // from the window spec would funnel a whole source through one task
+    val p = plan("q55_curation_pack_bins")
+    assert("Window .*\\[source#\\d+L?, shard#\\d+L?\\]".r.findFirstIn(p).isDefined
+      || "windowspecdefinition\\(source#\\d+L?, shard#\\d+L?".r.findFirstIn(p).isDefined,
+      p.take(4000))
+  }
+
   test("q27: bucketed join plans no exchange on the join key") {
     // force a non-broadcast join so the assertion can't pass vacuously —
     // with auto-broadcast on, tiny test tables would broadcast and never
