@@ -441,6 +441,29 @@ object PipelineQueries {
       .orderBy("user_id")
   }
 
+  // flatMapGroupsWithState, batch twin: alerts for every event past a
+  // per-user count — on a bounded Dataset the group is consumed in one
+  // ordered pass, so the output equals the row_number() formulation.
+  val q61 = Q.checked(
+    "q61_stateful_burst_alerts",
+    """SELECT user_id, event_id, seq FROM (
+         SELECT user_id, event_id,
+                CAST(row_number() OVER (PARTITION BY user_id
+                                        ORDER BY event_id) AS BIGINT) AS seq
+         FROM events)
+       WHERE seq > 50
+       ORDER BY user_id, event_id""") { (s, d) =>
+    import s.implicits._
+    graft.streaming.StreamOps.burstAlerts(
+      Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[graft.streaming.StreamOps.UserEvent],
+      maxEvents = 50)
+      .toDF()
+      .select("user_id", "event_id", "seq")
+      .orderBy("user_id", "event_id")
+  }
+
   // Reproducible content-hash train/val/test split: the bucket is an
   // integer derived from the salted md5 of the text (conv(hex) in Spark,
   // '0x'-cast in DuckDB — same value), so the split is stable across

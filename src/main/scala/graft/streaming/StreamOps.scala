@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupState
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming surface (SURVEY.md §2.7 [EXT]): the reference is a
   * pure batch pipeline, but the engine's event table maps naturally onto
@@ -86,6 +86,34 @@ object StreamOps {
   final case class UserEvent(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
   final case class UserStat(user_id: Long, n_events: Long, sum_value: Double)
+
+  final case class BurstAlert(user_id: Long, event_id: Long, seq: Long)
+
+  /** Custom 0..n-rows-per-group state via flatMapGroupsWithState: emit an
+    * alert for every event past a per-user lifetime count — the API for
+    * state machines whose output cardinality varies per group (mapGroups
+    * emits exactly one row). State is one counter per user; within a
+    * batch the group is processed in event_id order so the batch twin is
+    * exactly the `row_number() > maxEvents` SQL (streaming counts in
+    * arrival order across micro-batches, as the spec exercises).
+    */
+  def burstAlerts(events: Dataset[UserEvent],
+      maxEvents: Int): Dataset[BurstAlert] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, BurstAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.event_id).flatMap { e =>
+            n += 1
+            if (n > maxEvents) Some(BurstAlert(uid, e.event_id, n)) else None
+          }
+          state.update(n)
+          out.iterator
+      }
+  }
 
   /** Custom keyed state via mapGroupsWithState: a running per-user
     * (count, sum) updated on every micro-batch — the `KeyValueGroupedDataset`

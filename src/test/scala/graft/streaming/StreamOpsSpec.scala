@@ -161,6 +161,26 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, 11L, 1L), (2L, 12L, 2L)))
   }
 
+  test("flatMapGroupsWithState burst alerts carry the count across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val out = StreamOps.burstAlerts(input.toDS(), maxEvents = 3)
+    val q = out.writeStream.format("memory").queryName("alerts")
+      .outputMode("append").start()
+
+    input.addData((1 to 2).map(i => ev(i, i, 1, "a", 0)): _*) // user 1: 2
+    q.processAllAvailable()
+    assert(spark.table("alerts").count() == 0) // below threshold
+    // 2 more in a LATER batch: counter must resume at 2, alert on 4th
+    input.addData(ev(3, 3, 1, "a", 0), ev(4, 4, 1, "a", 0))
+    q.processAllAvailable()
+    val got = spark.table("alerts")
+      .as[StreamOps.BurstAlert].collect().toSet
+    q.stop()
+    assert(got == Set(StreamOps.BurstAlert(1L, 4L, 4L)))
+  }
+
   test("incremental DIRT triples equal the batch aggregation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
