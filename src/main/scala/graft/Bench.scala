@@ -69,6 +69,27 @@ object Bench {
     }
   }
 
+  /** Adversarial near-dup corpus for the prefix-filtered Jaccard join:
+    * every doc shares three ubiquitous stopwords and sits in ONE
+    * (lang, length-bucket) block, so the naive (block, word) self-join
+    * would emit 3·n²/2 rows (~7.5e9 at n=50k — infeasible); docs pair up
+    * into families sharing 8 of 13 words (J = 11/15), so the correct
+    * answer is exactly n/2 pairs. The prefix filter excludes the
+    * stopwords from every doc's rarest-half prefix, keeping candidates
+    * linear — this entry is the scale-robustness demonstration the
+    * fixture corpus (where nearly all pairs are true near-dups) cannot
+    * provide.
+    */
+  def adversarialDocs(spark: SparkSession, n: Long) = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val f = i / 2
+      val family = ('a' to 'h').map(c => s"f$f$c").mkString(" ")
+      val text = s"the of and $family u${i}a u${i}b"
+      (i, text, "en", 100L)
+    }.toDF("doc_id", "text", "lang", "n_chars")
+  }
+
   private def esc(s: String): String =
     s.flatMap {
       case '"' => "\\\""
@@ -115,6 +136,13 @@ object Bench {
     time(s"dirt_synthetic_${dirtRows}") {
       DirtPipeline.run(spark, syntheticCorpus(spark, dirtRows),
         syntheticTestSet).count()
+    }
+    val jacDocs = sys.env.getOrElse("SPARK_GRAFT_JACCARD_DOCS", "50000").toLong
+    time(s"dedup_jaccard_adversarial_${jacDocs}") {
+      val got = graft.operators.Dedup
+        .jaccardPairs(adversarialDocs(spark, jacDocs), threshold = 0.5)
+        .count()
+      require(got == jacDocs / 2, s"expected ${jacDocs / 2} pairs, got $got")
     }
     // the FULL reference lifecycle with a throughput number: pipeline ->
     // TSV sink -> max-dedup + threshold sweep (P/R/F1), not just the
