@@ -94,7 +94,10 @@ object Dedup {
           col(textCol).as("t"))
         .as[(Long, String, Long, String)]
         .flatMap { case (id, lang, blk, t) =>
-          ngramTokenSet(t, ngram).iterator.map(g => (id, lang, blk, g))
+          // null text emits no tokens — matching the n=1 Column path,
+          // where explode(split(trim(null))) drops the row
+          if (t == null) Iterator.empty
+          else ngramTokenSet(t, ngram).iterator.map(g => (id, lang, blk, g))
         }
         .toDF("id", "lang", "blk", "word")
     }
