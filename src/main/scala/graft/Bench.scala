@@ -122,7 +122,12 @@ object Bench {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .linesIterator.take(1).mkString.take(200)
-      }
+      } finally
+        // operators that persist intermediates (jaccard profiles, DIRT
+        // triples/MI) cannot unpersist their own lazy lineage; dropping
+        // all cached data between queries stops 60+ queries' caches from
+        // squeezing execution memory as the session ages
+        spark.catalog.clearCache()
     }
 
     // one untimed run to absorb session/codegen warmup, so per-query

@@ -51,8 +51,11 @@ object Dedup {
     val keepers = docs
       .groupBy(md5(col(textCol)).as("__digest"))
       .agg(min(col(idCol)).as("__keeper"))
+    // <=> on the digest: md5(null text) is null and a null-unsafe ===
+    // would silently drop ALL null-text rows (the oracle's row_number
+    // formulation groups them and keeps the min id)
     docs.join(keepers,
-      md5(col(textCol)) === keepers("__digest") &&
+      (md5(col(textCol)) <=> keepers("__digest")) &&
         col(idCol) === keepers("__keeper"),
       "left_semi")
   }

@@ -119,7 +119,11 @@ object Multimodal {
         while (b < 8) { hist(b) /= n; b += 1 }
         Decoded(w, h, 1, (lumaSum / n).toInt, hist)
       }
-    } catch { case _: java.io.IOException => None }
+      // NonFatal, not just IOException: ImageIO readers throw runtime
+      // exceptions on malformed payloads (negative allocations from
+      // forged dimensions, index errors in truncated frames) — any of
+      // them must mean "codec rejected the bytes", not a task failure
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Decode dispatch: image payloads go through the real [[decodeImage]]

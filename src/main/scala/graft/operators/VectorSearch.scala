@@ -177,7 +177,10 @@ object VectorSearch {
         var d = 0.0
         var j = 0
         while (j < p.length) { d += vec(j).toDouble * p(j); j += 1 }
-        if (d >= 0) sig |= (1L << i)
+        // NaN sets the bit: Spark SQL orders NaN above all doubles, so
+        // the Column twin's `when(dot >= 0, ...)` is TRUE for NaN —
+        // JVM `>=` alone would silently flip such rows' buckets
+        if (d >= 0 || java.lang.Double.isNaN(d)) sig |= (1L << i)
       }
       i += 1
     }

@@ -564,11 +564,26 @@ object RelationalQueries {
     val pid = ProcessHandle.current().pid()
     val ordersBkt = s"graft_orders_bkt_$pid"
     val lineitemBkt = s"graft_lineitem_bkt_$pid"
+    val warehouse = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"))
+    val fs = warehouse.getFileSystem(s.sparkContext.hadoopConfiguration)
     Seq(ordersBkt, lineitemBkt).foreach { t =>
       s.sql(s"DROP TABLE IF EXISTS $t")
-      val p = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), t)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      fs.delete(new org.apache.hadoop.fs.Path(warehouse, t), true)
+    }
+    // reap orphans from DEAD processes only (a live pid may be mid-read —
+    // deleting its table would reintroduce the clobber hazard the pid
+    // scoping exists to prevent); without this, every JVM run leaks two
+    // table directories into the shared warehouse forever
+    if (fs.exists(warehouse)) fs.listStatus(warehouse).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("graft_orders_bkt_") ||
+          name.startsWith("graft_lineitem_bkt_")) {
+        val owner = name.substring(name.lastIndexOf('_') + 1)
+        val dead = owner.toLongOption
+          .exists(p => p != pid && !ProcessHandle.of(p).isPresent)
+        if (dead) fs.delete(st.getPath, true)
+      }
     }
     // prune to the two consumed columns before the bucketed write — the
     // sink is the expensive half of this query and a bucketed table only

@@ -74,6 +74,17 @@ class KernelFunctionsSpec extends AnyFunSuite {
     assert(pairs == Seq((1L, 100001L, 1.0)))
   }
 
+  test("dropExactDups keeps one row per digest, including null-text groups") {
+    import spark.implicits._
+    // md5(null) is null: a null-unsafe digest equality would silently
+    // drop BOTH null-text rows instead of keeping the min-id one
+    val docs = Seq((1L, null: String), (2L, null: String),
+      (3L, "x"), (4L, "x"), (5L, "y")).toDF("doc_id", "text")
+    val kept = Dedup.dropExactDups(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L))
+  }
+
   test("sampleFrames strides payload bytes with bounds respected") {
     import spark.implicits._
     val media = Multimodal.asMediaTable(

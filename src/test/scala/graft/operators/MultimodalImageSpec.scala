@@ -47,6 +47,10 @@ class MultimodalImageSpec extends AnyFunSuite {
 
   test("undecodable bytes fall back to the stub; empty payload is None") {
     assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
+    // a truncated real PNG (valid signature, cut-off body) must be a
+    // clean None regardless of which exception type the reader throws
+    val png = image(8, 8, "png")((_, _) => 0x123456)
+    assert(Multimodal.decodeImage(png.take(30)).isEmpty)
     assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
     assert(Multimodal.decodeImage(null).isEmpty)
     // dispatch: image/* with garbage bytes -> stub dims, not a crash

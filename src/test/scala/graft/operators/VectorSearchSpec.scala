@@ -51,8 +51,12 @@ class VectorSearchSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val planes = VectorSearch.hyperplanes(nBits = 6, dim = 8, seed = 123L)
+    // includes a NaN-poisoned vector: Spark SQL orders NaN above all
+    // doubles so the Column `>= 0` sets every bit — the typed loop must
+    // reproduce that, not the JVM's NaN-comparisons-are-false
     val vecs = (0 until 200).map(i =>
-      Array.tabulate(8)(j => (((i * 31 + j * 17) % 13) - 6).toFloat / 3f))
+      Array.tabulate(8)(j => (((i * 31 + j * 17) % 13) - 6).toFloat / 3f)) :+
+      Array(1f, Float.NaN, 2f, 3f, 4f, 5f, 6f, 7f)
     val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
       .toDF("id", "vec")
     // the pre-typed-loop Column formulation, reconstructed: the typed
