@@ -46,6 +46,32 @@ object Curation {
       .otherwise("train")
   }
 
+  /** Corpus minus a blocklist, with Bloom-filter pre-pruning: a Bloom
+    * filter built over the blocklist texts is broadcast and applied
+    * map-side, so only the tiny might-match fraction reaches the exact
+    * anti-join that removes Bloom false positives — rows the filter
+    * clears never shuffle at all. Output is EXACTLY the plain anti-join
+    * (the oracle keeps that formulation); the Bloom pass is purely a
+    * physical optimization, the shape of Spark's own runtime filters.
+    *
+    * Spark's BloomFilter uses fixed hash seeds and order-independent
+    * insertion (bitwise OR), so the filter — and the pruned plan — are
+    * deterministic for a given blocklist.
+    */
+  def blocklistFilter(docs: DataFrame, blocklist: DataFrame,
+      textCol: String = "text", expectedItems: Long = 10000L,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bloom = blocklist.stat.bloomFilter(textCol, expectedItems, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightMatch = udf((t: String) => t != null && bc.value.mightContain(t))
+    val suspects = docs.filter(mightMatch(col(textCol)))
+      .join(blocklist.select(col(textCol)).distinct(), Seq(textCol),
+        "left_anti")
+    docs.filter(!mightMatch(col(textCol))).unionByName(suspects)
+  }
+
   /** Sequence packing: assign docs to fixed-token context bins by a
     * running token sum — bin = floor(tokens-before-this-doc / ctx), the
     * streaming first-fit a packer would apply reading docs in id order.

@@ -513,6 +513,22 @@ object PipelineQueries {
       .orderBy("source", "shard", "bin")
   }
 
+  // Bloom-pruned blocklist removal: corpus minus the every-20th-doc
+  // blocklist. The oracle is the plain anti-join; the engine runs the
+  // broadcast-Bloom pre-filter + exact verify, whose output is identical
+  // by construction (false positives die in the verify anti-join).
+  val q62 = Q.checked(
+    "q62_curation_bloom_blocklist",
+    """SELECT d.doc_id FROM documents d
+       WHERE d.text NOT IN (SELECT text FROM documents WHERE doc_id % 20 = 0)
+       ORDER BY d.doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    graft.operators.Curation.blocklistFilter(
+      docs, docs.filter(col("doc_id") % 20 === 0))
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   // DIRT pipeline end-to-end on the committed mini biarc corpus — corpus
   // lines are not a fixture table, so rows-only here; the hand-computed
   // closed-form scores are asserted in DirtPipelineSpec.

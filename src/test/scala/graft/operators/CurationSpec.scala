@@ -51,6 +51,22 @@ class CurationSpec extends AnyFunSuite {
     assert(dup.distinct.length == 1)
   }
 
+  test("blocklistFilter is exact even with a tiny, high-FPP bloom") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val blocklist = docs.filter(col("doc_id") % 7 === 0)
+    // deliberately undersized filter at 40% fpp: plenty of false
+    // positives, all of which the verify anti-join must remove
+    val got = Curation.blocklistFilter(docs, blocklist,
+      expectedItems = 8, fpp = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    val want = docs.join(blocklist.select("text").distinct(),
+      Seq("text"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty && got.size < docs.count())
+  }
+
   test("packBins: contiguous bins, conserved tokens, bounded overflow") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
