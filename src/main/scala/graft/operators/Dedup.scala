@@ -161,12 +161,13 @@ object Dedup {
   private def candidatesFromProfiles(profiles: DataFrame,
       threshold: Double): DataFrame = {
     // smaller set (by n, id tie-break) contributes its short indexing
-    // prefix; the larger contributes the probing prefix
+    // prefix; the larger contributes the probing prefix. Positions ride
+    // along for the positional filter below.
     val idx = profiles.select(col("lang"), col("blk"),
-      explode(col("index_prefix")).as("word"),
+      posexplode(col("index_prefix")).as(Seq("posa", "word")),
       col("id").as("ida"), col("n_words").as("na"))
     val prb = profiles.select(col("lang"), col("blk"),
-      explode(col("prefix")).as("word"),
+      posexplode(col("prefix")).as(Seq("posb", "word")),
       col("id").as("idb"), col("n_words").as("nb"))
     idx.join(prb, Seq("lang", "blk", "word"))
       .filter(col("na") < col("nb") ||
@@ -174,6 +175,16 @@ object Dedup {
       // necessary size condition: J <= min(n1,n2)/max(n1,n2)
       .filter(col("na").cast("double") >=
         lit(threshold) * col("nb").cast("double"))
+      // PPJoin positional filter, applied BEFORE the distinct: a match at
+      // 0-based positions (i, j) bounds the overlap by
+      // 1 + min(na-i-1, nb-j-1); J >= t needs overlap >=
+      // ceil(t/(1+t)*(na+nb)). Lossless: both docs sort by the same
+      // block-global (df, word) order, so for a true pair the FIRST
+      // common token's row always satisfies the bound — later, tighter
+      // rows may drop, shrinking the distinct's input.
+      .filter(lit(1) + least(col("na") - col("posa") - 1,
+          col("nb") - col("posb") - 1) >=
+        ceil(lit(threshold / (1 + threshold)) * (col("na") + col("nb"))))
       .select(least(col("ida"), col("idb")).as("id1"),
         greatest(col("ida"), col("idb")).as("id2"))
       .distinct()
