@@ -57,12 +57,17 @@ object Curation {
     * Spark's BloomFilter uses fixed hash seeds and order-independent
     * insertion (bitwise OR), so the filter — and the pruned plan — are
     * deterministic for a given blocklist.
+    *
+    * The corpus IS scanned twice (suspects branch + clean branch) — a
+    * deliberate trade: at scale, two map-only pruned scans of columnar
+    * storage beat one scan that shuffles the entire corpus through the
+    * anti-join, which is what the single-plan formulation costs once the
+    * blocklist outgrows the broadcast threshold.
     */
   def blocklistFilter(docs: DataFrame, blocklist: DataFrame,
       textCol: String = "text", expectedItems: Long = 10000L,
       fpp: Double = 0.01): DataFrame = {
     val spark = docs.sparkSession
-    import spark.implicits._
     val bloom = blocklist.stat.bloomFilter(textCol, expectedItems, fpp)
     val bc = spark.sparkContext.broadcast(bloom)
     val mightMatch = udf((t: String) => t != null && bc.value.mightContain(t))

@@ -178,13 +178,19 @@ object Dedup {
       // PPJoin positional filter, applied BEFORE the distinct: a match at
       // 0-based positions (i, j) bounds the overlap by
       // 1 + min(na-i-1, nb-j-1); J >= t needs overlap >=
-      // ceil(t/(1+t)*(na+nb)). Lossless: both docs sort by the same
+      // t/(1+t)*(na+nb). Lossless: both docs sort by the same
       // block-global (df, word) order, so for a true pair the FIRST
       // common token's row always satisfies the bound — later, tighter
-      // rows may drop, shrinking the distinct's input.
+      // rows may drop, shrinking the distinct's input. The right side is
+      // computed in floats, so it gets an epsilon of slack and NO ceil:
+      // rounding the bound UP by one ulp would over-prune a boundary
+      // true pair (e.g. t=0.43, na+nb=143: ceil(fp) = 44 but the true
+      // minimal overlap is 43) — losing real output — while epsilon
+      // under-pruning merely passes a few extra rows to the exact
+      // verification stage.
       .filter(lit(1) + least(col("na") - col("posa") - 1,
           col("nb") - col("posb") - 1) >=
-        ceil(lit(threshold / (1 + threshold)) * (col("na") + col("nb"))))
+        lit(threshold / (1 + threshold)) * (col("na") + col("nb")) - lit(1e-9))
       .select(least(col("ida"), col("idb")).as("id1"),
         greatest(col("ida"), col("idb")).as("id2"))
       .distinct()

@@ -96,34 +96,37 @@ object Multimodal {
     */
   def decodeImage(bytes: Array[Byte]): Option[Decoded] = {
     if (bytes == null || bytes.isEmpty) return None
-    try {
-      Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))).map { img =>
-        val w = img.getWidth
-        val h = img.getHeight
-        // one bulk ARGB transfer instead of per-pixel getRGB calls
-        val px = img.getRGB(0, 0, w, h, null, 0, w)
-        val hist = new Array[Float](8)
-        var lumaSum = 0L
-        var i = 0
-        while (i < px.length) {
-          val rgb = px(i)
-          val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
-            + 114 * (rgb & 0xff)) / 1000
-          hist(luma >> 5) += 1f
-          lumaSum += luma
-          i += 1
-        }
-        val n = w.toLong * h
-        var b = 0
-        while (b < 8) { hist(b) /= n; b += 1 }
-        Decoded(w, h, 1, (lumaSum / n).toInt, hist)
+    // the try spans ONLY the codec call: ImageIO readers throw runtime
+    // exceptions on malformed payloads (negative allocations from forged
+    // dimensions, index errors in truncated frames), and any of them
+    // must mean "codec rejected the bytes" — but a bug in our own
+    // feature math below must stay a visible failure, not a silent
+    // stub fallback
+    val decoded =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    decoded.map { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      // one bulk ARGB transfer instead of per-pixel getRGB calls
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      val hist = new Array[Float](8)
+      var lumaSum = 0L
+      var i = 0
+      while (i < px.length) {
+        val rgb = px(i)
+        val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+          + 114 * (rgb & 0xff)) / 1000
+        hist(luma >> 5) += 1f
+        lumaSum += luma
+        i += 1
       }
-      // NonFatal, not just IOException: ImageIO readers throw runtime
-      // exceptions on malformed payloads (negative allocations from
-      // forged dimensions, index errors in truncated frames) — any of
-      // them must mean "codec rejected the bytes", not a task failure
-    } catch { case scala.util.control.NonFatal(_) => None }
+      val n = w.toLong * h
+      var b = 0
+      while (b < 8) { hist(b) /= n; b += 1 }
+      Decoded(w, h, 1, (lumaSum / n).toInt, hist)
+    }
   }
 
   /** Decode dispatch: image payloads go through the real [[decodeImage]]

@@ -514,13 +514,17 @@ object PipelineQueries {
   }
 
   // Bloom-pruned blocklist removal: corpus minus the every-20th-doc
-  // blocklist. The oracle is the plain anti-join; the engine runs the
-  // broadcast-Bloom pre-filter + exact verify, whose output is identical
-  // by construction (false positives die in the verify anti-join).
+  // blocklist. The oracle is the plain anti-join, spelled NOT EXISTS —
+  // NOT IN would return zero rows if the blocklist ever contained a null
+  // text (three-valued logic), diverging from anti-join semantics. The
+  // engine runs the broadcast-Bloom pre-filter + exact verify, whose
+  // output is identical by construction (false positives die in the
+  // verify anti-join).
   val q62 = Q.checked(
     "q62_curation_bloom_blocklist",
     """SELECT d.doc_id FROM documents d
-       WHERE d.text NOT IN (SELECT text FROM documents WHERE doc_id % 20 = 0)
+       WHERE NOT EXISTS (SELECT 1 FROM documents b
+                         WHERE b.doc_id % 20 = 0 AND b.text = d.text)
        ORDER BY d.doc_id""") { (s, d) =>
     val docs = Tables.documents(s, d)
     graft.operators.Curation.blocklistFilter(

@@ -574,15 +574,20 @@ object RelationalQueries {
     // reap orphans from DEAD processes only (a live pid may be mid-read —
     // deleting its table would reintroduce the clobber hazard the pid
     // scoping exists to prevent); without this, every JVM run leaks two
-    // table directories into the shared warehouse forever
+    // table directories into the shared warehouse forever. Age guard for
+    // pid recycling: a recycled pid keeps isPresent true forever, so
+    // anything older than a day is reaped regardless — no graft process
+    // holds a bucketed table that long.
     if (fs.exists(warehouse)) fs.listStatus(warehouse).foreach { st =>
       val name = st.getPath.getName
       if (name.startsWith("graft_orders_bkt_") ||
           name.startsWith("graft_lineitem_bkt_")) {
         val owner = name.substring(name.lastIndexOf('_') + 1)
-        val dead = owner.toLongOption
+        val ownerDead = owner.toLongOption
           .exists(p => p != pid && !ProcessHandle.of(p).isPresent)
-        if (dead) fs.delete(st.getPath, true)
+        val stale = owner.toLongOption.exists(_ != pid) &&
+          st.getModificationTime < System.currentTimeMillis() - 24L * 3600 * 1000
+        if (ownerDead || stale) fs.delete(st.getPath, true)
       }
     }
     // prune to the two consumed columns before the bucketed write — the
