@@ -99,6 +99,30 @@ class JaccardPrefixSpec extends AnyFunSuite {
     assert(!got.exists(p => p._1 == 0L && p._2 == 2L)) // reversed != near-dup
   }
 
+  test("randomized exactness across corpora and thresholds") {
+    import spark.implicits._
+    // seeded random corpora over a tiny vocabulary (maximal overlap
+    // stress) swept over thresholds including awkward rationals like
+    // 0.43, where a ceil'd float overlap bound once over-pruned a
+    // boundary-exact true pair
+    val rnd = new scala.util.Random(42)
+    val vocab = ('a' to 'l').map(_.toString)
+    val thresholds = Seq(0.3, 0.43, 0.5, 0.57, 0.66, 0.75)
+    for (trial <- 1 to 8) {
+      val n = 6 + rnd.nextInt(10)
+      val texts = Seq.fill(n) {
+        val k = 3 + rnd.nextInt(8)
+        Seq.fill(k)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val t = thresholds(rnd.nextInt(thresholds.size))
+      val got = Dedup.jaccardPairs(docsDF(texts), threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == naivePairs(texts, t),
+        s"trial $trial t=$t diff=${got.diff(naivePairs(texts, t))} " +
+          s"missing=${naivePairs(texts, t).diff(got)} texts=$texts")
+    }
+  }
+
   test("candidates superset the qualifying pairs (no lost true pair)") {
     import spark.implicits._
     val texts = Seq(
