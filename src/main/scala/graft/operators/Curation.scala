@@ -46,6 +46,25 @@ object Curation {
       .otherwise("train")
   }
 
+  /** Data-mixing sample: per-source keep fractions over the same
+    * content-hash bucket — the deterministic form of the "mixture
+    * weights" step that upsamples high-quality sources and downsamples
+    * bulk crawl. Same stability guarantees as [[hashSample]]: growing a
+    * source's fraction keeps its previously-selected docs selected.
+    */
+  def mixtureSample(docs: DataFrame, fractions: Map[String, Double],
+      defaultFraction: Double, salt: String = "graft",
+      textCol: String = "text", sourceCol: String = "source"): DataFrame = {
+    (fractions.values ++ Seq(defaultFraction)).foreach(f =>
+      require(f >= 0 && f <= 1, s"fraction in [0,1]: $f"))
+    val threshold = fractions.foldLeft(
+      lit(math.round(defaultFraction * 10000).toInt)) {
+      case (acc, (src, f)) =>
+        when(col(sourceCol) === src, math.round(f * 10000).toInt).otherwise(acc)
+    }
+    docs.filter(hashBucket(col(textCol), salt) < threshold)
+  }
+
   /** Corpus minus a blocklist, with Bloom-filter pre-pruning: a Bloom
     * filter built over the blocklist texts is broadcast and applied
     * map-side, so only the tiny might-match fraction reaches the exact

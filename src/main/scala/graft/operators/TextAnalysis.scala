@@ -133,6 +133,36 @@ object TextAnalysis {
   }
   val fingerprintUdf = udf(fingerprintOf _)
 
+  /** Per-document repetition metrics (the Gopher-style repetition
+    * quality filters, Rae et al. 2021 §A1.1): how much of the doc is the
+    * same bigram repeated, and how many tokens are duplicates. All
+    * metrics are INTEGERS (counts and floor-permilles via integer
+    * division) so cross-engine rounding cannot flip an oracle compare;
+    * filtering is a caller-side threshold on the permilles.
+    */
+  def repetitionStats(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("id"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val w = (if (t == null) "" else t.trim).split("\\s+")
+        val n = w.length.toLong
+        val topBigram =
+          if (n < 2) 0L
+          else w.sliding(2).map(p => p(0) + " " + p(1)).toSeq
+            .groupBy(identity).valuesIterator.map(_.size).max.toLong
+        val nDistinct = w.distinct.length.toLong
+        (id, n, topBigram,
+          if (n > 0) 2000L * topBigram / n else 0L,
+          if (n > 0) 1000L * (n - nDistinct) / n else 0L)
+      }
+      .toDF(idCol, "n_tokens", "top_bigram_n",
+        "bigram_permille", "dup_token_permille")
+  }
+
   /** Full per-document text-analysis projection over a corpus table. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

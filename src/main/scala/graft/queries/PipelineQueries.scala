@@ -513,6 +513,60 @@ object PipelineQueries {
       .orderBy("source", "shard", "bin")
   }
 
+  // Data-mixing sample: per-source keep fractions (upsample src0,
+  // downsample the bulk) over the same content-hash bucket as q54 —
+  // deterministic mixture weighting, the training-mix counterpart of the
+  // split query.
+  val q63 = Q.checked(
+    "q63_curation_mixture_sample",
+    """SELECT doc_id FROM (
+         SELECT doc_id,
+                ('0x' || substr(md5('graft' || text), 1, 8))::BIGINT % 10000 AS b,
+                source
+         FROM documents)
+       WHERE b < CASE source WHEN 'src0' THEN 8000
+                             WHEN 'src1' THEN 5000
+                             WHEN 'src2' THEN 2000
+                             ELSE 1000 END
+       ORDER BY doc_id""") { (s, d) =>
+    graft.operators.Curation.mixtureSample(Tables.documents(s, d),
+      fractions = Map("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.2),
+      defaultFraction = 0.1)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  // Gopher-style repetition metrics: top-bigram coverage and duplicate
+  // -token share per doc, integer-valued (counts + floor-permille via
+  // integer division — both engines' // on BIGINT) so no rounding
+  // boundary can flip the compare.
+  val q64 = Q.checked(
+    "q64_text_repetition",
+    """WITH t AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+         FROM documents),
+       g AS (
+         SELECT doc_id,
+                unnest([toks[i] || ' ' || toks[i + 1]
+                        for i in range(1, len(toks))]) AS gram
+         FROM t WHERE len(toks) >= 2),
+       cnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+       topb AS (SELECT doc_id, max(c) AS topb FROM cnt GROUP BY 1),
+       m AS (
+         SELECT t.doc_id,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                CAST(coalesce(topb.topb, 0) AS BIGINT) AS top_bigram_n,
+                CAST(len(list_distinct(toks)) AS BIGINT) AS nd
+         FROM t LEFT JOIN topb ON t.doc_id = topb.doc_id)
+       SELECT doc_id, n_tokens, top_bigram_n,
+              CAST(2000 * top_bigram_n // n_tokens AS BIGINT) AS bigram_permille,
+              CAST(1000 * (n_tokens - nd) // n_tokens AS BIGINT) AS dup_token_permille
+       FROM m
+       ORDER BY doc_id""") { (s, d) =>
+    graft.operators.TextAnalysis.repetitionStats(Tables.documents(s, d))
+      .orderBy("doc_id")
+  }
+
   // Bloom-pruned blocklist removal: corpus minus the every-20th-doc
   // blocklist. The oracle is the plain anti-join, spelled NOT EXISTS —
   // NOT IN would return zero rows if the blocklist ever contained a null

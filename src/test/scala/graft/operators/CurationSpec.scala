@@ -51,6 +51,42 @@ class CurationSpec extends AnyFunSuite {
     assert(dup.distinct.length == 1)
   }
 
+  test("mixtureSample applies per-source fractions and nests in hashSample") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val mixed = Curation.mixtureSample(docs,
+      fractions = Map("src0" -> 0.9, "src1" -> 0.0), defaultFraction = 0.3)
+    val bySrc = mixed.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(!bySrc.contains("src1")) // 0-fraction source fully dropped
+    assert(bySrc.getOrElse("src0", 0L) > bySrc.getOrElse("src2", 0L))
+    // same bucket as hashSample: a mixture row at fraction f is exactly
+    // the hashSample(f) pick for its source
+    val s30 = Curation.hashSample(docs, 0.3).select("doc_id")
+      .as[Long].collect().toSet
+    val defaults = mixed.filter(!col("source").isin("src0", "src1"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(defaults == s30.intersect(
+      docs.filter(!col("source").isin("src0", "src1"))
+        .select("doc_id").as[Long].collect().toSet))
+  }
+
+  test("repetitionStats: hand-computed bigram and duplicate metrics") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),     // n=6, top bigram "a b" x3, distinct 2
+      (2L, "x y z"),           // no repeats
+      (3L, "w"),               // single token: no bigram
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((6L, 3L, 1000L, 666L))) // 2000*3/6, 1000*4/6
+    assert(got(2L) == ((3L, 1L, 666L, 0L)))
+    assert(got(3L) == ((1L, 0L, 0L, 0L)))
+    assert(got(4L) == ((1L, 0L, 0L, 0L))) // "" splits to one empty token
+  }
+
   test("blocklistFilter is exact even with a tiny, high-FPP bloom") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
