@@ -84,16 +84,32 @@ object Curation {
     * blocklist outgrows the broadcast threshold.
     */
   def blocklistFilter(docs: DataFrame, blocklist: DataFrame,
-      textCol: String = "text", expectedItems: Long = 10000L,
+      textCol: String = "text", expectedItems: Long = -1L,
       fpp: Double = 0.01): DataFrame = {
     val spark = docs.sparkSession
-    val bloom = blocklist.stat.bloomFilter(textCol, expectedItems, fpp)
+    val bloom = sizedBloom(blocklist, textCol, expectedItems, fpp)
     val bc = spark.sparkContext.broadcast(bloom)
     val mightMatch = udf((t: String) => t != null && bc.value.mightContain(t))
     val suspects = docs.filter(mightMatch(col(textCol)))
       .join(blocklist.select(col(textCol)).distinct(), Seq(textCol),
         "left_anti")
     docs.filter(!mightMatch(col(textCol))).unionByName(suspects)
+  }
+
+  /** Bloom filter sized to the blocklist: when the caller does not pass
+    * `expectedItems` (<= 0), it is derived from `blocklist.count()` — one
+    * cheap action on the SMALL side of the operator. A fixed default
+    * would silently under-size the filter for a big blocklist (fpp → 1:
+    * every corpus row becomes a "suspect" and the plan degrades to the
+    * full anti-join PLUS the double scan, strictly worse than the plain
+    * formulation).
+    */
+  private[operators] def sizedBloom(blocklist: DataFrame, textCol: String,
+      expectedItems: Long, fpp: Double) = {
+    val items =
+      if (expectedItems > 0) expectedItems
+      else math.max(blocklist.count(), 1L)
+    blocklist.stat.bloomFilter(textCol, items, fpp)
   }
 
   /** Sequence packing: assign docs to fixed-token context bins by a

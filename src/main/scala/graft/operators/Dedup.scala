@@ -84,7 +84,7 @@ object Dedup {
       textCol: String, idCol: String, ngram: Int): DataFrame =
     if (ngram <= 1)
       docs.select(
-        col(idCol).as("id"),
+        col(idCol).cast("long").as("id"),
         col("lang"),
         floor(col("n_chars") / lenBucket.toDouble).cast("long").as("blk"),
         explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("word"))
@@ -105,31 +105,28 @@ object Dedup {
         .toDF("id", "lang", "blk", "word")
     }
 
+  /** Within-block document frequency per token — feeds both the profile
+    * sort order AND the per-block routing decision in [[jaccardPairs]].
+    */
+  private def dfTable(words: DataFrame): DataFrame =
+    words.groupBy("lang", "blk", "word").agg(count(lit(1)).as("df"))
+
   /** Per-doc profile for the prefix-filtered join: the doc's full word
     * set sorted by within-block document frequency ascending (word as
     * tie-break), its size, and two prefix slices — the probing prefix
     * `n - ceil(t*n) + 1` and the shorter indexing prefix
     * `n - ceil((2t/(1+t))*n) + 1` (PPJoin's asymmetric prefixes; the
-    * indexing bound holds for the smaller set of a pair). One explode +
-    * one df aggregation + one per-doc collect; the sort and slice happen
-    * in a typed map over each doc's own (bounded) vocabulary — no window
-    * over an unbounded key.
+    * indexing bound holds for the smaller set of a pair). One df join +
+    * one per-doc collect; the sort and slice happen in a typed map over
+    * each doc's own (bounded) vocabulary — no window over an unbounded
+    * key.
     */
-  private def docProfiles(
-      docs: DataFrame,
-      threshold: Double,
-      lenBucket: Int,
-      textCol: String,
-      idCol: String,
-      ngram: Int): DataFrame = {
-    val spark = docs.sparkSession
+  private def profilesFromWords(
+      words: DataFrame,
+      df: DataFrame,
+      threshold: Double): DataFrame = {
+    val spark = words.sparkSession
     import spark.implicits._
-    // persisted: consumed by both the df aggregation and the profile
-    // join — without it the (flatMap) tokenization runs twice
-    val words = blockedWords(docs, lenBucket, textCol, idCol, ngram)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val df = words.groupBy("lang", "blk", "word")
-      .agg(count(lit(1)).as("df"))
     words
       .join(df, Seq("lang", "blk", "word"))
       .groupBy("id", "lang", "blk")
@@ -196,41 +193,11 @@ object Dedup {
       .distinct()
   }
 
-  /** Candidate pairs only (exposed for plan/volume assertions). */
-  def jaccardCandidates(
-      docs: DataFrame,
-      threshold: Double = 0.5,
-      lenBucket: Int = 100,
-      textCol: String = "text",
-      idCol: String = "doc_id",
-      ngram: Int = 1): DataFrame =
-    candidatesFromProfiles(
-      docProfiles(docs, threshold, lenBucket, textCol, idCol, ngram),
-      threshold)
-
-  /** Pairwise token-set Jaccard >= `threshold` within (language, length
-    * bucket) blocks, emitted as (id1 < id2, jaccard). Tokens are words
-    * for `ngram = 1`, sliding word n-grams otherwise.
-    *
-    * Output is EXACTLY the naive blocked all-pairs join (the oracle SQL
-    * keeps that formulation), but the plan is the AllPairs/PPJoin shape:
-    * prefix-join candidates — immune to high-document-frequency words
-    * that make a plain (block, word) self-join quadratic in block size —
-    * each verified with one `array_intersect` over the two docs' word
-    * sets (one row per pair, not one per shared word). The profile table
-    * is persisted: it feeds both sides of the candidate join and both
-    * verify lookups.
+  /** PPJoin-side verification: candidates joined back to the profiles'
+    * word arrays, one `array_intersect` per pair.
     */
-  def jaccardPairs(
-      docs: DataFrame,
-      threshold: Double = 0.5,
-      lenBucket: Int = 100,
-      textCol: String = "text",
-      idCol: String = "doc_id",
-      ngram: Int = 1): DataFrame = {
-    val profiles =
-      docProfiles(docs, threshold, lenBucket, textCol, idCol, ngram)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private def verifyFromProfiles(profiles: DataFrame,
+      threshold: Double): DataFrame =
     candidatesFromProfiles(profiles, threshold)
       .join(profiles.select(col("id").as("id1"), col("words").as("w1"),
         col("n_words").as("n1")), "id1")
@@ -242,6 +209,122 @@ object Dedup {
           (col("n1") + col("n2") - col("n_inter")).cast("double"), 6))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
+
+  /** Naive-side verification for dense blocks: a (block, word) self-join
+    * counts each pair's shared words directly — the grouped-intersection
+    * formulation. For a block whose candidate volume Σ df² is small this
+    * is one shuffle join + one aggregation, with none of the PPJoin
+    * machinery's constant factor (profile collect, prefix posexplode,
+    * candidate distinct, array_intersect verify).
+    */
+  private def naivePairs(words: DataFrame, threshold: Double): DataFrame = {
+    val sizes = words.groupBy("id").agg(count(lit(1)).as("n_words"))
+    val a = words.select(col("lang"), col("blk"), col("word"),
+      col("id").as("id1"))
+    val b = words.select(col("lang"), col("blk"), col("word"),
+      col("id").as("id2"))
+    a.join(b, Seq("lang", "blk", "word"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("id").as("id1"), col("n_words").as("n1")), "id1")
+      .join(sizes.select(col("id").as("id2"), col("n_words").as("n2")), "id2")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (col("n1") + col("n2") - col("n_inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** Default per-block routing limit for [[jaccardPairs]]: blocks whose
+    * naive (block, word) self-join would emit more than this many rows
+    * (Σ df² over the block's vocabulary) take the PPJoin path; smaller
+    * blocks take the naive grouped-intersection join. 2e8 rows is a few
+    * seconds of one shuffle on 32 cores and scales out linearly with
+    * executors, while the PPJoin constant factor only pays off past it.
+    */
+  val DefaultNaiveBlockVolume: Long = 200000000L
+
+  /** Candidate pairs only, always via the prefix-filter path (exposed
+    * for plan/volume assertions — linearity of candidate generation is
+    * a property of THIS path, which [[jaccardPairs]] routes big blocks
+    * through).
+    */
+  def jaccardCandidates(
+      docs: DataFrame,
+      threshold: Double = 0.5,
+      lenBucket: Int = 100,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      ngram: Int = 1): DataFrame = {
+    val words = blockedWords(docs, lenBucket, textCol, idCol, ngram)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.util.CacheRelease.afterFirstAction(
+      candidatesFromProfiles(
+        profilesFromWords(words, dfTable(words), threshold), threshold),
+      Seq(words))
+  }
+
+  /** Pairwise token-set Jaccard >= `threshold` within (language, length
+    * bucket) blocks, emitted as (id1 < id2, jaccard). Tokens are words
+    * for `ngram = 1`, sliding word n-grams otherwise.
+    *
+    * Output is EXACTLY the naive blocked all-pairs join (the oracle SQL
+    * keeps that formulation); the plan routes each block by its naive
+    * candidate volume Σ df² (from the token df table the prefix sort
+    * needs anyway):
+    *
+    *   - dense/small blocks (volume <= `naiveBlockVolume`) take the
+    *     grouped-intersection (block, word) self-join — when the output
+    *     is a large fraction of all pairs (tiny shared vocabulary),
+    *     prefix filtering prunes almost nothing and its constant factor
+    *     (profile collect, posexplode join, candidate distinct,
+    *     array_intersect verify) makes it strictly slower;
+    *   - big/skewed blocks take the AllPairs/PPJoin prefix-filter path —
+    *     immune to ubiquitous high-df words that send the naive join
+    *     quadratic (the adversarial bench entry: naive ≈ 7.5e9 rows,
+    *     prefix path linear).
+    *
+    * Both paths compute the identical exact result, so routing never
+    * changes output — only the plan. Blocks are (lang × length-bucket),
+    * a bounded-cardinality key, so the routing table broadcasts.
+    *
+    * The token table, df table, and PPJoin profile table are persisted
+    * for the duration of the FIRST action on the returned frame and
+    * released by [[graft.util.CacheRelease]] when it completes;
+    * re-executing the same frame afterwards recomputes them.
+    */
+  def jaccardPairs(
+      docs: DataFrame,
+      threshold: Double = 0.5,
+      lenBucket: Int = 100,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      ngram: Int = 1,
+      naiveBlockVolume: Long = DefaultNaiveBlockVolume): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // persisted: tokenization feeds the df agg, the routing split, and
+    // (on each route) the pair joins — without it the (flatMap)
+    // tokenization would run once per consumer
+    val words = blockedWords(docs, lenBucket, textCol, idCol, ngram)
+      .persist(mem)
+    val df = dfTable(words).persist(mem)
+    // (lang, blk) keys routed to the prefix path; bounded cardinality
+    // (languages × length buckets), so both route filters broadcast
+    val ppBlocks = df.groupBy("lang", "blk")
+      .agg(sum(col("df") * col("df")).as("__vol"))
+      .filter(col("__vol") > naiveBlockVolume)
+      .select("lang", "blk")
+    val naive = naivePairs(
+      words.join(broadcast(ppBlocks), Seq("lang", "blk"), "left_anti"),
+      threshold)
+    val profiles = profilesFromWords(
+      words.join(broadcast(ppBlocks), Seq("lang", "blk"), "left_semi"),
+      df, threshold)
+      .persist(mem)
+    graft.util.CacheRelease.afterFirstAction(
+      naive.unionByName(verifyFromProfiles(profiles, threshold)),
+      Seq(words, df, profiles))
   }
 
   // ----------------------------------------------------------- MinHash LSH
@@ -479,7 +562,9 @@ object Dedup {
       .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .map { case (id, t) =>
-        (id, simhash64(t.trim.split("\\s+").toSeq))
+        // null behaves like the empty doc, as in shingles(null) ==
+        // shingles("") — every dedup family treats null text uniformly
+        (id, simhash64((if (t == null) "" else t).trim.split("\\s+").toSeq))
       }
       .toDF("id", "sh")
 

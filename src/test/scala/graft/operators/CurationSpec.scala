@@ -103,6 +103,22 @@ class CurationSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.size < docs.count())
   }
 
+  test("auto-sized bloom keeps fpp bounded on a large blocklist") {
+    import spark.implicits._
+    // 100k entries is 10x the old fixed default of 10000, which would
+    // have driven expectedFpp toward 1 (every corpus row a "suspect");
+    // deriving the size from blocklist.count() keeps the configured fpp
+    val blocklist = spark.range(100000)
+      .select(concat(lit("blocked-entry-"), col("id")).as("text"))
+    val auto = Curation.sizedBloom(blocklist, "text",
+      expectedItems = -1L, fpp = 0.01)
+    assert(auto.expectedFpp() < 0.02, s"auto fpp=${auto.expectedFpp()}")
+    val fixed = Curation.sizedBloom(blocklist, "text",
+      expectedItems = 10000L, fpp = 0.01)
+    assert(fixed.expectedFpp() > 0.5, // the failure mode being guarded
+      s"undersized fpp=${fixed.expectedFpp()}")
+  }
+
   test("packBins: contiguous bins, conserved tokens, bounded overflow") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)

@@ -39,7 +39,15 @@ class JaccardPrefixSpec extends AnyFunSuite {
     } yield (i.toLong, j.toLong, jac)).toSet
   }
 
-  test("prefix-filtered output is exactly the naive all-pairs result") {
+  /** Force-route helpers: volume -1 sends every block through the PPJoin
+    * prefix path; Long.MaxValue sends every block through the naive
+    * grouped-intersection path. Both must produce the identical result.
+    */
+  private val routes = Seq(
+    "ppjoin" -> -1L, "naive" -> Long.MaxValue,
+    "default" -> Dedup.DefaultNaiveBlockVolume)
+
+  test("output is exactly the naive all-pairs result on BOTH routes") {
     import spark.implicits._
     // four near-dup families + shared stopwords + a lone outlier: pairs
     // above AND below threshold, ties in doc frequency, varied set sizes
@@ -51,10 +59,79 @@ class JaccardPrefixSpec extends AnyFunSuite {
       "the a slow green turtle crawls under busy street",
       "the a completely different document about spark engines",
       "unique singleton text sharing nothing with anything else")
-    val got = Dedup.jaccardPairs(docsDF(texts), threshold = 0.5)
+    for ((route, vol) <- routes) {
+      val got = Dedup.jaccardPairs(docsDF(texts), threshold = 0.5,
+        naiveBlockVolume = vol)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == naivePairs(texts, 0.5), s"route=$route")
+      assert(got.nonEmpty, s"route=$route") // family pairs must qualify
+    }
+  }
+
+  test("hybrid routing splits blocks by volume without changing output") {
+    import spark.implicits._
+    // two (lang, blk) blocks with very different candidate volumes: the
+    // dense block (tiny shared vocab) routes naive, the big one (shared
+    // stopwords, otherwise unique) routes PPJoin under a limit that
+    // separates them — and the union must equal the all-naive and
+    // all-PPJoin results
+    val dense = (0 until 8).map(i => s"alpha beta gamma w$i")      // blk 0
+    val sparse = (0 until 60).map(i => s"the of and u${i}a u${i}b") // blk 1
+    val docs = (dense.map((_, 50L)) ++ sparse.map((_, 150L)))
+      .zipWithIndex
+      .map { case ((t, nc), i) => (i.toLong, t, "en", nc) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+    // dense vol = sum df^2 ~ 3*64 + 8 = 200; sparse vol = 3*3600 + 120
+    val results = Seq(-1L, 2000L, Long.MaxValue).map { vol =>
+      Dedup.jaccardPairs(docs, threshold = 0.5, naiveBlockVolume = vol)
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    assert(results(0) == results(1) && results(1) == results(2))
+    assert(results(0).nonEmpty)
+  }
+
+  test("persisted intermediates are released after the first action") {
+    val texts = Seq(
+      "the a quick brown fox jumps over lazy dog",
+      "the a quick brown fox jumps over lazy cat")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.jaccardPairs(docsDF(texts), threshold = 0.5).count()
+    // the release listener runs on the async listener bus
+    val deadline = System.nanoTime() + 10e9.toLong
+    def leftover = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (leftover.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(leftover.isEmpty,
+      s"cached intermediates survived the action: $leftover")
+  }
+
+  test("null and empty texts flow through every dedup family") {
+    import spark.implicits._
+    // shared corpus: a null-text doc, an empty doc, and two near-dups —
+    // no family may NPE, and null must behave like the empty doc where
+    // the family's tokenization says so (shingles(null) == shingles(""))
+    val docs = Seq(
+      (1L, null: String, "en", 0L),
+      (2L, "", "en", 0L),
+      (3L, "the quick brown fox jumps over the lazy dog", "en", 44L),
+      (4L, "the quick brown fox jumps over the lazy cat", "en", 44L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    for ((route, vol) <- routes) {
+      val jac = Dedup.jaccardPairs(docs, threshold = 0.5,
+        naiveBlockVolume = vol)
+        .as[(Long, Long, Double)].collect().toSet
+      // null/empty emit no word tokens -> only the fox pair qualifies
+      assert(jac.map(p => (p._1, p._2)) == Set((3L, 4L)), s"route=$route")
+    }
+    val mh = Dedup.minhashPairs(docs, threshold = 0.9)
       .as[(Long, Long, Double)].collect().toSet
-    assert(got == naivePairs(texts, 0.5))
-    assert(got.nonEmpty) // the family pairs must actually qualify
+    assert(mh.contains((1L, 2L, 1.0))) // shingles(null) == shingles("")
+    val sh = Dedup.simhashPairs(docs, maxDist = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(sh.contains((1L, 2L))) // simhash(null) == simhash("")
+    val exact = Dedup.dropExactDups(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact == Set(1L, 2L, 3L, 4L)) // null != "" under md5 <=>
   }
 
   test("ubiquitous words never enter the candidate join (linear, not quadratic)") {
@@ -115,10 +192,14 @@ class JaccardPrefixSpec extends AnyFunSuite {
         Seq.fill(k)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
       }
       val t = thresholds(rnd.nextInt(thresholds.size))
-      val got = Dedup.jaccardPairs(docsDF(texts), threshold = t)
+      // alternate forced routes so the sweep exercises the PPJoin prefix
+      // machinery AND the grouped-intersection path across trials
+      val vol = if (trial % 2 == 0) -1L else Long.MaxValue
+      val got = Dedup.jaccardPairs(docsDF(texts), threshold = t,
+        naiveBlockVolume = vol)
         .as[(Long, Long, Double)].collect().toSet
       assert(got == naivePairs(texts, t),
-        s"trial $trial t=$t diff=${got.diff(naivePairs(texts, t))} " +
+        s"trial $trial t=$t vol=$vol diff=${got.diff(naivePairs(texts, t))} " +
           s"missing=${naivePairs(texts, t).diff(got)} texts=$texts")
     }
   }
