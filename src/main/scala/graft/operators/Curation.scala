@@ -82,18 +82,38 @@ object Curation {
     * storage beat one scan that shuffles the entire corpus through the
     * anti-join, which is what the single-plan formulation costs once the
     * blocklist outgrows the broadcast threshold.
+    *
+    * NOT lazy in the blocklist: the Bloom build (and, when auto-sizing,
+    * the sizing count) runs at construction time. The blocklist is
+    * persisted across the count, the build, and the verify anti-join,
+    * and released after the caller's first action — an expensive
+    * blocklist lineage executes once, not three times.
     */
   def blocklistFilter(docs: DataFrame, blocklist: DataFrame,
       textCol: String = "text", expectedItems: Long = -1L,
       fpp: Double = 0.01): DataFrame = {
     val spark = docs.sparkSession
-    val bloom = sizedBloom(blocklist, textCol, expectedItems, fpp)
+    // auto-sizing makes the operator EAGER in the blocklist (the count
+    // and the bloomFilter build both run at construction time, before
+    // any caller action); the blocklist would otherwise execute its
+    // lineage three times — count, bloom build, verify anti-join — so
+    // persist it across all three and release after the caller's first
+    // action (skipped when the caller already persisted it).
+    val shouldCache = expectedItems <= 0 &&
+      blocklist.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val bl =
+      if (shouldCache)
+        blocklist.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else blocklist
+    val bloom = sizedBloom(bl, textCol, expectedItems, fpp)
     val bc = spark.sparkContext.broadcast(bloom)
     val mightMatch = udf((t: String) => t != null && bc.value.mightContain(t))
     val suspects = docs.filter(mightMatch(col(textCol)))
-      .join(blocklist.select(col(textCol)).distinct(), Seq(textCol),
+      .join(bl.select(col(textCol)).distinct(), Seq(textCol),
         "left_anti")
-    docs.filter(!mightMatch(col(textCol))).unionByName(suspects)
+    val out = docs.filter(!mightMatch(col(textCol))).unionByName(suspects)
+    if (shouldCache) graft.util.CacheRelease.afterFirstAction(out, Seq(bl))
+    else out
   }
 
   /** Bloom filter sized to the blocklist: when the caller does not pass

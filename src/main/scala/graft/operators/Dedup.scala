@@ -76,6 +76,15 @@ object Dedup {
     else Set(w.mkString(" "))
   }
 
+  /** Doc id as long, failing fast on a lossy cast: a non-numeric string
+    * id would cast to null, and null ids fail every `id1 < id2`
+    * comparison — all of that doc's pairs would silently vanish.
+    */
+  private def longId(idCol: String): Column =
+    when(col(idCol).isNotNull && col(idCol).cast("long").isNull,
+      raise_error(concat(lit(s"$idCol not castable to long: "), col(idCol))))
+      .otherwise(col(idCol).cast("long"))
+
   /** (id, lang, blk, word) rows: one per distinct token per doc, with the
     * (lang, length-bucket) blocking key near-dups must share. n=1 stays
     * on the codegen'd split/explode path; n-grams take a typed flatMap.
@@ -84,7 +93,7 @@ object Dedup {
       textCol: String, idCol: String, ngram: Int): DataFrame =
     if (ngram <= 1)
       docs.select(
-        col(idCol).cast("long").as("id"),
+        longId(idCol).as("id"),
         col("lang"),
         floor(col("n_chars") / lenBucket.toDouble).cast("long").as("blk"),
         explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("word"))
@@ -92,7 +101,7 @@ object Dedup {
       val spark = docs.sparkSession
       import spark.implicits._
       docs
-        .select(col(idCol).cast("long").as("id"), col("lang"),
+        .select(longId(idCol).as("id"), col("lang"),
           floor(col("n_chars") / lenBucket.toDouble).cast("long").as("blk"),
           col(textCol).as("t"))
         .as[(Long, String, Long, String)]
@@ -249,6 +258,8 @@ object Dedup {
     * for plan/volume assertions — linearity of candidate generation is
     * a property of THIS path, which [[jaccardPairs]] routes big blocks
     * through).
+    *
+    * `idCol` must be castable to long (see [[jaccardPairs]]).
     */
   def jaccardCandidates(
       docs: DataFrame,
@@ -293,6 +304,11 @@ object Dedup {
     * for the duration of the FIRST action on the returned frame and
     * released by [[graft.util.CacheRelease]] when it completes;
     * re-executing the same frame afterwards recomputes them.
+    *
+    * `idCol` must be castable to long — like [[minhashPairs]] and
+    * [[simhashPairs]], ids are compared and emitted as longs. A lossy
+    * cast (non-numeric string id) raises an error at scan time rather
+    * than silently dropping the doc's pairs.
     */
   def jaccardPairs(
       docs: DataFrame,
@@ -310,10 +326,15 @@ object Dedup {
       .persist(mem)
     val df = dfTable(words).persist(mem)
     // (lang, blk) keys routed to the prefix path; bounded cardinality
-    // (languages × length buckets), so both route filters broadcast
+    // (languages × length buckets), so both route filters broadcast.
+    // Volume in double, not long: a ubiquitous token's df can reach 1e9+
+    // at corpus scale, df² approaches Long.MaxValue and a long sum would
+    // silently wrap negative — routing exactly the quadratic-killer
+    // blocks AWAY from the prefix path. Double loses precision past 2^53
+    // but never sign; routing only needs magnitude.
     val ppBlocks = df.groupBy("lang", "blk")
-      .agg(sum(col("df") * col("df")).as("__vol"))
-      .filter(col("__vol") > naiveBlockVolume)
+      .agg(sum(col("df").cast("double") * col("df")).as("__vol"))
+      .filter(col("__vol") > lit(naiveBlockVolume.toDouble))
       .select("lang", "blk")
     val naive = naivePairs(
       words.join(broadcast(ppBlocks), Seq("lang", "blk"), "left_anti"),

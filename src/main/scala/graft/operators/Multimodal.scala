@@ -11,9 +11,11 @@ import org.apache.spark.sql.types._
   * Image payloads are decoded for real with the JDK's own codecs
   * (`javax.imageio` ships PNG/JPEG/BMP/GIF readers — no external
   * dependency): width/height, exact integer mean luminance, and an 8-bin
-  * luminance histogram feature. Media types the JVM has no codec for
-  * (audio/video) fall back to the clearly-marked deterministic
-  * `stubDecode`, as does any image payload the codec rejects.
+  * luminance histogram feature. Audio payloads are decoded for real via
+  * `javax.sound.sampled` (WAV/AIFF/AU PCM): sample rate, channels, frame
+  * count, integer RMS. Video — the one media family the JVM has no codec
+  * for — falls back to the clearly-marked deterministic `stubDecode`, as
+  * does any payload its codec rejects.
   *
   * Scale notes: `mapPartitions` keeps per-batch codec state (decoder
   * initialized once per partition, not per row); the payload column stays
@@ -129,10 +131,159 @@ object Multimodal {
     }
   }
 
+  /** Decoded audio stats — all integer-valued so a SQL oracle can
+    * recompute them closed-form for synthetic signals (see
+    * [[syntheticWavTable]]): for a ±A square wave every sample squares
+    * to A², so the RMS is exactly A.
+    */
+  case class AudioDecoded(sampleRate: Int, channels: Int, nSamples: Long,
+      rms: Long, feature: Array[Float])
+
+  /** Real audio decode via the JDK's bundled `javax.sound.sampled`
+    * codecs (WAV/AIFF/AU). Supports 16-bit signed PCM, any channel
+    * count and endianness; None when the payload is empty, no installed
+    * reader accepts it, or the encoding isn't 16-bit PCM.
+    *
+    * `nSamples` counts sample FRAMES; `rms` is the root-mean-square over
+    * all interleaved channel samples, rounded to the nearest integer
+    * (exact for the synthetic square-wave fixtures: sumSq = n·A² is a
+    * perfect square over n). The feature is an 8-bin normalized
+    * histogram of |sample| (bin = |s| >> 12, the audio twin of the image
+    * path's luminance histogram).
+    */
+  def decodeAudio(bytes: Array[Byte]): Option[AudioDecoded] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => return None }
+    try {
+      val fmt = ais.getFormat
+      if (fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16) return None
+      val raw =
+        try ais.readAllBytes()
+        catch { case scala.util.control.NonFatal(_) => return None }
+      val ch = fmt.getChannels
+      val big = fmt.isBigEndian
+      val total = raw.length / 2 // 16-bit samples across all channels
+      if (total == 0)
+        return Some(AudioDecoded(fmt.getSampleRate.toInt, ch, 0L, 0L,
+          Array.fill(8)(0f)))
+      // Long sum of squares: exact up to ~8.6e9 samples (x² <= 2^30) —
+      // far past any per-row payload this operator should see
+      var sumSq = 0L
+      val hist = new Array[Float](8)
+      var i = 0
+      while (i < total) {
+        val lo = raw(2 * i) & 0xff
+        val hi = raw(2 * i + 1) & 0xff
+        val s = (if (big) (lo << 8) | hi else (hi << 8) | lo).toShort.toInt
+        sumSq += s.toLong * s
+        hist(math.min(math.abs(s) >> 12, 7)) += 1f
+        i += 1
+      }
+      var b = 0
+      while (b < 8) { hist(b) /= total; b += 1 }
+      val rms = math.rint(math.sqrt(sumSq.toDouble / total)).toLong
+      Some(AudioDecoded(fmt.getSampleRate.toInt, ch, total.toLong / ch,
+        rms, hist))
+    } finally ais.close()
+  }
+
+  /** 16-bit mono PCM square wave (+A/−A alternating per sample) encoded
+    * through the actual JDK WAV writer. Every sample squares to A², so
+    * RMS == A exactly — the closed form the q65 oracle recomputes.
+    */
+  def encodeWav(nSamples: Int, amplitude: Int,
+      sampleRate: Int = 8000): Array[Byte] = {
+    require(amplitude >= 0 && amplitude <= Short.MaxValue,
+      s"amplitude in [0, 32767]: $amplitude")
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val raw = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = if (i % 2 == 0) amplitude else -amplitude
+      raw(2 * i) = (s & 0xff).toByte
+      raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    try javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    finally ais.close()
+    bos.toByteArray
+  }
+
+  /** Deterministic real-WAV media table derived from the fixture docs:
+    * per doc, a square wave whose frame count and amplitude are
+    * closed-form functions of doc_id (n = 800 + id%800 frames at 8 kHz,
+    * A = 1 + id%30000), encoded through the actual JDK WAV writer — the
+    * audio twin of [[syntheticPngTable]], so a SQL oracle can recompute
+    * everything the real decoder must report.
+    */
+  def syntheticWavTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = 800 + (id % 800).toInt
+          val a = 1 + (id % 30000).toInt
+          (id, encodeWav(n, a))
+        }
+      }
+      .toDF("doc_id", "payload")
+      .select(
+        col("doc_id"),
+        col("payload"),
+        struct(
+          lit("audio/wav").as("media_type"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("digest")).as("meta"))
+  }
+
+  /** Partition-batched audio decode: one codec context per partition,
+    * rows streamed through the real [[decodeAudio]] path. `duration_ms`
+    * is integer-divided (frames·1000/rate) so any SQL engine recomputes
+    * it exactly.
+    */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val d = decodeAudio(payload)
+            .getOrElse(AudioDecoded(0, 0, 0L, 0L, Array.fill(8)(0f)))
+          val durMs =
+            if (d.sampleRate > 0) d.nSamples * 1000L / d.sampleRate else 0L
+          (id, d.sampleRate, d.channels, d.nSamples, durMs, d.rms)
+        }
+      }
+      .toDF("doc_id", "sample_rate", "channels", "n_samples",
+        "duration_ms", "rms")
+  }
+
   /** Decode dispatch: image payloads go through the real [[decodeImage]]
-    * codec path (stub fallback only if the codec rejects the bytes);
-    * everything else takes [[stubDecode]] with the mean unsigned byte
-    * standing in for mean luminance.
+    * codec path and audio payloads through the real [[decodeAudio]] path
+    * (stub fallback only if the codec rejects the bytes); video — the
+    * one media family the JDK has no codec for — takes [[stubDecode]]
+    * with the mean unsigned byte standing in for mean luminance.
+    *
+    * Audio stats map onto the generic [[Decoded]] struct as: width →
+    * sample rate, height → channel count, frames → sample frames,
+    * mean_luma → integer RMS (documented here because [[MediaFeatures]]
+    * keeps one schema across media families; [[audioFeatures]] is the
+    * honestly-named audio surface).
     */
   def decode(mediaType: String, bytes: Array[Byte]): Decoded = {
     def stub: Decoded = {
@@ -146,8 +297,14 @@ object Multimodal {
         }
       Decoded(w, h, fr, mean, feat)
     }
-    if (mediaType != null && mediaType.startsWith("image/"))
-      decodeImage(bytes).getOrElse(stub)
+    if (mediaType == null) stub
+    else if (mediaType.startsWith("image/")) decodeImage(bytes).getOrElse(stub)
+    else if (mediaType.startsWith("audio/"))
+      decodeAudio(bytes)
+        .map(a => Decoded(a.sampleRate, a.channels,
+          math.min(a.nSamples, Int.MaxValue.toLong).toInt,
+          math.min(a.rms, Int.MaxValue.toLong).toInt, a.feature))
+        .getOrElse(stub)
     else stub
   }
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.util.QueryExecutionListener
 
+import java.lang.ref.WeakReference
 import java.util.concurrent.atomic.AtomicBoolean
 
 /** Scoped release for persisted intermediates inside a lazily-returned
@@ -25,7 +26,13 @@ import java.util.concurrent.atomic.AtomicBoolean
   * operators that hand back a lazy result.
   *
   * If the caller never runs an action, nothing was ever materialized
-  * (persist is lazy), so nothing leaks either way.
+  * (persist is lazy), so no cached DATA leaks — but the listener itself
+  * would otherwise stay registered for the session's lifetime, paying a
+  * full `sameResult` tree comparison on every subsequent query. The
+  * target plan is therefore held only WEAKLY: once the caller drops the
+  * un-actioned frame and it is collected, no future action can match
+  * anyway, so the next query event unregisters the listener (and clears
+  * the empty cache-manager entries).
   */
 object CacheRelease {
 
@@ -34,19 +41,28 @@ object CacheRelease {
     */
   def afterFirstAction(result: DataFrame, cached: Seq[Dataset[_]]): DataFrame = {
     val spark = result.sparkSession
-    val target = result.queryExecution.analyzed
+    // weak: the caller's DataFrame keeps the analyzed plan alive; the
+    // listener must not (see class doc — un-actioned frames would pin
+    // the listener, and its per-query tree comparison, forever)
+    val targetRef = new WeakReference(result.queryExecution.analyzed)
     val done = new AtomicBoolean(false)
     val listener: QueryExecutionListener = new QueryExecutionListener {
-      private def maybeRelease(qe: QueryExecution): Unit = {
-        // listener-bus exceptions would poison unrelated listeners; any
-        // failure here just means "keep the cache" (the pre-listener
-        // behavior), never a crashed query
-        val hit =
-          try qe.analyzed.exists(_.sameResult(target))
-          catch { case scala.util.control.NonFatal(_) => false }
-        if (hit && done.compareAndSet(false, true)) {
+      private def release(): Unit =
+        if (done.compareAndSet(false, true)) {
           cached.foreach(_.unpersist(blocking = false))
           spark.listenerManager.unregister(this)
+        }
+      private def maybeRelease(qe: QueryExecution): Unit = {
+        targetRef.get match {
+          case null => release() // frame collected: nobody can match now
+          case target =>
+            // listener-bus exceptions would poison unrelated listeners;
+            // any failure here just means "keep the cache" (the
+            // pre-listener behavior), never a crashed query
+            val hit =
+              try qe.analyzed.exists(_.sameResult(target))
+              catch { case scala.util.control.NonFatal(_) => false }
+            if (hit) release()
         }
       }
       override def onSuccess(funcName: String, qe: QueryExecution,
