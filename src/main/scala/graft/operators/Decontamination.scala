@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.util.Ids.longId
+
 /** Benchmark decontamination: remove training docs that share any word
   * n-gram with an evaluation/benchmark set — the overlap rule the GPT-3
   * and PaLM reports apply before training (they use 8–13-grams; `n` is a
@@ -27,13 +29,15 @@ object Decontamination {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .select(longId(idCol).as("id"), col(textCol).as("t"))
       .as[(Long, String)]
       .flatMap { case (id, t) =>
         val w = (if (t == null) "" else t.trim).split("\\s+")
-        if (w.length < n) Iterator.empty
-        else w.sliding(n).map(_.mkString(" ")).toSet.iterator
-          .map(g => (id, g))
+        if (w.length < n) Iterator.empty[(Long, String)]
+        else {
+          val gs: Set[String] = w.sliding(n).map(_.mkString(" ")).toSet
+          gs.iterator.map(g => (id, g))
+        }
       }
       .toDF("id", "gram")
   }
@@ -56,7 +60,6 @@ object Decontamination {
   def decontaminate(docs: DataFrame, bench: DataFrame, n: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val bad = contaminatedIds(docs, bench, n, textCol, idCol)
-    docs.join(broadcast(bad), col(idCol).cast("long") === bad("id"),
-      "left_anti")
+    docs.join(broadcast(bad), longId(idCol) === bad("id"), "left_anti")
   }
 }

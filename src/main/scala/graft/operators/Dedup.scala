@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 
 import scala.util.hashing.MurmurHash3
 
+import graft.util.Ids
+
 /** Deduplication operators for LLM training-data pipelines, each designed
   * as shuffle-bounded relational plans that survive a 100 TB corpus:
   *
@@ -76,14 +78,10 @@ object Dedup {
     else Set(w.mkString(" "))
   }
 
-  /** Doc id as long, failing fast on a lossy cast: a non-numeric string
-    * id would cast to null, and null ids fail every `id1 < id2`
-    * comparison — all of that doc's pairs would silently vanish.
+  /** Doc id as long, failing fast on a lossy cast — see
+    * [[graft.util.Ids.longId]].
     */
-  private def longId(idCol: String): Column =
-    when(col(idCol).isNotNull && col(idCol).cast("long").isNull,
-      raise_error(concat(lit(s"$idCol not castable to long: "), col(idCol))))
-      .otherwise(col(idCol).cast("long"))
+  private def longId(idCol: String): Column = Ids.longId(idCol)
 
   /** (id, lang, blk, word) rows: one per distinct token per doc, with the
     * (lang, length-bucket) blocking key near-dups must share. n=1 stays
