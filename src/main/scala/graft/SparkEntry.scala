@@ -61,7 +61,8 @@ object SparkEntry {
     PipelineQueries.q50, PipelineQueries.q52, PipelineQueries.q53,
     PipelineQueries.q54, PipelineQueries.q55, PipelineQueries.q56,
     PipelineQueries.q59, PipelineQueries.q60, PipelineQueries.q61,
-    PipelineQueries.q62, PipelineQueries.q63, PipelineQueries.q64)
+    PipelineQueries.q62, PipelineQueries.q63, PipelineQueries.q64,
+    PipelineQueries.q65, PipelineQueries.q66, PipelineQueries.q67)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, TextAnalysis, VectorSearch}
+import graft.operators.{Decontamination, Dedup, Multimodal, TextAnalysis, VectorSearch}
 import graft.pipeline.DirtPipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -585,6 +585,75 @@ object PipelineQueries {
       docs, docs.filter(col("doc_id") % 20 === 0))
       .select("doc_id")
       .orderBy("doc_id")
+  }
+
+  // REAL audio decode: per fixture doc, a mono 16-bit square-wave WAV
+  // (frame count + amplitude closed-form in doc_id) is encoded through
+  // the JDK's own WAV writer, then decoded back by the partition-batched
+  // javax.sound path — the audio twin of q52. Every sample of a ±A square
+  // wave squares to A², so RMS == A exactly and the oracle recomputes all
+  // decoder outputs closed-form; duration_ms is integer division in both
+  // engines.
+  val q65 = Q.checked(
+    "q65_multimodal_audio_decode",
+    """SELECT doc_id,
+              CAST(8000 AS INT) AS sample_rate,
+              CAST(1 AS INT) AS channels,
+              CAST(800 + doc_id % 800 AS BIGINT) AS n_samples,
+              CAST((800 + doc_id % 800) * 1000 // 8000 AS BIGINT) AS duration_ms,
+              CAST(1 + doc_id % 30000 AS BIGINT) AS rms
+       FROM documents
+       ORDER BY doc_id""") { (s, d) =>
+    Multimodal.audioFeatures(
+      Multimodal.syntheticWavTable(Tables.documents(s, d)))
+      .orderBy("doc_id")
+  }
+
+  // Benchmark decontamination: corpus docs sharing any word 3-gram with
+  // the benchmark set (every 37th doc, so bench docs flag themselves) are
+  // dropped; docs shorter than 3 words can never be flagged. The oracle
+  // is the plain overlap anti-join the engine's broadcast formulation
+  // must equal row-for-row.
+  val q66 = Q.checked(
+    "q66_decontaminate",
+    """WITH t AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+         FROM documents),
+       g AS (
+         SELECT doc_id,
+                unnest([array_to_string(toks[i:i+2], ' ')
+                        for i in range(1, len(toks) - 1)]) AS gram
+         FROM t WHERE len(toks) >= 3),
+       bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0),
+       bad AS (SELECT DISTINCT doc_id FROM g
+               WHERE gram IN (SELECT gram FROM bg))
+       SELECT d.doc_id FROM documents d
+       WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = d.doc_id)
+       ORDER BY d.doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Decontamination.decontaminate(docs, docs.filter(col("doc_id") % 37 === 0))
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  // Watermarked stateful dedup (dropDuplicatesWithinWatermark) run in
+  // batch mode over an event stream with guaranteed exact duplicates
+  // (events ∪ copy of the first 100): duplicate rows are byte-identical,
+  // so whichever copy the state keeps, the output rows equal DISTINCT —
+  // the deterministic oracle for a keep-first operator.
+  val q67 = Q.checked(
+    "q67_stream_dedup_batch",
+    """SELECT DISTINCT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+              event_type, value
+       FROM (SELECT * FROM events
+             UNION ALL
+             SELECT * FROM events WHERE event_id < 100)
+       ORDER BY event_id""") { (s, d) =>
+    val ev = Tables.events(s, d)
+    graft.streaming.StreamOps
+      .dedupEvents(ev.unionByName(ev.filter(col("event_id") < 100)), "1 hour")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id")
   }
 
   // DIRT pipeline end-to-end on the committed mini biarc corpus — corpus

@@ -75,13 +75,18 @@ object StreamOps {
   }
 
   /** Stateful exactly-once dedup on event_id, state expiring with the
-    * watermark (`dropDuplicatesWithinWatermark`): the streaming twin of a
-    * batch `dropDuplicates`.
+    * watermark (`dropDuplicatesWithinWatermark`). The within-watermark
+    * variant exists only for streams (Spark rejects it on bounded
+    * plans — the watermark bounds STATE, never output), so the batch
+    * twin is the plain `dropDuplicates` the streaming op converges to
+    * when no row is later than the delay.
     */
   def dedupEvents(events: DataFrame, watermarkDelay: String): DataFrame =
-    events
-      .withWatermark("ts", watermarkDelay)
-      .dropDuplicatesWithinWatermark("event_id")
+    if (events.isStreaming)
+      events
+        .withWatermark("ts", watermarkDelay)
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
 
   final case class UserEvent(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
