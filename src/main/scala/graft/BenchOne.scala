@@ -28,9 +28,26 @@ object BenchOne {
     try SparkEntry.queries("q01_agg_sum_groupby")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
+    // the three synthetic bench entries, isolatable like any query (the
+    // sfDir argument is unused by them, matching Bench's construction)
+    val synthetic: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = {
+      val rows = sys.env.getOrElse("SPARK_GRAFT_DIRT_ROWS", "200000").toLong
+      val jac = sys.env.getOrElse("SPARK_GRAFT_JACCARD_DOCS", "50000").toLong
+      Map(
+        s"dirt_synthetic_$rows" -> ((s: SparkSession, _: String) =>
+          graft.pipeline.DirtPipeline.run(s, Bench.syntheticCorpus(s, rows),
+            Bench.syntheticTestSet)),
+        s"dedup_jaccard_adversarial_$jac" -> ((s: SparkSession, _: String) =>
+          graft.operators.Dedup.jaccardPairs(Bench.adversarialDocs(s, jac),
+            threshold = 0.5)),
+        s"dirt_lifecycle_$rows" -> ((s: SparkSession, _: String) =>
+          graft.pipeline.DirtPipeline.run(s,
+            Bench.syntheticCorpusCorrelated(s, rows), Bench.syntheticTestSet)))
+    }
+
     args.foreach { name =>
-      val fn = SparkEntry.queries.getOrElse(name,
-        sys.error(s"unknown query: $name"))
+      val fn = SparkEntry.queries.orElse(synthetic).applyOrElse(name,
+        (n: String) => sys.error(s"unknown query: $n"))
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
