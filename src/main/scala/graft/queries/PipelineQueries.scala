@@ -179,8 +179,15 @@ object PipelineQueries {
     val a = emb.select(col("vec_id").as("id1"), col("embedding").as("v1"))
     val b = emb.select(col("vec_id").as("id2"), col("embedding").as("v2"))
     a.join(b, col("id1") < col("id2"))
+      // explode(array(e)) is a deliberate pushdown barrier: a bare
+      // projected cos_sim would be substituted into the filter and pushed
+      // into the join CONDITION, evaluating the kernel 2x per candidate
+      // pair (isnan + threshold) plus once per survivor — measured 2.6x
+      // slower. Behind the Generate it runs exactly once per pair in a
+      // codegen'd stage, which is also the plan you'd want at 100 TB.
       .select(col("id1"), col("id2"),
-        round(graft.functions.GraftFunctions.cosineSim(col("v1"), col("v2")), 6)
+        explode(array(round(
+          graft.functions.GraftFunctions.cosineSim(col("v1"), col("v2")), 6)))
           .as("cos_sim"))
       .filter(!isnan(col("cos_sim")) && col("cos_sim") >= 0.4)
       .orderBy("id1", "id2")
