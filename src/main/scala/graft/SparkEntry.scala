@@ -62,7 +62,8 @@ object SparkEntry {
     PipelineQueries.q54, PipelineQueries.q55, PipelineQueries.q56,
     PipelineQueries.q59, PipelineQueries.q60, PipelineQueries.q61,
     PipelineQueries.q62, PipelineQueries.q63, PipelineQueries.q64,
-    PipelineQueries.q65, PipelineQueries.q66, PipelineQueries.q67)
+    PipelineQueries.q65, PipelineQueries.q66, PipelineQueries.q67,
+    PipelineQueries.q68, PipelineQueries.q69)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

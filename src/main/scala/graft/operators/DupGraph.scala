@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-duplicate pair graph: the step that
+  * turns pairwise dedup output (q32/q33/q34/q45 emit PAIRS) into the
+  * per-document cluster labels a production pipeline actually needs —
+  * "keep one doc per near-dup cluster" requires the transitive closure,
+  * not the pairs (A~B, B~C must drop two of {A,B,C} even when A≁C).
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14 — public
+  * literature), re-expressed on DataFrames:
+  *
+  *   - large-star, per node u over its full neighborhood Γ(u):
+  *     connect every STRICTLY LARGER neighbor to m = min(Γ(u) ∪ {u});
+  *   - small-star, per node u over its smaller neighbors Γ⁻(u):
+  *     connect every v ∈ Γ⁻(u) ∪ {u}, v ≠ m, to m = min(Γ⁻(u) ∪ {u}).
+  *
+  * Each round is two shuffle-bounded groupBy/join passes over the edge
+  * list; the edge set only ever shrinks toward stars rooted at component
+  * minima, converging in O(log²) rounds even on path graphs — unlike
+  * naive min-label propagation, whose round count is the graph DIAMETER
+  * (a 1e6-doc near-dup chain would need 1e6 rounds; the star algorithm
+  * needs ~40). Per-round `localCheckpoint` truncates the logical plan so
+  * round N doesn't re-analyze N stacked joins (on a real cluster a
+  * reliable checkpoint dir serves the same purpose).
+  *
+  * Scale shape: never collects, never broadcasts the graph; state is the
+  * (shrinking) edge list, partitioned by node — 100 TB of docs with a
+  * bounded dup rate keeps edges ≪ docs.
+  */
+object DupGraph {
+
+  /** (id, component) for every node that appears in `pairs`, where
+    * `component` is the minimum id reachable in the undirected graph.
+    * Docs with no near-dup pair are absent (each is its own singleton
+    * cluster by definition — callers join with a coalesce, see
+    * [[dropNearDups]]).
+    */
+  def components(pairs: DataFrame, id1Col: String = "id1",
+      id2Col: String = "id2", maxIter: Int = 30): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+
+    // canonical undirected edge list (u < v), self-loops dropped
+    var edges: Dataset[(Long, Long)] = pairs
+      .select(col(id1Col).cast("long").as("a"), col(id2Col).cast("long").as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .as[(Long, Long)]
+      .localCheckpoint(true)
+
+    // cheap order-independent fingerprint for the convergence test: the
+    // star rounds are monotone (edge multiset only moves toward the
+    // fixed point), so count+hashsum equality means the fixed point
+    def fingerprint(e: Dataset[(Long, Long)]): (Long, Long) =
+      e.toDF("u", "v")
+        // bit_xor: order-independent and overflow-free under ANSI mode
+        // (a SUM of full-range xxhash64 values overflows Long)
+        .agg(count(lit(1)),
+          coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)))
+        .as[(Long, Long)].head()
+
+    def largeStar(e: Dataset[(Long, Long)]): Dataset[(Long, Long)] = {
+      val df = e.toDF("u", "v")
+      val sym = df.unionByName(df.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u")
+        .agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // every larger neighbor hangs off m; m <= u < v keeps it canonical
+      sym.join(m, "u")
+        .where(col("v") > col("u"))
+        .select(col("m").as("u"), col("v"))
+        .distinct()
+        .as[(Long, Long)]
+    }
+
+    def smallStar(e: Dataset[(Long, Long)]): Dataset[(Long, Long)] = {
+      val df = e.toDF("u", "v") // u < v: u ∈ Γ⁻(v)
+      val m = df.groupBy("v").agg(min("u").as("m")) // m = min(Γ⁻(v)), m < v
+      val joined = df.join(m, "v")
+      // smaller neighbors re-hang off m (skip m itself), v hangs off m
+      joined.where(col("u") =!= col("m"))
+        .select(col("m").as("u"), col("u").as("v"))
+        .unionByName(m.select(col("m").as("u"), col("v")))
+        .distinct()
+        .as[(Long, Long)]
+    }
+
+    var fp = fingerprint(edges)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      edges.unpersist(blocking = false)
+      edges = next
+      fp = nfp
+      it += 1
+    }
+    require(converged, s"star rounds did not converge in $maxIter iterations")
+
+    // fixed point is a set of stars (root, leaf): every leaf labels to
+    // its root, every root to itself
+    val star = edges.toDF("u", "v")
+    star.select(col("v").as("id"), col("u").as("component"))
+      .unionByName(star.select(col("u").as("id"), col("u").as("component")))
+      .groupBy("id").agg(min("component").as("component"))
+  }
+
+  /** Corpus minus near-duplicates: keeps every doc that is its own
+    * cluster minimum (including all docs with no pair at all — absent
+    * from `components`, hence kept by the anti-join).
+    */
+  def dropNearDups(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", id1Col: String = "id1",
+      id2Col: String = "id2"): DataFrame = {
+    val losers = components(pairs, id1Col, id2Col)
+      .where(col("id") =!= col("component"))
+      .select(col("id"))
+    docs.join(losers, col(idCol).cast("long") === losers("id"), "left_anti")
+  }
+}

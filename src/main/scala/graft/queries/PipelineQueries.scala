@@ -663,6 +663,75 @@ object PipelineQueries {
       .orderBy("event_id")
   }
 
+  // Shared CTE prefix for q68/q69: the EXACT q32 near-dup pair
+  // formulation (including its round-to-6 threshold compare, proven
+  // hash-equal to the engine's prefix-filtered join) symmetrized into an
+  // undirected edge list, plus the recursive closure labelling every
+  // node with the min id it can reach.
+  private val dupGraphCtes =
+    """WITH RECURSIVE words AS (
+         SELECT doc_id AS id, lang,
+                CAST(floor(n_chars / 100.0) AS BIGINT) AS blk,
+                unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS word
+         FROM documents),
+       counts AS (SELECT id, count(*) AS n_words FROM words GROUP BY id),
+       inter AS (
+         SELECT a.id AS id1, b.id AS id2, count(*) AS n_inter
+         FROM words a
+         JOIN words b ON a.lang = b.lang AND a.blk = b.blk AND a.word = b.word
+         WHERE a.id < b.id
+         GROUP BY a.id, b.id),
+       pairs AS (
+         SELECT id1, id2 FROM (
+           SELECT id1, id2,
+                  round(n_inter / (c1.n_words + c2.n_words - n_inter), 6) AS jaccard
+           FROM inter
+           JOIN counts c1 ON c1.id = id1
+           JOIN counts c2 ON c2.id = id2)
+         WHERE jaccard >= 0.5),
+       edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+                 UNION SELECT id2 AS u, id1 AS v FROM pairs),
+       reach AS (
+         SELECT u AS id, u AS lab FROM edges
+         UNION
+         SELECT e.u AS id, r.lab FROM edges e JOIN reach r ON r.id = e.v),
+       comp AS (
+         SELECT id, CAST(min(lab) AS BIGINT) AS component
+         FROM reach GROUP BY id)"""
+
+  // Connected components over the near-dup pair graph (alternating
+  // large-star/small-star): pairwise dedup output turned into transitive
+  // cluster labels — A~B, B~C must cluster {A,B,C} even when A≁C. The
+  // oracle computes the same closure with a recursive CTE.
+  val q68 = Q.checked(
+    "q68_dedup_components",
+    s"""$dupGraphCtes
+       SELECT id AS doc_id, component FROM comp ORDER BY doc_id""") { (s, d) =>
+    graft.operators.DupGraph
+      .components(Dedup.jaccardPairs(Tables.documents(s, d), threshold = 0.5))
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy("doc_id")
+  }
+
+  // Cluster-keeper dedup: corpus minus every doc that is not its
+  // cluster's minimum — the end-to-end "drop near-duplicates
+  // transitively" operation (singletons, absent from the pair graph,
+  // are always kept).
+  val q69 = Q.checked(
+    "q69_dedup_drop_clusters",
+    s"""$dupGraphCtes
+       SELECT d.doc_id FROM documents d
+       WHERE NOT EXISTS (SELECT 1 FROM comp
+                         WHERE comp.id = d.doc_id
+                           AND comp.component <> d.doc_id)
+       ORDER BY d.doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    graft.operators.DupGraph
+      .dropNearDups(docs, Dedup.jaccardPairs(docs, threshold = 0.5))
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   // DIRT pipeline end-to-end on the committed mini biarc corpus — corpus
   // lines are not a fixture table, so rows-only here; the hand-computed
   // closed-form scores are asserted in DirtPipelineSpec.
