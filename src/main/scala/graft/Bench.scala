@@ -118,7 +118,8 @@ object Bench {
     */
   val heavyQueries: Set[String] = Set(
     "q32_dedup_jaccard", "q52_multimodal_image_decode",
-    "q53_dedup_ngram_jaccard")
+    "q53_dedup_ngram_jaccard", "q68_dedup_components",
+    "q69_dedup_drop_clusters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
