@@ -63,7 +63,8 @@ object SparkEntry {
     PipelineQueries.q59, PipelineQueries.q60, PipelineQueries.q61,
     PipelineQueries.q62, PipelineQueries.q63, PipelineQueries.q64,
     PipelineQueries.q65, PipelineQueries.q66, PipelineQueries.q67,
-    PipelineQueries.q68, PipelineQueries.q69)
+    PipelineQueries.q68, PipelineQueries.q69,
+    PipelineQueries.q70, PipelineQueries.q71)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

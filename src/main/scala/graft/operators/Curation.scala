@@ -160,4 +160,37 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("sum_tokens"))
   }
+
+  // ------------------------------------------------------------- PII scrub
+
+  /** Regexes shared by the operator and its SQL oracle. Deliberately
+    * restricted to syntax with identical semantics in Java regex and
+    * RE2-family engines (`\d`, `\b`, explicit classes, bounded
+    * quantifiers — no lookaround, no \p{...} shorthands); order matters:
+    * emails before phone-ish digit runs, IPs before phones, so a match
+    * is never half-consumed by a later pattern.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\+\\d[\\d().-]{7,}\\d" -> "<PHONE>")
+
+  /** PII redaction (the C4/RefinedWeb-style scrub): emails, IPv4s and
+    * international-format phone numbers replaced by typed placeholder
+    * tokens, with per-kind match counts. Pure `regexp_replace`/
+    * `regexp_count` Column chain — codegen'd, map-only, pushes nothing
+    * to a UDF — so the 100 TB shape is a plain projected scan.
+    */
+  def redactPii(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val counts = PiiPatterns.map { case (re, tag) =>
+      regexp_count(col(textCol), lit(re)).cast("long")
+        .as(s"n_${tag.stripPrefix("<").stripSuffix(">").toLowerCase}")
+    }
+    val redacted = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (re, tag)) => regexp_replace(c, re, tag)
+    }
+    docs.select(
+      (col(idCol) +: counts :+ redacted.as("redacted")): _*)
+  }
 }

@@ -163,6 +163,23 @@ object TextAnalysis {
         "bigram_permille", "dup_token_permille")
   }
 
+  /** Corpus vocabulary with document frequencies, top `k` by df: the
+    * tokenizer-vocab / stopword-discovery staple. Per-doc distinct
+    * tokens (array_distinct before the explode — a doc never counts a
+    * token twice) then one count per token; map-side partial aggregation
+    * makes the shuffle carry at most |vocab| rows per partition, and the
+    * final top-k is a TakeOrdered, not a global sort. Ties broken by
+    * token so the result is deterministic cross-engine.
+    */
+  def tokenDf(docs: DataFrame, k: Int = 100,
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(array_distinct(tokens(col(textCol)))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("word"))
+      .limit(k)
+
   /** Full per-document text-analysis projection over a corpus table. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

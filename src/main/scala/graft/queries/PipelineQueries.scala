@@ -732,6 +732,60 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // PII redaction over docs with deterministic synthetic PII appended
+  // in-plan on BOTH sides (emails/IPs/phones derived from doc_id — the
+  // fixture text alone contains none, which would make the redaction
+  // vacuous). Patterns are string-interpolated from Curation.PiiPatterns
+  // so operator and oracle can never drift; they restrict to syntax with
+  // identical Java-regex/RE2 semantics (see PiiPatterns doc).
+  private val piiDocsSql =
+    """SELECT doc_id,
+              text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+              '@example.com or +1555000' ||
+              CAST(doc_id % 10000 AS VARCHAR) || ' at 10.0.' ||
+              CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+       FROM documents"""
+
+  private def piiDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+        lit("@example.com or +1555000"),
+        (col("doc_id") % 10000).cast("string"), lit(" at 10.0."),
+        (col("doc_id") % 256).cast("string"), lit(".7")).as("text"))
+
+  val q70 = Q.checked(
+    "q70_curation_pii_redact", {
+      val Seq((emailRe, _), (ipRe, _), (phoneRe, _)) =
+        graft.operators.Curation.PiiPatterns
+      s"""WITH d AS ($piiDocsSql)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_email,
+                CAST(len(regexp_extract_all(text, '$ipRe')) AS BIGINT) AS n_ip,
+                CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phone,
+                regexp_replace(regexp_replace(regexp_replace(text,
+                  '$emailRe', '<EMAIL>', 'g'),
+                  '$ipRe', '<IP>', 'g'),
+                  '$phoneRe', '<PHONE>', 'g') AS redacted
+         FROM d ORDER BY doc_id"""
+    }) { (s, d) =>
+    graft.operators.Curation.redactPii(piiDocs(s, d)).orderBy("doc_id")
+  }
+
+  // Corpus vocabulary with document frequencies, top-100: per-doc
+  // distinct tokens, one count per token, deterministic df-then-token
+  // tie-break so both engines cut the same top-k.
+  val q71 = Q.checked(
+    "q71_text_token_df",
+    """SELECT word, CAST(count(*) AS BIGINT) AS df
+       FROM (SELECT unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS word
+             FROM documents)
+       GROUP BY word
+       ORDER BY df DESC, word
+       LIMIT 100""") { (s, d) =>
+    TextAnalysis.tokenDf(Tables.documents(s, d), k = 100)
+  }
+
   // DIRT pipeline end-to-end on the committed mini biarc corpus — corpus
   // lines are not a fixture table, so rows-only here; the hand-computed
   // closed-form scores are asserted in DirtPipelineSpec.
