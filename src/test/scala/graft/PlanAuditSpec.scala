@@ -102,6 +102,34 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q70: PII redaction is map-only and prunes the scan") {
+    val p = plan("q70_curation_pii_redact")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      p.take(2000))
+    // no shuffle before the final presentation sort: redaction itself is
+    // a projected scan
+    assert(!"Exchange hashpartitioning".r.findFirstIn(p).isDefined,
+      p.take(3000))
+  }
+
+  test("q68: dup-graph star rounds plan equi-joins only, no cartesian") {
+    // the iterative rounds run at execution time; audit the edge-list
+    // seed + one large-star pass directly instead of the materialized
+    // query (whose localCheckpoint hides the round plans)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val sym = edges.unionByName(
+      edges.select(col("v").as("u"), col("u").as("v")))
+    val m = sym.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    val p = sym.join(m, "u").where(col("v") > col("u"))
+      .select(col("m").as("u"), col("v")).distinct()
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
   test("q07: window functions share one shuffle on the partition key") {
     val p = plan("q07_window_funcs")
     // rn/lag/lead/run_sum3 share ORDER BY (ts, event_id); only value_rank
