@@ -787,6 +787,45 @@ object RelationalQueries {
       .orderBy("s_nationkey")
   }
 
+  // Semi-structured VARIANT path (Spark 4): parse_json once into the
+  // binary variant encoding, then typed variant_get extraction — the
+  // shred-on-read shape for heterogeneous props columns (vs q09's
+  // schema'd from_json). try_variant_get on an absent path must be a
+  // clean typed null, not an error.
+  val q72 = Q.checked(
+    "q72_variant_json",
+    """SELECT event_id,
+              CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+              CAST(NULL AS BIGINT) AS k_missing
+       FROM events
+       ORDER BY event_id""") { (s, d) =>
+    val v = parse_json(col("props"))
+    Tables.events(s, d).select(
+      col("event_id"),
+      variant_get(v, "$.k", "long").as("k"),
+      try_variant_get(v, "$.missing", "long").as("k_missing"))
+      .orderBy("event_id")
+  }
+
+  // Native XML source (Spark 4): nation written as XML files and read
+  // back schema'd — the third non-parquet container round-trip next to
+  // ORC (q57) and JSON-lines (q58).
+  val q73 = Q.checked(
+    "q73_xml_roundtrip",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+       ORDER BY n_nationkey""") { (s, d) =>
+    val path = s"${sys.props("java.io.tmpdir")}/graft_xml_nation_${ProcessHandle.current().pid()}"
+    Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").option("rowTag", "row").format("xml").save(path)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    s.read.schema(schema).option("rowTag", "row").format("xml").load(path)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")
+  }
+
   // S4 partitioned parquet write: orders partitioned by status on disk,
   // read back (partition pruning applies to the status filter downstream).
   val q22 = Q.checked(
