@@ -121,6 +121,43 @@ object Bench {
     "q53_dedup_ngram_jaccard", "q68_dedup_components",
     "q69_dedup_drop_clusters")
 
+  /** The three synthetic bench entries as named runnable bodies, shared
+    * verbatim with BenchOne — an isolated rerun must time EXACTLY what
+    * the full bench timed (the lifecycle entry is pipeline + persist +
+    * TSV sink + evaluation sweep, not just the pipeline), or the
+    * isolated-vs-in-sequence comparison diagnoses nothing.
+    */
+  def syntheticRunners(spark: SparkSession, dirtRows: Long,
+      jacDocs: Long): Seq[(String, () => Unit)] = Seq(
+    s"dirt_synthetic_$dirtRows" -> (() => {
+      DirtPipeline.run(spark, syntheticCorpus(spark, dirtRows),
+        syntheticTestSet).count()
+      ()
+    }),
+    s"dedup_jaccard_adversarial_$jacDocs" -> (() => {
+      val got = graft.operators.Dedup
+        .jaccardPairs(adversarialDocs(spark, jacDocs), threshold = 0.5)
+        .count()
+      require(got == jacDocs / 2, s"expected ${jacDocs / 2} pairs, got $got")
+    }),
+    // the FULL reference lifecycle with a throughput number: pipeline ->
+    // TSV sink -> max-dedup + threshold sweep (P/R/F1), not just the
+    // pipeline half. Labels split the synthetic test set so the sweep
+    // does real TP/FP bookkeeping.
+    s"dirt_lifecycle_$dirtRows" -> (() => {
+      val scored = DirtPipeline.run(spark,
+        syntheticCorpusCorrelated(spark, dirtRows), syntheticTestSet)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val out = s"${sys.props("java.io.tmpdir")}/graft_bench_tsv_${ProcessHandle.current().pid()}"
+        graft.pipeline.DirtCli.writeTsv(scored, out)
+        val report = graft.eval.Evaluate.evaluate(scored,
+          posLines = syntheticTestSet.take(5),
+          negLines = syntheticTestSet.drop(5))
+        require(report.scoredPairs > 0, "lifecycle produced no scored pairs")
+      } finally { scored.unpersist(); () }
+    }))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -167,34 +204,10 @@ object Bench {
       System.gc() // fence: a heavy entry starts from a settled heap
       time(name) { fn(spark, sfDir).count() }
     }
-    System.gc()
-    time(s"dirt_synthetic_${dirtRows}") {
-      DirtPipeline.run(spark, syntheticCorpus(spark, dirtRows),
-        syntheticTestSet).count()
-    }
     val jacDocs = sys.env.getOrElse("SPARK_GRAFT_JACCARD_DOCS", "50000").toLong
-    time(s"dedup_jaccard_adversarial_${jacDocs}") {
-      val got = graft.operators.Dedup
-        .jaccardPairs(adversarialDocs(spark, jacDocs), threshold = 0.5)
-        .count()
-      require(got == jacDocs / 2, s"expected ${jacDocs / 2} pairs, got $got")
-    }
-    // the FULL reference lifecycle with a throughput number: pipeline ->
-    // TSV sink -> max-dedup + threshold sweep (P/R/F1), not just the
-    // pipeline half. Labels split the synthetic test set so the sweep
-    // does real TP/FP bookkeeping.
-    time(s"dirt_lifecycle_${dirtRows}") {
-      val scored = DirtPipeline.run(spark,
-        syntheticCorpusCorrelated(spark, dirtRows), syntheticTestSet)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val out = s"${sys.props("java.io.tmpdir")}/graft_bench_tsv_${ProcessHandle.current().pid()}"
-        graft.pipeline.DirtCli.writeTsv(scored, out)
-        val report = graft.eval.Evaluate.evaluate(scored,
-          posLines = syntheticTestSet.take(5),
-          negLines = syntheticTestSet.drop(5))
-        require(report.scoredPairs > 0, "lifecycle produced no scored pairs")
-      } finally scored.unpersist()
+    syntheticRunners(spark, dirtRows, jacDocs).foreach { case (name, body) =>
+      System.gc() // fence: each synthetic starts from a settled heap
+      time(name)(body())
     }
 
     // self-regression guard: any query > 2x its time in the previous

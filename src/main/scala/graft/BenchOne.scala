@@ -28,29 +28,21 @@ object BenchOne {
     try SparkEntry.queries("q01_agg_sum_groupby")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
-    // the three synthetic bench entries, isolatable like any query (the
-    // sfDir argument is unused by them, matching Bench's construction)
-    val synthetic: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = {
-      val rows = sys.env.getOrElse("SPARK_GRAFT_DIRT_ROWS", "200000").toLong
-      val jac = sys.env.getOrElse("SPARK_GRAFT_JACCARD_DOCS", "50000").toLong
-      Map(
-        s"dirt_synthetic_$rows" -> ((s: SparkSession, _: String) =>
-          graft.pipeline.DirtPipeline.run(s, Bench.syntheticCorpus(s, rows),
-            Bench.syntheticTestSet)),
-        s"dedup_jaccard_adversarial_$jac" -> ((s: SparkSession, _: String) =>
-          graft.operators.Dedup.jaccardPairs(Bench.adversarialDocs(s, jac),
-            threshold = 0.5)),
-        s"dirt_lifecycle_$rows" -> ((s: SparkSession, _: String) =>
-          graft.pipeline.DirtPipeline.run(s,
-            Bench.syntheticCorpusCorrelated(s, rows), Bench.syntheticTestSet)))
-    }
+    // the three synthetic bench entries share their runnable bodies with
+    // Bench verbatim (Bench.syntheticRunners) — an isolated rerun times
+    // EXACTLY what the full bench timed
+    val synthetic: Map[String, () => Unit] = Bench.syntheticRunners(spark,
+      sys.env.getOrElse("SPARK_GRAFT_DIRT_ROWS", "200000").toLong,
+      sys.env.getOrElse("SPARK_GRAFT_JACCARD_DOCS", "50000").toLong).toMap
 
     args.foreach { name =>
-      val fn = SparkEntry.queries.orElse(synthetic).applyOrElse(name,
-        (n: String) => sys.error(s"unknown query: $n"))
+      val body: () => Unit = SparkEntry.queries.get(name)
+        .map(fn => () => { fn(spark, sfDir).count(); () })
+        .orElse(synthetic.get(name))
+        .getOrElse(sys.error(s"unknown query: $name"))
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        body()
         val t = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         t

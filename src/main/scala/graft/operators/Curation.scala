@@ -180,17 +180,24 @@ object Curation {
     * tokens, with per-kind match counts. Pure `regexp_replace`/
     * `regexp_count` Column chain — codegen'd, map-only, pushes nothing
     * to a UDF — so the 100 TB shape is a plain projected scan.
+    *
+    * Each kind is COUNTED on the text after the previous kinds were
+    * replaced (not on the original), so the counts always reconcile
+    * with the placeholders present in `redacted` — counting on the
+    * original would report an <IP> inside an already-redacted email
+    * (`a@1.2.3.4.com`) that the output provably does not contain.
     */
   def redactPii(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val counts = PiiPatterns.map { case (re, tag) =>
-      regexp_count(col(textCol), lit(re)).cast("long")
-        .as(s"n_${tag.stripPrefix("<").stripSuffix(">").toLowerCase}")
-    }
-    val redacted = PiiPatterns.foldLeft(col(textCol)) {
+    // stages(i) = text with patterns 0..i-1 replaced; stages.last = all
+    val stages = PiiPatterns.scanLeft(col(textCol)) {
       case (c, (re, tag)) => regexp_replace(c, re, tag)
     }
+    val counts = PiiPatterns.zip(stages.init).map { case ((re, tag), pre) =>
+      regexp_count(pre, lit(re)).cast("long")
+        .as(s"n_${tag.stripPrefix("<").stripSuffix(">").toLowerCase}")
+    }
     docs.select(
-      (col(idCol) +: counts :+ redacted.as("redacted")): _*)
+      (col(idCol) +: counts :+ stages.last.as("redacted")): _*)
   }
 }

@@ -758,16 +758,20 @@ object PipelineQueries {
     "q70_curation_pii_redact", {
       val Seq((emailRe, _), (ipRe, _), (phoneRe, _)) =
         graft.operators.Curation.PiiPatterns
-      s"""WITH d AS ($piiDocsSql)
+      // each kind counted on the text AFTER the previous kinds were
+      // replaced, mirroring redactPii's staged counting exactly
+      s"""WITH d AS ($piiDocsSql),
+         r1 AS (SELECT doc_id, text,
+                       regexp_replace(text, '$emailRe', '<EMAIL>', 'g') AS t1
+                FROM d),
+         r2 AS (SELECT *, regexp_replace(t1, '$ipRe', '<IP>', 'g') AS t2
+                FROM r1)
          SELECT doc_id,
                 CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_email,
-                CAST(len(regexp_extract_all(text, '$ipRe')) AS BIGINT) AS n_ip,
-                CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phone,
-                regexp_replace(regexp_replace(regexp_replace(text,
-                  '$emailRe', '<EMAIL>', 'g'),
-                  '$ipRe', '<IP>', 'g'),
-                  '$phoneRe', '<PHONE>', 'g') AS redacted
-         FROM d ORDER BY doc_id"""
+                CAST(len(regexp_extract_all(t1, '$ipRe')) AS BIGINT) AS n_ip,
+                CAST(len(regexp_extract_all(t2, '$phoneRe')) AS BIGINT) AS n_phone,
+                regexp_replace(t2, '$phoneRe', '<PHONE>', 'g') AS redacted
+         FROM r2 ORDER BY doc_id"""
     }) { (s, d) =>
     graft.operators.Curation.redactPii(piiDocs(s, d)).orderBy("doc_id")
   }

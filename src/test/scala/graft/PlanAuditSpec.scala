@@ -113,21 +113,21 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("q68: dup-graph star rounds plan equi-joins only, no cartesian") {
-    // the iterative rounds run at execution time; audit the edge-list
-    // seed + one large-star pass directly instead of the materialized
-    // query (whose localCheckpoint hides the round plans)
-    import org.apache.spark.sql.functions._
+    // the iterative rounds run at execution time behind localCheckpoint,
+    // so audit the REAL largeStar/smallStar plans directly (they are
+    // private[graft] for exactly this)
     import spark.implicits._
-    val edges = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
-    val sym = edges.unionByName(
-      edges.select(col("v").as("u"), col("u").as("v")))
-    val m = sym.groupBy("u").agg(min("v").as("mn"))
-      .select(col("u"), least(col("u"), col("mn")).as("m"))
-    val p = sym.join(m, "u").where(col("v") > col("u"))
-      .select(col("m").as("u"), col("v")).distinct()
-      .queryExecution.explainString(ExplainMode.fromString("formatted"))
-    assert(!p.contains("CartesianProduct"), p.take(3000))
-    assert(!p.contains("Window"), p.take(3000))
+    val edges = Seq((1L, 2L), (2L, 3L)).toDS()
+    Seq(
+      "largeStar" -> graft.operators.DupGraph.largeStar(edges),
+      "smallStar" -> graft.operators.DupGraph.smallStar(edges)
+    ).foreach { case (name, round) =>
+      val p = round.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(!p.contains("CartesianProduct"), s"$name: ${p.take(3000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name: ${p.take(3000)}")
+      assert(!p.contains("Window"), s"$name: ${p.take(3000)}")
+    }
   }
 
   test("q07: window functions share one shuffle on the partition key") {

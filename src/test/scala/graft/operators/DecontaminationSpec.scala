@@ -45,14 +45,21 @@ class DecontaminationSpec extends AnyFunSuite {
   }
 
   test("corpus side never shuffles: both joins broadcast") {
-    val corpus = docs(1L -> "a b c d", 2L -> "x y z")
-    val bench = docs(9L -> "b c d")
-    val plan = Decontamination.decontaminate(corpus, bench)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") ||
-      plan.contains("BroadcastNestedLoopJoin"))
-    assert(!plan.contains("SortMergeJoin"),
-      s"corpus-side shuffle join in plan:\n$plan")
+    // auto-broadcast off, or tiny test frames would broadcast regardless
+    // of the operator's explicit broadcast() hints and the assertion
+    // would pass vacuously with the hints removed
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val corpus = docs(1L -> "a b c d", 2L -> "x y z")
+      val bench = docs(9L -> "b c d")
+      val plan = Decontamination.decontaminate(corpus, bench)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastNestedLoopJoin"))
+      assert(!plan.contains("SortMergeJoin"),
+        s"corpus-side shuffle join in plan:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("non-numeric doc id fails fast instead of silently passing docs") {

@@ -77,6 +77,15 @@ class DupGraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 1L))
   }
 
+  test("non-numeric pair ids fail fast instead of silently keeping dups") {
+    import spark.implicits._
+    val pairs = Seq(("docA", "docB")).toDF("id1", "id2")
+    val ex = intercept[Exception] {
+      DupGraph.components(pairs).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("dropNearDups keeps cluster minima and all singleton docs") {
     import spark.implicits._
     val docs = (0L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")

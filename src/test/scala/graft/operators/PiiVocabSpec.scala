@@ -43,6 +43,15 @@ class PiiVocabSpec extends AnyFunSuite {
     assert(red == "id 123456789 at <IP> +12 <PHONE>")
   }
 
+  test("counts reconcile with placeholders: no phantom IP inside an email") {
+    // the email redaction consumes '1.2.3.4' before the IP stage counts,
+    // so n_ip must be 0 — counting on the original text would report an
+    // <IP> the redacted output provably does not contain
+    val (ne, ni, np, red) = redactOne("mail a@1.2.3.4.com today")
+    assert(ne == 1L && ni == 0L && np == 0L)
+    assert(red == "mail <EMAIL> today")
+  }
+
   test("tokenDf counts each token once per doc, ties broken by token") {
     import spark.implicits._
     val docs = Seq(

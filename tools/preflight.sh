@@ -11,14 +11,16 @@
 set -e
 cd "$(dirname "$0")/.."
 
-# Hashes the build-relevant source state: HEAD, tracked modifications,
-# and untracked files under src/ (a new .scala file is invisible to
-# `git diff HEAD` but very much part of what compile+test verified).
-# Must stay identical to the computation in tools/hooks/prepare-commit-msg.
+# Hashes the verification-relevant state: HEAD, tracked modifications,
+# and untracked files under src/ and tools/ (a new .scala file is
+# invisible to `git diff HEAD` but very much part of what compile+test
+# verified; tools/ is included so weakening the oracle comparator after
+# a green run un-stamps it). Must stay identical to the computation in
+# tools/hooks/prepare-commit-msg.
 state_hash() {
     { git rev-parse HEAD
-      git diff HEAD -- src build.sbt
-      git ls-files -o --exclude-standard src build.sbt | sort | xargs -r sha256sum
+      git diff HEAD -- src build.sbt tools
+      git ls-files -o --exclude-standard src build.sbt tools | sort | xargs -r sha256sum
     } | sha256sum | cut -d' ' -f1
 }
 
