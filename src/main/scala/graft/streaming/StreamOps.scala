@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface (SURVEY.md §2.7 [EXT]): the reference is a
   * pure batch pipeline, but the engine's event table maps naturally onto
@@ -118,6 +118,45 @@ object StreamOps {
           state.update(n)
           out.iterator
       }
+  }
+
+  /** The same running per-user (count, sum) on `transformWithState` —
+    * Spark 4's successor to (flat)mapGroupsWithState: named typed state
+    * variables in the (RocksDB-backed) state store, explicit TTL, and
+    * timer support, the API new state machines should target. Kept
+    * semantically identical to [[runningUserStats]] so the spec pins
+    * old surface == new surface == batch groupBy twin.
+    *
+    * Requires `spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider` on the running query.
+    */
+  final class RunningStatsProcessor
+      extends StatefulProcessor[Long, UserEvent, UserStat] {
+    @transient private var state: ValueState[UserStat] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserStat]("stats",
+        Encoders.product[UserStat], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[UserStat] = {
+      val prev = if (state.exists()) state.get() else UserStat(uid, 0L, 0.0)
+      var n = prev.n_events
+      var s = prev.sum_value
+      rows.foreach { e => n += 1; s += e.value }
+      // unrounded in state, rounded on emit — same contract as
+      // runningUserStats (per-batch rounding would compound)
+      state.update(UserStat(uid, n, s))
+      Iterator.single(UserStat(uid, n, math.rint(s * 100) / 100))
+    }
+  }
+
+  def runningUserStatsTws(events: Dataset[UserEvent]): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningStatsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Custom keyed state via mapGroupsWithState: a running per-user

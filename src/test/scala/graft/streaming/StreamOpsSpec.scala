@@ -239,4 +239,39 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got(1L) == UserStat(1L, 3L, 10.0))
     assert(got(2L) == UserStat(2L, 2L, 10.5))
   }
+
+  test("transformWithState running stats equals the mapGroupsWithState twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the new API requires the RocksDB state store; scope it to this query
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[UserEvent]
+      val out = StreamOps.runningUserStatsTws(input.toDS())
+      val q = out.writeStream.format("memory").queryName("running_tws")
+        .outputMode("update").start()
+
+      input.addData(ev(1, 1, 1, "a", 1.5), ev(2, 2, 1, "a", 2.5),
+        ev(3, 3, 2, "b", 10.0))
+      q.processAllAvailable()
+      input.addData(ev(4, 4, 1, "a", 6.0), ev(5, 5, 2, "b", 0.5))
+      q.processAllAvailable()
+
+      val got = spark.table("running_tws").as[UserStat].collect()
+        .groupBy(_.user_id).map { case (u, rows) =>
+          u -> rows.maxBy(_.n_events)
+        }
+      q.stop()
+      // same final stats the mapGroupsWithState twin asserts above —
+      // cross-micro-batch state carried, unrounded in state
+      assert(got(1L) == UserStat(1L, 3L, 10.0))
+      assert(got(2L) == UserStat(2L, 2L, 10.5))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }
