@@ -65,7 +65,8 @@ object SparkEntry {
     PipelineQueries.q62, PipelineQueries.q63, PipelineQueries.q64,
     PipelineQueries.q65, PipelineQueries.q66, PipelineQueries.q67,
     PipelineQueries.q68, PipelineQueries.q69,
-    PipelineQueries.q70, PipelineQueries.q71)
+    PipelineQueries.q70, PipelineQueries.q71,
+    PipelineQueries.q74)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

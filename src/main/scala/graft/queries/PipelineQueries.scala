@@ -790,6 +790,24 @@ object PipelineQueries {
     TextAnalysis.tokenDf(Tables.documents(s, d), k = 100)
   }
 
+  // Salted two-phase aggregation: partial count/sum per (key, salt),
+  // merged on the key — must equal the plain GROUP BY the oracle runs,
+  // proving the hot-key spreading is a pure physical rewrite.
+  val q74 = Q.checked(
+    "q74_salted_agg",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+              round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+       FROM events
+       GROUP BY event_type
+       ORDER BY event_type""") { (s, d) =>
+    graft.operators.SkewJoin
+      .saltedAgg(Tables.events(s, d).select("event_type", "value"),
+        keys = Seq("event_type"), sumCols = Seq("value"))
+      .select(col("event_type"), col("n_rows"),
+        round(col("sum_value"), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   // DIRT pipeline end-to-end on the committed mini biarc corpus — corpus
   // lines are not a fixture table, so rows-only here; the hand-computed
   // closed-form scores are asserted in DirtPipelineSpec.
