@@ -77,6 +77,16 @@ class DupGraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 1L))
   }
 
+  test("empty pair graph: no components, dropNearDups keeps everything") {
+    import spark.implicits._
+    val noPairs = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(DupGraph.components(noPairs).collect().isEmpty)
+    val docs = (0L to 4L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val kept = DupGraph.dropNearDups(docs, noPairs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == (0L to 4L))
+  }
+
   test("non-numeric pair ids fail fast instead of silently keeping dups") {
     import spark.implicits._
     val pairs = Seq(("docA", "docB")).toDF("id1", "id2")
