@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Decontamination, Dedup, Multimodal, TextAnalysis, VectorSearch}
+import graft.operators.{Decontamination, Dedup, Multimodal, TextAnalysis, TfIdf, VectorSearch}
 import graft.pipeline.DirtPipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -806,6 +806,71 @@ object PipelineQueries {
       .select(col("event_type"), col("n_rows"),
         round(col("sum_value"), 2).as("sum_value"))
       .orderBy("event_type")
+  }
+
+  // TF-IDF top-5 terms per doc, ranked by the log-free inverse-frequency
+  // weight tf/df (one IEEE division — bit-identical cross-engine; see the
+  // TfIdf class doc). All output columns are integers, so the hash compare
+  // never touches a float.
+  val q75 = Q.checked(
+    "q75_tfidf_top_terms",
+    """WITH tok AS (SELECT doc_id,
+                unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+         FROM documents),
+       tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM tok WHERE term <> '' GROUP BY doc_id, term),
+       df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       ranked AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                  CAST(row_number() OVER (PARTITION BY tf.doc_id
+                    ORDER BY CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) DESC,
+                             tf.term) AS BIGINT) AS rank
+                  FROM tf JOIN df USING (term))
+       SELECT doc_id, term, tf, df, rank FROM ranked
+       WHERE rank <= 5 ORDER BY doc_id, rank""") { (s, d) =>
+    TfIdf.topTerms(Tables.documents(s, d), k = 5).orderBy("doc_id", "rank")
+  }
+
+  /** q76's fixed query-term bag (shared with the oracle SQL builder). */
+  private val Bm25Terms = Seq("spark", "join", "window")
+
+  // BM25 top-10 retrieval for a fixed 3-term query. Every arithmetic step
+  // is mirrored operation-for-operation in the oracle (rational idf, no
+  // ln; per-term conditional sums added left-to-right), so the raw double
+  // scores are bit-identical and the floor-quantization is safe for the
+  // hash compare (round() would not be — half-up differs cross-engine).
+  val q76 = Q.checked(
+    "q76_bm25_search", {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val pivots = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"sum(CASE WHEN term = '$t' THEN c ELSE 0.0 END) AS c$i"
+      }.mkString(",\n                  ")
+      val total = Bm25Terms.indices.map(i => s"c$i").mkString(" + ")
+      s"""WITH d AS (SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+          FROM documents),
+        dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+        stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+        tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM tok WHERE term IN ($termList) GROUP BY doc_id, term),
+        df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        contrib AS (SELECT tf.doc_id, tf.term,
+            ((CAST(stats.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5)) *
+            ((tf.tf * (1.2 + 1.0)) /
+             (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 *
+               (dl.dl / (CAST(stats.tot AS DOUBLE) / CAST(stats.n AS DOUBLE)))))) AS c
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+        piv AS (SELECT doc_id, $pivots FROM contrib GROUP BY doc_id)
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY $total DESC, doc_id) AS BIGINT) AS rank,
+               CAST(floor(($total) * 10000.0) AS BIGINT) AS score_q
+        FROM piv ORDER BY $total DESC, doc_id LIMIT 10"""
+    }) { (s, d) =>
+    TfIdf.bm25(Tables.documents(s, d), Bm25Terms, k = 10)
+      .select(col("doc_id"), col("rank"),
+        floor(col("score") * lit(10000.0)).cast("long").as("score_q"))
+      .orderBy("rank")
   }
 
   // DIRT pipeline end-to-end on the committed mini biarc corpus — corpus
