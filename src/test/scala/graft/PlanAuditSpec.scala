@@ -130,6 +130,22 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q75: tf-idf prunes the scan and aggregates two-phase") {
+    val p = plan("q75_tfidf_top_terms")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      p.take(2000))
+    assert(p.contains("partial_count"), p.take(3000))
+  }
+
+  test("q76: bm25 broadcasts df and plans distributed top-k, no global sort") {
+    val p = plan("q76_bm25_search")
+    // the |terms|-row df side is hint-broadcast; top-k is
+    // TakeOrderedAndProject (per-partition heaps), never a full Sort
+    // feeding a Limit
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
   test("q07: window functions share one shuffle on the partition key") {
     val p = plan("q07_window_funcs")
     // rn/lag/lead/run_sum3 share ORDER BY (ts, event_id); only value_rank
