@@ -65,6 +65,49 @@ object Curation {
     docs.filter(hashBucket(col(textCol), salt) < threshold)
   }
 
+  /** 60-bit content rank key: first 15 hex digits of the salted md5 as a
+    * long — a content-stable total order (with an id tiebreak) for quota
+    * selection, computable by any SQL engine for auditing.
+    */
+  def hashRank(text: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), text)), 1, 15), 16, 10).cast("long")
+
+  /** Per-source quota cap: keep at most `maxPerSource` docs of each
+    * source, selected by content-hash order (doc id breaks rank-key
+    * ties) — the "at most N pages per domain" cap crawl pipelines apply
+    * so one giant domain can't dominate the mix, deterministic rather
+    * than first-crawled-wins.
+    *
+    * Scale shape: selection runs as a typed bounded smallest-k
+    * `Aggregator` ([[graft.functions.MinKAggregator]]), so map-side
+    * partials cap per-source shuffle bytes at k and a viral domain with
+    * 10⁹ pages costs the same shuffle as one with 10³ — the
+    * `row_number()` window twin (the q77 oracle) would funnel every row
+    * of the hot source through one task. Winners rejoin the corpus by an
+    * id equi-semi-join (winner count is |sources|·k — far past broadcast
+    * range when sources are web domains).
+    */
+  def sourceCap(docs: DataFrame, maxPerSource: Int, salt: String = "graft",
+      textCol: String = "text", idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame = {
+    require(maxPerSource > 0, s"maxPerSource must be positive: $maxPerSource")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val agg = graft.functions.MinKAggregator(maxPerSource).toColumn
+    val winners = docs
+      .select(col(sourceCol).as("src"),
+        hashRank(col(textCol), salt).as("rk"),
+        graft.util.Ids.longId(idCol).as("id"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(agg.name("kept"))
+      .flatMap { case (_, kept) => kept.map(_._2) }
+      .toDF("id")
+    docs.join(winners, graft.util.Ids.longId(idCol) === winners("id"),
+      "left_semi")
+  }
+
   /** Corpus minus a blocklist, with Bloom-filter pre-pruning: a Bloom
     * filter built over the blocklist texts is broadcast and applied
     * map-side, so only the tiny might-match fraction reaches the exact
