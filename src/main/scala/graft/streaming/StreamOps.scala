@@ -80,6 +80,14 @@ object StreamOps {
     * plans — the watermark bounds STATE, never output), so the batch
     * twin is the plain `dropDuplicates` the streaming op converges to
     * when no row is later than the delay.
+    *
+    * @param watermarkDelay bounds streaming STATE only. On a BOUNDED
+    *   plan it is ignored entirely: batch dedup is global across all
+    *   time, so two copies of an event_id separated by more than the
+    *   delay — which the streaming op would BOTH keep, their state
+    *   having expired between them — collapse to one row here. Batch
+    *   callers needing the time-bounded semantics should pre-bucket by
+    *   a ts window and dedup within it.
     */
   def dedupEvents(events: DataFrame, watermarkDelay: String): DataFrame =
     if (events.isStreaming)

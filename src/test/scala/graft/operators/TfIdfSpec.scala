@@ -88,6 +88,27 @@ class TfIdfSpec extends AnyFunSuite {
     assert(res(1L)._1 === 1L && res(3L)._1 === 2L && res(2L)._1 === 3L)
   }
 
+  test("topTermsLogIdf construction triggers no Spark job (lazy N)") {
+    // any job launched during construction would carry this job group;
+    // the later count() job (default group) doubles as the fence proving
+    // the status store has caught up past the construction window (the
+    // listener bus is FIFO, so construction-time jobs would be visible
+    // before the count's job is)
+    val sc = spark.sparkContext
+    sc.setJobGroup("tfidf-construct", "laziness probe")
+    val df = TfIdf.topTermsLogIdf(corpus, k = 3)
+    sc.setJobGroup("tfidf-fence", "post-construction fence")
+    assert(df.count() > 0)
+    sc.clearJobGroup()
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (sc.statusTracker.getJobIdsForGroup("tfidf-fence").isEmpty &&
+        System.nanoTime() < deadline) Thread.sleep(20)
+    assert(sc.statusTracker.getJobIdsForGroup("tfidf-fence").nonEmpty,
+      "status store never caught up — fence job not visible")
+    assert(sc.statusTracker.getJobIdsForGroup("tfidf-construct").isEmpty,
+      "topTermsLogIdf ran a Spark job at plan-construction time")
+  }
+
   test("bm25 limits to k and rejects an empty term bag") {
     assert(TfIdf.bm25(corpus, Seq("cat", "dog"), k = 2).count() === 2L)
     intercept[IllegalArgumentException] {

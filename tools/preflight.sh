@@ -20,7 +20,7 @@ cd "$(dirname "$0")/.."
 state_hash() {
     { git rev-parse HEAD
       git diff HEAD -- src build.sbt tools
-      git ls-files -o --exclude-standard src build.sbt tools | sort | xargs -r sha256sum
+      git ls-files -z -o --exclude-standard src build.sbt tools | sort -z | xargs -0 -r sha256sum
     } | sha256sum | cut -d' ' -f1
 }
 
