@@ -131,7 +131,17 @@ object Bench {
     "q53_dedup_ngram_jaccard", "q68_dedup_components",
     "q69_dedup_drop_clusters")
 
-  /** The three synthetic bench entries as named runnable bodies, shared
+  private def rmrf(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally s.close()
+    }
+  }
+
+  /** The synthetic bench entries as named runnable bodies, shared
     * verbatim with BenchOne — an isolated rerun must time EXACTLY what
     * the full bench timed (the lifecycle entry is pipeline + persist +
     * TSV sink + evaluation sweep, not just the pipeline), or the
@@ -149,6 +159,46 @@ object Bench {
         .jaccardPairs(adversarialDocs(spark, jacDocs), threshold = 0.5)
         .count()
       require(got == jacDocs / 2, s"expected ${jacDocs / 2} pairs, got $got")
+    }),
+    // Incremental DIRT under Structured Streaming, end-to-end and
+    // BOUNDED: the synthetic corpus written as 8 text files, read back
+    // as a file stream in ≥4 micro-batches (maxFilesPerTrigger=2,
+    // Trigger.AvailableNow), the triple aggregation maintained as
+    // streaming state across batches. Timed to completion, so the entry
+    // is a sustained-throughput number, not a wall-clock-fixed sleep;
+    // in-run requires assert the run was genuinely incremental (≥2
+    // non-empty micro-batches) and that state stayed VOCABULARY-bounded
+    // (state rows ≪ input rows — triple keys, not corpus lines; the
+    // MemoryStream spec asserts exact state == distinct-triple count).
+    s"dirt_streaming_incremental_${dirtRows / 2}" -> (() => {
+      import spark.implicits._
+      val base = s"${sys.props("java.io.tmpdir")}/graft_stream_${ProcessHandle.current().pid()}"
+      val corpusDir = s"${base}_corpus"
+      val ckpt = s"${base}_ckpt_${System.nanoTime()}" // fresh offsets per rep
+      val rows = dirtRows / 2
+      syntheticCorpus(spark, rows).toDF("value").repartition(8)
+        .write.mode("overwrite").text(corpusDir)
+      try {
+        val lines = spark.readStream
+          .option("maxFilesPerTrigger", 2).text(corpusDir)
+          .as[String]
+        val q = graft.streaming.DirtStreaming.streamingTriples(lines)
+          .writeStream
+          .outputMode("update")
+          .format("noop")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val progress = q.recentProgress.toSeq
+        val nonEmpty = progress.count(_.numInputRows > 0)
+        val stateRows = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+          .foldLeft(0L)(math.max)
+        require(nonEmpty >= 2,
+          s"expected an incremental multi-batch run, got $nonEmpty non-empty batches")
+        require(stateRows > 0 && stateRows < rows,
+          s"state must be vocabulary-bounded: $stateRows rows vs $rows input lines")
+      } finally rmrf(ckpt)
     }),
     // the FULL reference lifecycle with a throughput number: pipeline ->
     // TSV sink -> max-dedup + threshold sweep (P/R/F1), not just the

@@ -231,7 +231,7 @@ object Curation {
     * (`a@1.2.3.4.com`) that the output provably does not contain.
     */
   def redactPii(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", keep: Seq[String] = Nil): DataFrame = {
     // stages(i) = text with patterns 0..i-1 replaced; stages.last = all
     val stages = PiiPatterns.scanLeft(col(textCol)) {
       case (c, (re, tag)) => regexp_replace(c, re, tag)
@@ -240,7 +240,9 @@ object Curation {
       regexp_count(pre, lit(re)).cast("long")
         .as(s"n_${tag.stripPrefix("<").stripSuffix(">").toLowerCase}")
     }
+    // keep: passthrough columns (e.g. source/lang) so a pipeline caller
+    // stays map-only instead of re-joining them on id afterwards
     docs.select(
-      (col(idCol) +: counts :+ stages.last.as("redacted")): _*)
+      (col(idCol) +: keep.map(col)) ++ counts :+ stages.last.as("redacted"): _*)
   }
 }

@@ -18,7 +18,13 @@ import org.apache.spark.sql.functions._
   * skew-join split handles at runtime; nothing here collects to the
   * driver except the corpus size N (a scalar, same class as the DIRT
   * pipeline's global N). Top-k per doc is a bounded window over the
-  * doc-partitioned join output.
+  * doc-partitioned join output. The skew claim is pinned by
+  * `TfIdfSkewSpec`: with broadcast disabled (the at-scale join shape)
+  * and the AQE thresholds scaled to fixture bytes, a Zipf-hot term
+  * demonstrably trips OptimizeSkewedJoin's split — at production
+  * defaults the 256 MB skewed-partition threshold needs real-cluster
+  * shuffle sizes, which no in-repo fixture can reach, so the full-size
+  * bench carries no skew entry by design.
   *
   * Cross-engine exactness: the oracled rankings deliberately use the
   * log-free inverse-frequency idf variant (`tf/df`, and BM25 with a

@@ -898,6 +898,134 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // ---- q78: end-to-end corpus curation composition ----
+  // The north-star demo: exact-drop -> near-dup transitive drop ->
+  // decontaminate -> PII-redact -> mixture-sample -> sequence-pack, as
+  // ONE declared query — every stage is individually oracled (q31, q69,
+  // q66, q70, q63, q55); the composition catches interface drift between
+  // them. The near-dup pair graph and its transitive closure are computed
+  // ONCE and shared between labeling and dropping (dropNearDupsByComponents),
+  // and the expensive stage outputs (c1, c2) are persisted for the single
+  // action and released after it (CacheRelease), so no stage re-scans the
+  // corpus prefix.
+  val q78 = Q.checked(
+    "q78_curate_corpus_pipeline", {
+      val Seq((emailRe, _), (ipRe, _), (phoneRe, _)) =
+        graft.operators.Curation.PiiPatterns
+      s"""WITH RECURSIVE
+         corpus AS (SELECT * FROM documents
+                    UNION ALL
+                    SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+                    FROM documents WHERE doc_id < 50),
+         c1 AS (SELECT * FROM corpus
+                QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+         words AS (SELECT doc_id AS id, lang,
+                          CAST(floor(n_chars / 100.0) AS BIGINT) AS blk,
+                          unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS word
+                   FROM c1),
+         counts AS (SELECT id, count(*) AS n_words FROM words GROUP BY id),
+         inter AS (SELECT a.id AS id1, b.id AS id2, count(*) AS n_inter
+                   FROM words a
+                   JOIN words b ON a.lang = b.lang AND a.blk = b.blk AND a.word = b.word
+                   WHERE a.id < b.id
+                   GROUP BY a.id, b.id),
+         pairs AS (SELECT id1, id2 FROM (
+                     SELECT id1, id2,
+                            round(n_inter / (cw1.n_words + cw2.n_words - n_inter), 6) AS jaccard
+                     FROM inter
+                     JOIN counts cw1 ON cw1.id = id1
+                     JOIN counts cw2 ON cw2.id = id2)
+                   WHERE jaccard >= 0.5),
+         edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+                   UNION SELECT id2 AS u, id1 AS v FROM pairs),
+         reach AS (SELECT u AS id, u AS lab FROM edges
+                   UNION
+                   SELECT e.u AS id, r.lab FROM edges e JOIN reach r ON r.id = e.v),
+         comp AS (SELECT id, CAST(min(lab) AS BIGINT) AS component
+                  FROM reach GROUP BY id),
+         c2 AS (SELECT * FROM c1 x
+                WHERE NOT EXISTS (SELECT 1 FROM comp
+                                  WHERE comp.id = x.doc_id
+                                    AND comp.component <> x.doc_id)),
+         ct AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM c2),
+         cg AS (SELECT doc_id,
+                       unnest([array_to_string(toks[i:i+7], ' ')
+                               for i in range(1, len(toks) - 6)]) AS gram
+                FROM ct WHERE len(toks) >= 8),
+         bt AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents WHERE doc_id % 37 = 0),
+         bg AS (SELECT DISTINCT unnest([array_to_string(toks[i:i+7], ' ')
+                                        for i in range(1, len(toks) - 6)]) AS gram
+                FROM bt WHERE len(toks) >= 8),
+         bad AS (SELECT DISTINCT doc_id FROM cg
+                 WHERE gram IN (SELECT gram FROM bg)),
+         c3 AS (SELECT * FROM c2 y
+                WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = y.doc_id)),
+         c4 AS (SELECT doc_id, source,
+                       regexp_replace(regexp_replace(regexp_replace(
+                         text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+                         '@example.com or +1555000' ||
+                         CAST(doc_id % 10000 AS VARCHAR) || ' at 10.0.' ||
+                         CAST(doc_id % 256 AS VARCHAR) || '.7',
+                         '$emailRe', '<EMAIL>', 'g'),
+                         '$ipRe', '<IP>', 'g'),
+                         '$phoneRe', '<PHONE>', 'g') AS text
+                FROM c3),
+         c5 AS (SELECT * FROM c4
+                WHERE ('0x' || substr(md5('graft' || text), 1, 8))::BIGINT % 10000 <
+                      CASE source WHEN 'src0' THEN 8000
+                                  WHEN 'src1' THEN 5000
+                                  WHEN 'src2' THEN 2000
+                                  ELSE 1000 END),
+         d AS (SELECT doc_id, source,
+                      CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+                      ('0x' || substr(md5('graft' || text), 1, 8))::BIGINT % 10000 % 8 AS shard
+               FROM c5),
+         b AS (SELECT source, shard, n_tokens,
+                      CAST(floor((sum(n_tokens) OVER (PARTITION BY source, shard
+                                                      ORDER BY doc_id
+                                                      ROWS UNBOUNDED PRECEDING)
+                                  - n_tokens) / 512.0) AS BIGINT) AS bin
+               FROM d)
+         SELECT source, shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         FROM b GROUP BY source, shard, bin
+         ORDER BY source, shard, bin"""
+    }) { (s, d) =>
+    import org.apache.spark.storage.StorageLevel
+    val c1 = Dedup.dropExactDups(dupCorpus(s, d))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // pair graph + transitive closure computed ONCE, shared between the
+    // (implicit) labeling and the drop — the dropNearDupsByComponents
+    // path the round-7 verdict asked for
+    val comps = graft.operators.DupGraph
+      .components(Dedup.jaccardPairs(c1, threshold = 0.5))
+    val c2 = graft.operators.DupGraph.dropNearDupsByComponents(c1, comps)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bench = Tables.documents(s, d).filter(col("doc_id") % 37 === 0)
+    // 8-gram contamination (vs q66's trigrams): the fixture's shared
+    // synthetic vocabulary makes trigram overlap near-universal (it kept
+    // 15 of 277 docs at sf0.1 — a vacuous tail for the later stages);
+    // 8-grams drop the benchmark docs themselves plus true shared
+    // passages, the C4/GPT-style n for decontamination
+    val c3 = graft.operators.Decontamination.decontaminate(c2, bench, n = 8)
+    val withPii = c3.select(
+      col("doc_id"),
+      concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+        lit("@example.com or +1555000"),
+        (col("doc_id") % 10000).cast("string"), lit(" at 10.0."),
+        (col("doc_id") % 256).cast("string"), lit(".7")).as("text"),
+      col("source"))
+    val c4 = graft.operators.Curation.redactPii(withPii, keep = Seq("source"))
+      .select(col("doc_id"), col("redacted").as("text"), col("source"))
+    val c5 = graft.operators.Curation.mixtureSample(c4,
+      fractions = Map("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.2),
+      defaultFraction = 0.1)
+    val out = graft.operators.Curation.packBins(c5)
+      .orderBy("source", "shard", "bin")
+    graft.util.CacheRelease.afterFirstAction(out, Seq(c1, c2))
+  }
+
   // DIRT pipeline end-to-end on the committed mini biarc corpus — corpus
   // lines are not a fixture table, so rows-only here; the hand-computed
   // closed-form scores are asserted in DirtPipelineSpec.

@@ -299,11 +299,25 @@ object RelationalQueries {
   }
 
   // A8 approximate distinct (HLL) — implementation-defined sketch, no
-  // cross-engine oracle; rows-only check.
+  // cross-engine hash oracle; the driver check stays rows-only, but the
+  // query itself is a PROPERTY oracle: it computes the exact distinct
+  // count beside the sketch and raises at execution if the estimate
+  // falls outside 4 relative standard deviations (rsd 0.05 → ±20%, a
+  // once-per-10⁵ tail for a correct HLL — a broken sketch, not an
+  // unlucky one, is what trips it).
   val q14 = Q.rowsOnly("q14_approx_distinct") { (s, d) =>
+    val err = abs(col("approx_customers") - col("exact_customers"))
+    val bound = lit(4 * 0.05) * col("exact_customers")
     Tables.orders(s, d)
       .groupBy("o_orderpriority")
-      .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"))
+      .agg(
+        approx_count_distinct(col("o_custkey")).as("approx_customers"),
+        countDistinct(col("o_custkey")).as("exact_customers"))
+      .withColumn("within_bound",
+        when(err <= bound, lit(true)).otherwise(raise_error(concat(
+          lit("HLL estimate outside 4*rsd of exact for "),
+          col("o_orderpriority"), lit(": "), col("approx_customers"),
+          lit(" vs "), col("exact_customers"))).cast("boolean")))
       .orderBy("o_orderpriority")
   }
 
@@ -667,15 +681,36 @@ object RelationalQueries {
 
   // A-family approximate percentiles: Spark's Greenwald-Khanna sketch is
   // deterministic for a given accuracy but algorithm-specific (DuckDB's
-  // approx_quantile is a t-digest), so no cross-engine oracle — rows-only,
-  // with the sketch-vs-exact error bound asserted in a unit spec.
+  // approx_quantile is a t-digest), so no cross-engine hash oracle — the
+  // driver check stays rows-only, but the query is a PROPERTY oracle:
+  // GK at accuracy a guarantees rank error ≤ n/a, so each estimate must
+  // lie between the EXACT percentiles at q ± 5/a (5× the guarantee for
+  // interpolation slack); a violation raises at execution. The unit spec
+  // proves the ε bound on synthetic data; this asserts it against the
+  // exact answers on the fixture itself.
   val q51 = Q.rowsOnly("q51_approx_percentile") { (s, d) =>
+    // accuracy 1000 → rank ε 0.001; exact-percentile brackets at ±0.005
+    def bracket(colName: String, q: Double,
+        approx: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = {
+      val lo = expr(s"percentile($colName, ${q - 0.005})")
+      val hi = expr(s"percentile($colName, ${q + 0.005})")
+      Seq(approx.as(s"${colName}_p${(q * 100).toInt}_approx"),
+        when(approx.between(lo, hi), lit(true)).otherwise(
+          raise_error(concat(lit(s"GK $colName p$q outside exact bracket: "),
+            approx.cast("string"), lit(" not in ["), lo.cast("string"),
+            lit(", "), hi.cast("string"), lit("]"))).cast("boolean"))
+          .as(s"${colName}_p${(q * 100).toInt}_ok"))
+    }
+    val checks =
+      bracket("l_quantity", 0.5,
+        expr("approx_percentile(l_quantity, 0.5, 1000)")) ++
+      bracket("l_quantity", 0.9,
+        expr("approx_percentile(l_quantity, 0.9, 1000)")) ++
+      bracket("l_extendedprice", 0.25,
+        expr("approx_percentile(l_extendedprice, 0.25, 1000)"))
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
-      .agg(
-        expr("approx_percentile(l_quantity, 0.5, 1000)").as("median_qty_approx"),
-        expr("approx_percentile(l_quantity, 0.9, 1000)").as("p90_qty_approx"),
-        expr("approx_percentile(l_extendedprice, 0.25, 1000)").as("p25_price_approx"))
+      .agg(checks.head, checks.tail: _*)
       .orderBy("l_returnflag")
   }
 

@@ -146,6 +146,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
 
+  test("q78: curation composition reuses cached stages, never re-scans the corpus") {
+    // constructing q78 runs the pair-graph closure eagerly and persists
+    // the c1 (exact-deduped) and c2 (near-dup-dropped) stage outputs; the
+    // FINAL plan must consume those via InMemoryTableScan — the corpus
+    // parquet may appear only for the benchmark slice (decontamination's
+    // broadcast side) and c1's one cached-lineage definition, never once
+    // per downstream stage
+    val df = SparkEntry.queries("q78_curate_corpus_pipeline")(spark, sf)
+    // walk the physical TREE, not the explain string — the string prints
+    // each InMemoryRelation's cached lineage (parquet scans and all)
+    // once per consumer, while the tree stops at the cache boundary,
+    // which is exactly the "does a stage re-scan or reuse" question
+    val phys = df.queryExecution.sparkPlan
+    val cacheScans = phys.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+    }.size
+    val parquetScans = phys.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.size
+    assert(cacheScans >= 2,
+      s"stages should consume the persisted c2 via cache scans, got $cacheScans")
+    assert(parquetScans <= 2,
+      s"$parquetScans corpus parquet scans in the composition plan (want ≤2: the benchmark slice)")
+    // composition must execute end-to-end (releases the stage caches)
+    assert(df.count() >= 0)
+  }
+
   test("q07: window functions share one shuffle on the partition key") {
     val p = plan("q07_window_funcs")
     // rn/lag/lead/run_sum3 share ORDER BY (ts, event_id); only value_rank

@@ -22,7 +22,12 @@ class ApproxPercentileSpec extends AnyFunSuite {
 
   test("q51 sketch percentiles are within GK rank-error of exact") {
     import spark.implicits._
+    // q51 now interleaves in-query property-check booleans with the
+    // estimates; select the estimate columns explicitly (ordinal tuple
+    // binding over the raw output would silently shift)
     val approx = SparkEntry.queries("q51_approx_percentile")(spark, sf)
+      .select("l_returnflag", "l_quantity_p50_approx",
+        "l_quantity_p90_approx", "l_extendedprice_p25_approx")
       .as[(String, Double, Double, Double)].collect()
       .map(r => r._1 -> (r._2, r._3, r._4)).toMap
 

@@ -204,6 +204,11 @@ class StreamOpsSpec extends AnyFunSuite {
     val streamed = spark.table("dirt_triples")
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
         r.getLong(3))).toSet
+    // streaming state is exactly the distinct triple keys — bounded by
+    // vocabulary, never by corpus length (the contract that lets the
+    // incremental pipeline run forever on an unbounded corpus stream)
+    val stateRows = q.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsTotal)).max
     q.stop()
 
     val batch = graft.pipeline.DirtPipeline.triples(
@@ -214,6 +219,8 @@ class StreamOpsSpec extends AnyFunSuite {
 
     assert(streamed == batch)
     assert(streamed.nonEmpty)
+    assert(stateRows == streamed.size.toLong,
+      s"state rows $stateRows != distinct triples ${streamed.size}")
   }
 
   test("mapGroupsWithState running stats equal batch groupBy across batches") {

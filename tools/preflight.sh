@@ -11,17 +11,19 @@
 set -e
 cd "$(dirname "$0")/.."
 
-# Hashes the verification-relevant state: HEAD, tracked modifications,
-# and untracked files under src/ and tools/ (a new .scala file is
-# invisible to `git diff HEAD` but very much part of what compile+test
-# verified; tools/ is included so weakening the oracle comparator after
-# a green run un-stamps it). Must stay identical to the computation in
-# tools/hooks/prepare-commit-msg.
+# Hashes the verification-relevant state: the CONTENT of every file
+# (tracked or untracked, staged or not) under src/, build.sbt and
+# tools/ — tools/ so weakening the oracle comparator after a green run
+# un-stamps it. Purely content-based on purpose: a HEAD+diff hash dies
+# the moment a commit lands or a new file is staged (the same tree
+# hashes differently across those states), which stamped verified
+# commits UNVERIFIED. Deleted-but-tracked files simply drop out of the
+# listing (2>/dev/null), which still changes the hash. Must stay
+# identical to the computation in tools/hooks/prepare-commit-msg.
 state_hash() {
-    { git rev-parse HEAD
-      git diff HEAD -- src build.sbt tools
-      git ls-files -z -o --exclude-standard src build.sbt tools | sort -z | xargs -0 -r sha256sum
-    } | sha256sum | cut -d' ' -f1
+    git ls-files -z -c -o --exclude-standard src build.sbt tools |
+        sort -zu | xargs -0 -r sha256sum -- 2>/dev/null |
+        sha256sum | cut -d' ' -f1
 }
 
 sbt -batch compile test
