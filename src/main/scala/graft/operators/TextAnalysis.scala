@@ -180,6 +180,86 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("word"))
       .limit(k)
 
+  /** Unigram-LM quality score (the CCNet/Wikipedia-LM filtering shape):
+    * every doc scored by how probable its tokens are under an
+    * add-1-smoothed unigram model trained on a REFERENCE slice of the
+    * corpus — the "does this look like the good subset" signal quality
+    * filters threshold on.
+    *
+    * Cross-engine exactness: the score is the arithmetic-mean smoothed
+    * probability, computed as ONE exact integer sum per doc followed by
+    * ONE double division —
+    *
+    *   score(d) = Σ_{t ∈ d} (c_ref(t) + 1)  /  (n_d · (T + V))
+    *
+    * where c_ref is the token's reference count (0 if unseen), T the
+    * reference token total and V its vocabulary size. The numerator and
+    * denominator are exact Longs, so the division is a single correctly
+    * rounded IEEE op — bit-identical in any engine, immune to float
+    * summation order. The classic geometric-mean/log-perplexity variant
+    * is [[lmLogScore]], unit-pinned instead of oracled (ln is not
+    * correctly rounded across libm implementations).
+    *
+    * Scale shape: the model is a (token, count) table joined onto the
+    * exploded corpus — vocabulary-sized, so at 100 TB it broadcast-joins
+    * only if the vocab allows and otherwise shuffles on the Zipf-skewed
+    * token key (AQE skew-split territory, same join shape TfIdfSkewSpec
+    * pins); per-doc sums are map-side partial; T and V enter the plan as
+    * a broadcast 1-row aggregate, never a driver-side count (the lazy-N
+    * rule topTermsLogIdf follows).
+    */
+  def lmScore(docs: DataFrame, ref: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val tok = explode(tokens(col(textCol))).as("token")
+    val refCounts = ref
+      .select(tok)
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("c_ref"))
+    val stats = refCounts
+      .agg(sum("c_ref").as("lm_t"), count(lit(1)).as("lm_v"))
+    val docToks = docs
+      .select(col(idCol).as("doc_id"), tok)
+      .filter(col("token") =!= "")
+    docToks
+      .join(refCounts, Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("c_ref"), lit(0L)) + lit(1L)).as("smoothed_hits"))
+      .crossJoin(broadcast(stats))
+      .withColumn("lm_score",
+        col("smoothed_hits").cast("double") /
+          (col("n_tokens") * (col("lm_t") + col("lm_v"))).cast("double"))
+      .select("doc_id", "n_tokens", "smoothed_hits", "lm_score")
+  }
+
+  /** Geometric-mean variant of [[lmScore]]: mean ln p(token), the
+    * negated per-token log-perplexity. Same plan shape; not oracled
+    * (see lmScore doc) — closed-form unit coverage instead.
+    */
+  def lmLogScore(docs: DataFrame, ref: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val tok = explode(tokens(col(textCol))).as("token")
+    val refCounts = ref
+      .select(tok)
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("c_ref"))
+    val stats = refCounts
+      .agg(sum("c_ref").as("lm_t"), count(lit(1)).as("lm_v"))
+    docs
+      .select(col(idCol).as("doc_id"), tok)
+      .filter(col("token") =!= "")
+      .join(refCounts, Seq("token"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("ln_p",
+        log((coalesce(col("c_ref"), lit(0L)) + lit(1L)).cast("double") /
+          (col("lm_t") + col("lm_v")).cast("double")))
+      .groupBy("doc_id")
+      .agg((sum("ln_p") / count(lit(1))).as("mean_ln_p"))
+  }
+
   /** Full per-document text-analysis projection over a corpus table. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

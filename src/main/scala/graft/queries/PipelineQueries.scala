@@ -1026,6 +1026,38 @@ object PipelineQueries {
     graft.util.CacheRelease.afterFirstAction(out, Seq(c1, c2))
   }
 
+  // Unigram-LM quality score (CCNet-style filtering signal): every doc
+  // scored by the arithmetic-mean add-1-smoothed probability of its
+  // tokens under a model trained on the doc_id % 11 reference slice.
+  // The score is one exact integer sum divided once — no float
+  // summation, no ln — so the raw double hash-matches cross-engine
+  // (the ln/perplexity variant is unit-pinned in TextAnalysisSpec).
+  val q79 = Q.checked(
+    "q79_text_lm_quality",
+    """WITH rt AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                   FROM documents WHERE doc_id % 11 = 0),
+       rc AS (SELECT token, CAST(count(*) AS BIGINT) AS c_ref
+              FROM rt WHERE token <> '' GROUP BY token),
+       st AS (SELECT CAST(sum(c_ref) AS BIGINT) AS lm_t,
+                     CAST(count(*) AS BIGINT) AS lm_v FROM rc),
+       dt AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+              FROM documents),
+       j AS (SELECT d.doc_id, coalesce(rc.c_ref, 0) + 1 AS sh
+             FROM dt d LEFT JOIN rc ON rc.token = d.token
+             WHERE d.token <> ''),
+       agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                      CAST(sum(sh) AS BIGINT) AS smoothed_hits
+               FROM j GROUP BY doc_id)
+       SELECT doc_id, n_tokens, smoothed_hits,
+              CAST(smoothed_hits AS DOUBLE) /
+              CAST(n_tokens * (lm_t + lm_v) AS DOUBLE) AS lm_score
+       FROM agg CROSS JOIN st
+       ORDER BY doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    TextAnalysis.lmScore(docs, docs.filter(col("doc_id") % 11 === 0))
+      .orderBy("doc_id")
+  }
+
   // DIRT pipeline end-to-end on the committed mini biarc corpus — corpus
   // lines are not a fixture table, so rows-only here; the hand-computed
   // closed-form scores are asserted in DirtPipelineSpec.

@@ -23,9 +23,15 @@ def load_official(path):
         return d["queries"]
     if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
         return d["parsed"]["queries"]
-    # fall back: regex over the (possibly truncated) tail
+    # fall back: regex over the (possibly truncated) tail — cut at the
+    # errors/regressions maps, whose entries reuse query names with
+    # RATIO values and would overwrite the real seconds
     import re
     tail = d.get("tail", "")
+    for stop in ('"errors"', '"regressions"', '"spread"'):
+        i = tail.find(stop)
+        if i >= 0:
+            tail = tail[:i]
     qs = {}
     for m in re.finditer(r'"(q\d+[A-Za-z0-9_]*|dirt_[A-Za-z0-9_]*|dedup_[A-Za-z0-9_]*)":([0-9.eE+-]+)', tail):
         try:
