@@ -245,4 +245,42 @@ object Curation {
     docs.select(
       (col(idCol) +: keep.map(col)) ++ counts :+ stages.last.as("redacted"): _*)
   }
+
+  /** Temperature-scaled mixture weights (the multilingual-sampling rule
+    * from mBERT/mT5: sample source g with probability ∝ p_g^α, α < 1
+    * up-weighting the tail): per group, its doc count, its sampling
+    * weight in parts-per-million, and the docs-per-epoch an integer
+    * `budget` buys it.
+    *
+    * Shape: ONE partial-aggregated count by group (|groups| rows —
+    * sources/languages, not documents), then a broadcast-sized
+    * normalization. The weights are exact integers cross-engine: since
+    * p_g^α / Σp^α == c_g^α / Σc^α, each group's score is
+    * `floor(sqrt(c_g)·1e6)` — `sqrt` and the multiply are both
+    * correctly-rounded IEEE ops, so every engine computes the identical
+    * BIGINT — and the normalizer is an integer sum (order-free), making
+    * `weight_ppm` reproducible anywhere, unlike a float normalization
+    * whose summation order is engine-private. α is fixed at 1/2 for
+    * that reason: general `pow` carries no correct-rounding guarantee
+    * (Java's Math.pow(x, 0.5) may differ from sqrt(x) in the last ulp),
+    * so a generic-α variant could not be audited by an external engine.
+    * The 1e6 fixed-point keeps `1000000·score` inside BIGINT up to
+    * ~8e13 docs per group; weight resolution (~1e-6 relative) is far
+    * below the ppm output granularity.
+    */
+  def temperatureWeights(docs: DataFrame, budget: Long = 10000L,
+      groupCol: String = "source"): DataFrame = {
+    val counts = docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("score",
+        floor(sqrt(col("n_docs").cast("double")) * lit(1e6)).cast("long"))
+    val totals = counts.agg(sum(col("score")).as("total_score"))
+    counts
+      .crossJoin(broadcast(totals))
+      .select(
+        col(groupCol),
+        col("n_docs"),
+        expr("(1000000 * score) DIV total_score").as("weight_ppm"))
+      .withColumn("target_docs", expr(s"($budget * weight_ppm) DIV 1000000"))
+  }
 }

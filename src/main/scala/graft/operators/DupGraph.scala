@@ -156,6 +156,81 @@ object DupGraph {
       id2Col: String = "id2"): DataFrame =
     dropNearDupsByComponents(docs, components(pairs, id1Col, id2Col), idCol)
 
+  /** Deterministic PageRank over the undirected pair graph, in integer
+    * fixed-point arithmetic — a centrality score for documents inside a
+    * near-duplicate (or citation/link) graph: "which doc is the HUB of
+    * this boilerplate cluster" is a better keeper-selection signal than
+    * min-id when clusters are large.
+    *
+    * Every quantity is a BIGINT multiple of 1/`scale`:
+    *
+    *   rank₀(v)   = scale ÷ N                       (integer division)
+    *   contrib(u) = rank(u) ÷ deg(u)
+    *   rankₖ₊₁(v) = ((100−d)·(scale ÷ N)) ÷ 100 + (d·Σ contrib(u)) ÷ 100
+    *
+    * with d = `dampingPct` (the standard 0.85 as an integer percentage).
+    * Because ÷ is integer division and Σ is an integer sum, the result
+    * is bit-identical on ANY engine regardless of partitioning or
+    * summation order — float PageRank can't be audited that way (its Σ
+    * order is engine-private). The truncation loses < N·(1+d)/scale of
+    * probability mass per round: at scale = 10¹² that is noise, and
+    * determinism is what a 100 TB dedup pipeline needs for reproducible
+    * keeper choices.
+    *
+    * Shape per iteration: one equi-join rank⋈edges (shuffles on node
+    * id), one partial-aggregated sum by destination — the classic
+    * power-iteration MapReduce shape. The rank vector (|V| rows, 16 B)
+    * is localCheckpoint'ed per round to stop plan growth; the edge list
+    * and degree table are checkpointed once and reused. A fixed
+    * `iterations` count (not a convergence test) keeps the oracle
+    * expressible as unrolled SQL.
+    *
+    * Overflow bound: ranks ≤ scale, so `dampingPct·Σcontrib` ≤ 85·scale
+    * ≤ 8.5×10¹³ ≪ 2⁶³. Undirected edges mean no dangling nodes (every
+    * node with an out-edge has in-edges), so no dangling-mass term.
+    */
+  def pageRank(pairs: DataFrame, iterations: Int = 4,
+      id1Col: String = "id1", id2Col: String = "id2",
+      scale: Long = 1000000000000L, dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 0 && dampingPct >= 0 && dampingPct <= 100)
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val canon = pairs
+      .select(Ids.longId(id1Col).as("a"), Ids.longId(id2Col).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val edges = canon
+      .unionByName(canon.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy(col("u").as("id"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val n = deg.agg(count(lit(1)).as("n"))
+    val base = deg.select("id").crossJoin(broadcast(n))
+    var pr = base
+      .select(col("id"), expr(s"CAST($scale DIV n AS BIGINT)").as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val contrib = edges
+        .join(pr.select(col("id").as("u"), col("rank").as("r")), "u")
+        .join(deg.select(col("id").as("u"), col("deg")), "u")
+        .groupBy(col("v").as("id"))
+        .agg(sum(expr("r DIV deg")).as("contrib"))
+      val next = base
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          expr(s"""CAST(((100 - $dampingPct) * ($scale DIV n)) DIV 100
+                   + ($dampingPct * COALESCE(contrib, 0)) DIV 100 AS BIGINT)""")
+            .as("rank"))
+        .localCheckpoint(true)
+      freeCheckpoint(pr)
+      pr = next
+    }
+    pr
+  }
+
   /** [[dropNearDups]] for pipelines that already ran [[components]] —
     * the pair graph (a Jaccard/MinHash join) and its transitive closure
     * are the expensive steps, and a curation pipeline typically needs

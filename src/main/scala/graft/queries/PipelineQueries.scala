@@ -1058,6 +1058,148 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // Duplicate-passage contamination (Lee et al. exact-substring dedup,
+  // word 5-gram flavor): per doc, how many of its overlapping 5-grams
+  // occur in other docs and how many token positions those spans cover
+  // (interval union via position explode + distinct). All-integer
+  // output; the fixture has ~1.1k naturally duplicated 5-grams, so the
+  // signal is non-trivial without a doctored corpus.
+  val q80 = Q.checked(
+    "q80_dedup_passages",
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                  FROM documents),
+       g AS (SELECT doc_id, i - 1 AS pos,
+                    array_to_string(toks[i:i+4], ' ') AS gram
+             FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+                   FROM t WHERE len(toks) >= 5)),
+       dupg AS (SELECT gram FROM g
+                GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+       duppos AS (SELECT doc_id, pos FROM g
+                  WHERE gram IN (SELECT gram FROM dupg)),
+       cov AS (SELECT doc_id,
+                      CAST(count(DISTINCT pos) AS BIGINT) AS n_dup_grams,
+                      CAST(count(DISTINCT tokidx) AS BIGINT) AS dup_covered_tokens
+               FROM (SELECT doc_id, pos, unnest(range(pos, pos + 5)) AS tokidx
+                     FROM duppos)
+               GROUP BY doc_id)
+       SELECT t.doc_id,
+              CAST(len(toks) AS BIGINT) AS n_tokens,
+              CAST(CASE WHEN len(toks) >= 5 THEN len(toks) - 4 ELSE 0 END AS BIGINT)
+                AS n_grams,
+              COALESCE(n_dup_grams, 0) AS n_dup_grams,
+              COALESCE(dup_covered_tokens, 0) AS dup_covered_tokens,
+              CASE WHEN len(toks) > 0
+                   THEN (1000 * COALESCE(dup_covered_tokens, 0)) // len(toks)
+                   ELSE 0 END AS dup_permille
+       FROM t LEFT JOIN cov ON cov.doc_id = t.doc_id
+       ORDER BY t.doc_id""") { (s, d) =>
+    graft.operators.Passages.duplicatePassageStats(Tables.documents(s, d))
+      .orderBy("doc_id")
+  }
+
+  // CCNet-style chunk-level dedup: 10-word chunks whose text occurs in
+  // ≥2 distinct docs are dropped from every doc, survivors reassembled
+  // in document order (127 chunks duplicate naturally in the fixture).
+  // string_agg ORDER BY idx == sort_array(collect_list(struct)) — both
+  // deterministic; COALESCE matches Spark's empty-array '' for docs
+  // whose every chunk was boilerplate.
+  val q81 = Q.checked(
+    "q81_dedup_chunks",
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                  FROM documents),
+       c AS (SELECT doc_id, i AS idx,
+                    array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS chunk
+             FROM (SELECT doc_id, toks,
+                          unnest(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS i
+                   FROM t)),
+       dupc AS (SELECT chunk FROM c
+                GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2),
+       kept AS (SELECT doc_id, idx, chunk FROM c
+                WHERE chunk NOT IN (SELECT chunk FROM dupc)),
+       total AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+                 FROM c GROUP BY doc_id),
+       rebuilt AS (SELECT doc_id,
+                          CAST(count(*) AS BIGINT) AS n_kept,
+                          string_agg(chunk, ' ' ORDER BY idx) AS clean_text
+                   FROM kept GROUP BY doc_id)
+       SELECT t.doc_id, n_chunks,
+              COALESCE(n_kept, 0) AS n_kept,
+              COALESCE(clean_text, '') AS clean_text
+       FROM total t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+       ORDER BY t.doc_id""") { (s, d) =>
+    graft.operators.Passages.dedupChunks(Tables.documents(s, d))
+      .orderBy("doc_id")
+  }
+
+  // Deterministic integer PageRank over the q32 near-dup pair graph
+  // (doc centrality within boilerplate clusters): the oracle unrolls
+  // the same fixed-point power iteration as SQL CTEs — generated by the
+  // same loop bound, so iteration counts can't drift — on top of the
+  // shared q68 CTE prefix (whose `edges` IS the symmetrized pair
+  // graph). All arithmetic is BIGINT (integer division, integer sums),
+  // so the ranks are bit-identical cross-engine; see DupGraph.pageRank.
+  private val PrIters = 4
+  private val PrScale = 1000000000000L
+
+  private def pageRankCtes: String = {
+    val iter = (1 to PrIters).map { k =>
+      s"""pr$k AS (
+           SELECT d.id,
+                  CAST((15 * ($PrScale // nn.n)) // 100
+                       + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT) AS rank
+           FROM deg d CROSS JOIN nn
+           LEFT JOIN (SELECT e.v AS id,
+                             CAST(sum(p.rank // g.deg) AS BIGINT) AS contrib
+                      FROM edges e
+                      JOIN pr${k - 1} p ON p.id = e.u
+                      JOIN deg g ON g.id = e.u
+                      GROUP BY e.v) c ON c.id = d.id)"""
+    }.mkString(",\n")
+    s"""deg AS (SELECT u AS id, CAST(count(*) AS BIGINT) AS deg
+                FROM edges GROUP BY u),
+       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+       pr0 AS (SELECT id, CAST($PrScale // n AS BIGINT) AS rank
+               FROM deg CROSS JOIN nn),
+       $iter"""
+  }
+
+  val q83 = Q.checked(
+    "q83_dedup_pagerank",
+    s"""$dupGraphCtes,
+       $pageRankCtes
+       SELECT id AS doc_id, rank FROM pr$PrIters ORDER BY doc_id""") { (s, d) =>
+    graft.operators.DupGraph
+      .pageRank(Dedup.jaccardPairs(Tables.documents(s, d), threshold = 0.5),
+        iterations = PrIters, scale = PrScale)
+      .select(col("id").as("doc_id"), col("rank"))
+      .orderBy("doc_id")
+  }
+
+  // Temperature-scaled mixture weights (α = 1/2) over the language
+  // groups (218/75/73/70/64 — usefully non-uniform): weights are exact
+  // integers in both engines because sqrt and the 1e6 fixed-point
+  // multiply are correctly-rounded IEEE ops and the normalizer is an
+  // integer (order-free) sum — see Curation.temperatureWeights.
+  val q82 = Q.checked(
+    "q82_mixture_temperature",
+    """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+                  FROM documents GROUP BY lang),
+       s AS (SELECT lang, n_docs,
+                    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT)
+                      AS score
+             FROM c),
+       t AS (SELECT CAST(sum(score) AS BIGINT) AS total_score FROM s)
+       SELECT lang, n_docs,
+              (1000000 * score) // total_score AS weight_ppm,
+              (10000 * ((1000000 * score) // total_score)) // 1000000
+                AS target_docs
+       FROM s CROSS JOIN t
+       ORDER BY lang""") { (s, d) =>
+    graft.operators.Curation
+      .temperatureWeights(Tables.documents(s, d), groupCol = "lang")
+      .orderBy("lang")
+  }
+
   // DIRT pipeline end-to-end on the committed mini biarc corpus — corpus
   // lines are not a fixture table, so rows-only here; the hand-computed
   // closed-form scores are asserted in DirtPipelineSpec.

@@ -145,4 +145,16 @@ class CurationSpec extends AnyFunSuite {
       bs.foreach(b => assert(b._5 < ctx + maxDoc, s"$key bin ${b._3}"))
     }
   }
+
+  test("temperatureWeights: α=1/2 closed form, integer-exact") {
+    import spark.implicits._
+    // counts 4 and 1 -> sqrt scores 2e6 and 1e6 -> weights 2/3 and 1/3
+    val docs = (Seq.fill(4)("a") ++ Seq("b")).zipWithIndex
+      .map { case (s, i) => (i.toLong, s"t$i", s) }
+      .toDF("doc_id", "text", "source")
+    val got = Curation.temperatureWeights(docs, budget = 9000L)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 4L, 666666L, 5999L)))
+    assert(got("b") == (("b", 1L, 333333L, 2999L)))
+  }
 }

@@ -105,4 +105,54 @@ class DupGraphSpec extends AnyFunSuite {
     // clusters {1,2,4} -> keep 1; {7,8} -> keep 7; rest are singletons
     assert(kept.toSeq == Seq(0L, 1L, 3L, 5L, 6L, 7L, 9L))
   }
+
+  /** Plain-Scala twin of the integer power iteration — the exact same
+    * fixed-point formula, evaluated driver-side.
+    */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+      scale: Long, d: Int): Map[Long, Long] = {
+    val sym = edges.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+      .filter { case (u, v) => u != v }.distinct
+    val deg = sym.groupBy(_._1).map { case (k, vs) => k -> vs.size.toLong }
+    val n = deg.size.toLong
+    var r = deg.keys.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = sym.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => r(u) / deg(u) }.sum
+      }
+      r = deg.keys.map(id =>
+        id -> (((100 - d) * (scale / n)) / 100 +
+          (d * contrib.getOrElse(id, 0L)) / 100)).toMap
+    }
+    r
+  }
+
+  test("pageRank matches the integer reference on a lollipop graph") {
+    import spark.implicits._
+    // triangle {1,2,3} with a tail 3-4-5: asymmetric degrees, so ranks
+    // genuinely differ per node
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val got = DupGraph.pageRank(edges.toDF("id1", "id2"), iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    val want = refPageRank(edges, iters = 4, scale = 1000000000000L, d = 85)
+    assert(got == want)
+    // the junction node 3 (deg 3) outranks everyone; total mass stays
+    // within truncation of the initial scale
+    assert(got(3L) == got.values.max)
+    assert(got.values.sum <= 1000000000000L)
+    assert(got.values.sum > 900000000000L)
+  }
+
+  test("pageRank: duplicate/reversed/self pairs are harmless, star hub wins") {
+    import spark.implicits._
+    val raw = Seq((10L, 11L), (11L, 10L), (10L, 10L), (10L, 12L),
+      (10L, 13L), (10L, 13L))
+    val got = DupGraph.pageRank(raw.toDF("id1", "id2"), iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    val want = refPageRank(raw, iters = 3, scale = 1000000000000L, d = 85)
+    assert(got == want)
+    assert(got(10L) == got.values.max)
+    // leaves are symmetric, so their ranks are identical
+    assert(got(11L) == got(12L) && got(12L) == got(13L))
+  }
 }

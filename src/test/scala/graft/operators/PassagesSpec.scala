@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed kernels for passage-level dedup: the q80/q81 oracle rows
+  * prove cross-engine agreement at fixture scale; this pins the span
+  * arithmetic (interval union of overlapping grams, chunk boundaries,
+  * all-dropped and short-doc edges) on a corpus small enough to verify
+  * by eye.
+  */
+class PassagesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("passages-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("duplicatePassageStats counts spans and their interval union") {
+    // docs 1 and 2 share the 3-gram "a b c" twice over (positions 0 and
+    // 1 of doc 1 overlap: "a b c" at 0, "b c a" is unshared, but doc 1 =
+    // "a b c d e" and doc 2 = "x a b c d" share "a b c" AND "b c d":
+    // doc 1 dup positions {0, 1} cover tokens {0..3} -> 4 covered.
+    // doc 2 dup positions {1, 2} cover tokens {1..4} -> 4 covered.
+    // doc 3 is unrelated; doc 4 is too short for any 3-gram.
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x a b c d"),
+      (3L, "p q r s"),
+      (4L, "u v")).toDF("doc_id", "text")
+    val got = Passages.duplicatePassageStats(docs, n = 3)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got(1L) == ((5L, 3L, 2L, 4L, 800L)))
+    assert(got(2L) == ((5L, 3L, 2L, 4L, 800L)))
+    assert(got(3L) == ((4L, 2L, 0L, 0L, 0L)))
+    assert(got(4L) == ((2L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("dedupChunks drops cross-doc boilerplate, keeps intra-doc repeats") {
+    // width=2 chunks; "b1 b2" is shared by docs 1 and 2 -> dropped from
+    // both; doc 3 repeats its own chunk "r r" twice (1 distinct doc) ->
+    // kept; doc 4 is ONLY boilerplate -> survives with empty clean_text.
+    val docs = Seq(
+      (1L, "b1 b2 u1 u2"),
+      (2L, "v1 v2 b1 b2 v3"),
+      (3L, "r r r r"),
+      (4L, "b1 b2")).toDF("doc_id", "text")
+    val got = Passages.dedupChunks(docs, width = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((2L, 1L, "u1 u2")))
+    assert(got(2L) == ((3L, 2L, "v1 v2 v3")))
+    assert(got(3L) == ((2L, 2L, "r r r r")))
+    assert(got(4L) == ((1L, 0L, "")))
+  }
+
+  test("dedupChunks chunk order survives reassembly past one digit of idx") {
+    // 24 chunks of width 1 — sort_array on struct(idx, chunk) must sort
+    // numerically (idx is an int), not lexicographically ("10" < "2").
+    val words = (0 until 24).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, words), (2L, "zzz")).toDF("doc_id", "text")
+    val got = Passages.dedupChunks(docs, width = 1)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(got(1L) == words)
+  }
+}
