@@ -486,6 +486,51 @@ object Dedup {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** SemDeDup-style semantic dup pairs (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): k-means-cluster the embedding space (deterministic
+    * [[Ivf.trainCentroids]] — no RNG), then compare pairs only WITHIN a
+    * cluster. The cluster bound is what makes semantic dedup tractable
+    * at corpus scale: the pairwise stage is quadratic per cluster, not
+    * per corpus — with C balanced clusters the candidate count drops by
+    * ~C× — and the equi-join on `cell` is AQE-splittable if one cluster
+    * runs hot. Cross-cluster near-dups are missed by construction; the
+    * paper's (and this operator's) contract is that a cluster count
+    * sized to the corpus keeps that miss rate small.
+    *
+    * Output (id1, id2, cos_sim ≥ threshold), id1 < id2 — same shape as
+    * [[embeddingPairsExact]]/[[embeddingPairsLsh]], so the transitive
+    * drop composes via [[DupGraph.dropNearDups]] unchanged.
+    */
+  def embeddingPairsKmeans(
+      embeddings: DataFrame,
+      threshold: Double,
+      nClusters: Int = 16,
+      iters: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = Ivf.trainCentroids(embeddings, nClusters, iters, idCol, vecCol)
+    val bc = spark.sparkContext.broadcast(cents)
+    val assigned = embeddings
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v, Ivf.nearestCell(v, bc.value)) }
+      .toDF("id", "vec", "cell")
+    val a = assigned.select(col("cell"), col("id").as("id1"), col("vec").as("v1"))
+    val b = assigned.select(col("cell"), col("id").as("id2"), col("vec").as("v2"))
+    a.join(b, Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("v1"), col("v2"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .flatMap { case (i1, i2, v1, v2) =>
+        VectorSearch.finiteRoundedCosine(v1, v2).map(c => (i1, i2, c))
+      }
+      .toDF("id1", "id2", "cos_sim")
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** Scale path: signed-random-projection LSH with `tables` independent
     * hash tables of `nBits` hyperplane bits each — candidates share a
     * bucket in >= 1 table, then exact-cosine verified. Map-only signature

@@ -25,6 +25,10 @@ object Ivf {
     s
   }
 
+  /** Nearest-centroid cell id — shared with [[Dedup.embeddingPairsKmeans]]. */
+  private[operators] def nearestCell(v: Array[Float],
+      cents: Array[Array[Double]]): Int = nearest(v, cents)
+
   private def nearest(v: Array[Float], cents: Array[Array[Double]]): Int = {
     var best = 0
     var bestD = Double.MaxValue

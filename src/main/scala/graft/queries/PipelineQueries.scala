@@ -278,6 +278,27 @@ object PipelineQueries {
       .orderBy("query_id", "neighbor_id")
   }
 
+  // Product-quantization ADC ANN — 8 subspaces × 16 codes over the
+  // 64-dim embeddings (32× compression; scoring touches only code ids
+  // + per-query lookup tables). k-means codebooks are not
+  // SQL-expressible, rows-only; recall vs the exact search and the
+  // reconstruction-cosine identity are asserted in PqSpec.
+  val q85 = Q.rowsOnly("q85_ann_pq_topk") { (s, d) =>
+    graft.operators.Pq.pqTopK(Tables.embeddings(s, d),
+      queryIds = 0L to 9L, k = 5, m = 8, ksub = 16, iters = 2, rerank = 50)
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  // SemDeDup semantic near-dup pairs: k-means clusters bound the
+  // pairwise cosine stage (quadratic per CLUSTER, not per corpus).
+  // k-means is not SQL-expressible, rows-only; within-cluster
+  // equivalence to the brute-force pairs is asserted in DedupEmbeddingSpec.
+  val q86 = Q.rowsOnly("q86_dedup_semantic_kmeans") { (s, d) =>
+    Dedup.embeddingPairsKmeans(Tables.embeddings(s, d), threshold = 0.4,
+      nClusters = 16, iters = 2)
+      .orderBy("id1", "id2")
+  }
+
   // Text-analysis projection (all-Column, UDF-free) — the closed-form
   // quality/lang-ID formulas recomputed exactly by the oracle.
   val q37 = Q.checked("q37_text_analysis", TextAnalysisSql.sql) { (s, d) =>
@@ -425,6 +446,25 @@ object PipelineQueries {
       ev.filter(col("event_type") === "purchase"),
       "1 hour", maxGapHours = 1)
       .orderBy("left_id", "right_id")
+  }
+
+  // Stream-static enrichment join, batch twin: every event left-joined
+  // to its user's customer dimension row (full key coverage in the
+  // fixture, but LEFT is the operator's contract — see
+  // StreamOps.enrichEvents). The per-micro-batch streaming behavior and
+  // static-side broadcast are exercised in StreamOpsSpec.
+  val q84 = Q.checked(
+    "q84_stream_static_enrich",
+    """SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, e.user_id,
+              e.event_type, e.value, c.c_name, c.c_nationkey
+       FROM events e
+       LEFT JOIN customer c ON c.c_custkey = e.user_id
+       ORDER BY e.event_id""") { (s, d) =>
+    graft.streaming.StreamOps
+      .enrichEvents(Tables.events(s, d).drop("props"), Tables.customer(s, d))
+      .select("event_id", "ts", "user_id", "event_type", "value",
+        "c_name", "c_nationkey")
+      .orderBy("event_id")
   }
 
   // The mapGroupsWithState custom-state operator, batch twin: on a

@@ -74,6 +74,24 @@ object StreamOps {
       .select("left_id", "right_id", "user_id")
   }
 
+  /** Stream-static enrichment join: every event joined (left) to a
+    * static dimension table — the lookup-enrichment every event
+    * pipeline needs (user → account, doc → source metadata). The static
+    * side is a bounded plan Spark re-plans per micro-batch, so it needs
+    * no watermark and holds NO join state (unlike stream-stream joins);
+    * `broadcast` keeps each micro-batch map-side at cluster scale, and
+    * a LEFT join keeps events whose key has no dimension row (dropping
+    * telemetry because a dim table lags is how pipelines lose data).
+    * Works identically on bounded plans — the q84 batch twin.
+    */
+  def enrichEvents(events: DataFrame, dim: DataFrame,
+      eventKey: String = "user_id", dimKey: String = "c_custkey",
+      dimCols: Seq[String] = Seq("c_name", "c_nationkey")): DataFrame = {
+    val d = dim.select((dimKey +: dimCols).map(col): _*)
+    events.join(broadcast(d), col(eventKey) === col(dimKey), "left")
+      .drop(dimKey)
+  }
+
   /** Stateful exactly-once dedup on event_id, state expiring with the
     * watermark (`dropDuplicatesWithinWatermark`). The within-watermark
     * variant exists only for streams (Spark rejects it on bounded

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class DedupEmbeddingSpec extends AnyFunSuite {
@@ -34,5 +35,31 @@ class DedupEmbeddingSpec extends AnyFunSuite {
       nBits = 2, tables = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again == lsh)
+  }
+
+  test("SemDeDup k-means pairs == brute-force pairs restricted to co-clustered ids") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = Dedup.embeddingPairsKmeans(emb, threshold = 0.4,
+      nClusters = 8, iters = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+
+    // reference: assign cells exactly as the operator does, then filter
+    // the exact all-pairs output to co-clustered pairs
+    val cents = Ivf.trainCentroids(emb, nList = 8, iters = 2)
+    import spark.implicits._
+    val cells = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> Ivf.nearestCell(v, cents) }.toMap
+    val want = Dedup.embeddingPairsExact(emb, threshold = 0.4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .filter { case ((i1, i2), _) => cells(i1) == cells(i2) }.toMap
+
+    assert(got == want) // same pairs AND same rounded cosines
+    assert(got.nonEmpty)
+    // deterministic across runs (no RNG in training or assignment)
+    val again = Dedup.embeddingPairsKmeans(emb, threshold = 0.4,
+      nClusters = 8, iters = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(again == got)
   }
 }

@@ -112,6 +112,30 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("stream-static enrich joins each micro-batch against the dim table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "alice", 10), (2L, "bob", 20))
+      .toDF("c_custkey", "c_name", "c_nationkey")
+    val input = MemoryStream[UserEvent]
+    val out = StreamOps.enrichEvents(input.toDF(), dim)
+    val q = out.writeStream.format("memory").queryName("enrich")
+      .outputMode("append").start()
+
+    input.addData(ev(1, 1, 1, "a", 1.0))
+    q.processAllAvailable()
+    // second micro-batch: a matching user AND an orphan (uid 9) — the
+    // LEFT join must keep the orphan with null dim columns
+    input.addData(ev(2, 2, 2, "b", 2.0), ev(3, 3, 9, "c", 3.0))
+    q.processAllAvailable()
+
+    val got = spark.table("enrich")
+      .select("event_id", "c_name")
+      .as[(Long, Option[String])].collect().toMap
+    q.stop()
+    assert(got == Map(1L -> Some("alice"), 2L -> Some("bob"), 3L -> None))
+  }
+
   test("session windows merge gapped events per user") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
