@@ -52,7 +52,7 @@ object SparkEntry {
     RelationalQueries.q29, RelationalQueries.q47, RelationalQueries.q48,
     RelationalQueries.q49, RelationalQueries.q51,
     RelationalQueries.q57, RelationalQueries.q58,
-    RelationalQueries.q72, RelationalQueries.q73,
+    RelationalQueries.q72, RelationalQueries.q73, RelationalQueries.q87,
     PipelineQueries.q30, PipelineQueries.q31, PipelineQueries.q32,
     PipelineQueries.q33, PipelineQueries.q34, PipelineQueries.q35,
     PipelineQueries.q36, PipelineQueries.q37, PipelineQueries.q38,
@@ -70,7 +70,7 @@ object SparkEntry {
     PipelineQueries.q77, PipelineQueries.q78, PipelineQueries.q79,
     PipelineQueries.q80, PipelineQueries.q81, PipelineQueries.q82,
     PipelineQueries.q83, PipelineQueries.q84, PipelineQueries.q85,
-    PipelineQueries.q86)
+    PipelineQueries.q86, PipelineQueries.q88)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding merge training (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units") — the
+  * tokenizer-training step of an LLM data pipeline, as iterative
+  * relational passes.
+  *
+  * The standard histogram trick makes this corpus-scale: pair counts
+  * depend only on the WORD FREQUENCY TABLE, so the corpus collapses to
+  * (distinct word, count) in one aggregation — 100 TB of text becomes a
+  * vocabulary-sized table (still distributed; a web-scale vocab has
+  * hundreds of millions of types) — and every merge round is a flatMap
+  * of adjacent symbol pairs weighted by word frequency + one partial
+  * aggregated count. Only the single argmax row is collected per round
+  * (bounded driver state); the winning pair is applied map-side with
+  * the classic greedy left-to-right non-overlapping rule. Ties on count
+  * break lexicographically on (left, right), so training is fully
+  * deterministic — no RNG, no partition-order dependence.
+  *
+  * Output: one row per merge, `(rank, left, right, pair_count)` in
+  * training order — the merge table a tokenizer runtime consumes.
+  */
+object Bpe {
+
+  private[operators] def mergePair(syms: Array[String], l: String,
+      r: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += l + r
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** The word-end marker: a distinct final symbol, so merges crossing
+    * word boundaries can't form and suffix units ("est</w>") stay
+    * separate from infix ones ("est").
+    */
+  val EndMark = "</w>"
+
+  def trainMerges(docs: DataFrame, nMerges: Int,
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    var hist: Dataset[(Array[String], Long)] = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .map { case (w, f) => (w.map(_.toString).toArray :+ EndMark, f) }
+      .localCheckpoint(true)
+
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      val top = hist
+        .flatMap { case (syms, f) =>
+          syms.iterator.sliding(2).withPartial(false)
+            .map(p => (p.head, p(1), f))
+        }
+        .toDF("l", "r", "f")
+        .groupBy("l", "r")
+        .agg(sum("f").as("pair_count"))
+        .orderBy(desc("pair_count"), asc("l"), asc("r"))
+        .limit(1)
+        .as[(String, String, Long)]
+        .collect()
+      top.headOption match {
+        case None => exhausted = true // every word is one symbol already
+        case Some((l, r, c)) =>
+          merges += ((rank, l, r, c))
+          val next = hist
+            .map { case (syms, f) => (mergePair(syms, l, r), f) }
+            .localCheckpoint(true)
+          hist.unpersist(blocking = false)
+          hist = next
+          rank += 1
+      }
+    }
+    hist.unpersist(blocking = false)
+    merges.result().toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Greedy segmentation of one word with a trained merge table (merges
+    * applied in rank order) — the tokenizer-runtime side, here for
+    * round-trip testing.
+    */
+  def segment(word: String, merges: Seq[(String, String)]): Array[String] = {
+    var syms = word.map(_.toString).toArray :+ EndMark
+    merges.foreach { case (l, r) => syms = mergePair(syms, l, r) }
+    syms
+  }
+}

@@ -299,6 +299,16 @@ object PipelineQueries {
       .orderBy("id1", "id2")
   }
 
+  // Distributed BPE merge training over the corpus word histogram —
+  // tokenizer training as iterative relational passes. The greedy
+  // sequential merge rule is not SQL-expressible, rows-only; the
+  // distributed == sequential-reference equivalence and the paper's
+  // hand-checkable first merges are pinned in BpeSpec.
+  val q88 = Q.rowsOnly("q88_bpe_merges") { (s, d) =>
+    graft.operators.Bpe.trainMerges(Tables.documents(s, d), nMerges = 12)
+      .orderBy("rank")
+  }
+
   // Text-analysis projection (all-Column, UDF-free) — the closed-form
   // quality/lang-ID formulas recomputed exactly by the oracle.
   val q37 = Q.checked("q37_text_analysis", TextAnalysisSql.sql) { (s, d) =>

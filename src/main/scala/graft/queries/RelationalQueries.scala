@@ -879,4 +879,26 @@ object RelationalQueries {
         col("n"), col("total"))
       .orderBy("o_orderstatus")
   }
+
+  // Range-clustered parquet layout (ClusteredWrite): events rewritten
+  // range-partitioned + sorted on user_id with small row groups, read
+  // back through a selective filter. The oracle is the plain filter over
+  // the ORIGINAL table — the layout must be invisible to results while
+  // zone-map pruning makes the scan read a fraction of the table
+  // (asserted with scan metrics in ClusteredWriteSpec).
+  val q87 = Q.checked(
+    "q87_clustered_write_skipping",
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+       FROM events
+       WHERE user_id BETWEEN 10 AND 19
+       ORDER BY event_id""") { (s, d) =>
+    val path = s"${sys.props("java.io.tmpdir")}/graft_clustered_events_${ProcessHandle.current().pid()}"
+    graft.operators.ClusteredWrite.write(
+      Tables.events(s, d).drop("props"), path, Seq("user_id"),
+      rowGroupBytes = 64 * 1024, numFiles = 8)
+    s.read.parquet(path)
+      .filter(col("user_id").between(10, 19))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
 }

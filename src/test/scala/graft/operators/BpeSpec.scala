@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE training against a driver-side reference implementation of the
+  * same algorithm (greedy left-to-right merge, lexicographic
+  * tie-break), plus the paper's classic low/lower/newest/widest corpus
+  * whose first merges are hand-checkable.
+  */
+class BpeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("bpe-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  /** Plain-Scala reference: identical formula, evaluated sequentially. */
+  private def refMerges(words: Seq[String], n: Int): Seq[(String, String, Long)] = {
+    var hist: Map[List[String], Long] = words
+      .groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+      .map { case (w, f) => (w.map(_.toString).toList :+ Bpe.EndMark) -> f }
+      .groupBy(_._1).view.mapValues(_.values.sum).toMap
+    val out = Seq.newBuilder[(String, String, Long)]
+    var k = 0
+    var stop = false
+    while (k < n && !stop) {
+      val counts = hist.toSeq.flatMap { case (syms, f) =>
+        syms.sliding(2).collect { case List(a, b) => ((a, b), f) }
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      if (counts.isEmpty) stop = true
+      else {
+        val ((l, r), c) = counts.toSeq
+          .minBy { case ((a, b), cnt) => (-cnt, a, b) }
+        out += ((l, r, c))
+        hist = hist.toSeq.map { case (syms, f) =>
+          Bpe.mergePair(syms.toArray, l, r).toList -> f
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        k += 1
+      }
+    }
+    out.result()
+  }
+
+  private val corpus =
+    (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+
+  test("distributed merges equal the sequential reference") {
+    val docs = Seq((1L, corpus)).toDF("doc_id", "text")
+    val got = Bpe.trainMerges(docs, nMerges = 8)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+      .map { case (_, l, r, c) => (l, r, c) }
+    val want = refMerges(corpus.split(" ").toSeq, 8)
+    assert(got == want)
+    // the paper's corpus: "es" (9 = 6 newest + 3 widest) merges first,
+    // then "est", then "est</w>"
+    assert(got.take(3) == Seq(("e", "s", 9L), ("es", "t", 9L),
+      ("est", Bpe.EndMark, 9L)))
+  }
+
+  test("training is deterministic and segmentation round-trips") {
+    val docs = Seq((1L, corpus)).toDF("doc_id", "text")
+    val m1 = Bpe.trainMerges(docs, nMerges = 6)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val m2 = Bpe.trainMerges(docs, nMerges = 6)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(m1 == m2)
+    val table = m1.map { case (_, l, r, _) => (l, r) }
+    // "newest" segments to [n, e, w, est</w>] once est+</w> merged
+    val seg = Bpe.segment("newest", table)
+    assert(seg.last.endsWith(Bpe.EndMark))
+    assert(seg.mkString == "newest" + Bpe.EndMark)
+    // frequent-word segmentations shrink toward whole-word units
+    assert(seg.length < "newest".length + 1)
+  }
+
+  test("merge training exhausts gracefully on a tiny vocabulary") {
+    val docs = Seq((1L, "aa aa")).toDF("doc_id", "text")
+    // "aa" -> [a, a, </w>]: pairs (a,a) and (a,</w>) tie at count 2 and
+    // the lexicographic tie-break picks (a, </w>) ('<' < 'a'); then
+    // (a, a</w>) merges, every word is one symbol, and no pair remains
+    // — training must stop at 2 merges, not run to nMerges
+    val got = Bpe.trainMerges(docs, nMerges = 10)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.map { case (_, l, r, _) => (l, r) } ==
+      Seq(("a", Bpe.EndMark), ("a", "a" + Bpe.EndMark)))
+    assert(got == refMerges(Seq("aa", "aa"), 10).zipWithIndex
+      .map { case ((l, r, c), i) => (i, l, r, c) })
+  }
+}
