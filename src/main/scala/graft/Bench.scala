@@ -129,7 +129,8 @@ object Bench {
   val heavyQueries: Set[String] = Set(
     "q32_dedup_jaccard", "q52_multimodal_image_decode",
     "q53_dedup_ngram_jaccard", "q68_dedup_components",
-    "q69_dedup_drop_clusters", "q78_curate_corpus_pipeline")
+    "q69_dedup_drop_clusters", "q78_curate_corpus_pipeline",
+    "q83_dedup_pagerank")
 
   private def rmrf(dir: String): Unit = {
     val p = java.nio.file.Paths.get(dir)

@@ -163,6 +163,96 @@ object TextAnalysis {
         "bigram_permille", "dup_token_permille")
   }
 
+  /** Gopher-style composite quality filter (Rae et al. 2021, Appendix A
+    * document-filtering rules), restricted to the rules that are exact
+    * integers cross-engine: token-count range, mean word length range
+    * (in deci-chars via integer division), top-bigram coverage cap and
+    * duplicate-token cap (both permille, the q64 metrics). One typed
+    * map over (id, text) — map-only, no shuffle; every metric and the
+    * pass verdict are integers/booleans, so the whole row is
+    * hash-exact against any SQL twin. Callers keep `pass` docs;
+    * emitting the per-doc metrics (not just the survivors) is what
+    * makes threshold sweeps cheap — filter downstream, measure once.
+    */
+  def gopherFilter(docs: DataFrame,
+      minTokens: Long = 20, maxTokens: Long = 80,
+      minWordLenDeci: Long = 30, maxWordLenDeci: Long = 60,
+      maxBigramPermille: Long = 250, maxDupPermille: Long = 400,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("id"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val w = (if (t == null) "" else t.trim).split("\\s+")
+        val n = w.length.toLong
+        val chars = w.map(_.length.toLong).sum
+        val wordLenDeci = if (n > 0) 10L * chars / n else 0L
+        val topBigram =
+          if (n < 2) 0L
+          else w.sliding(2).map(p => p(0) + " " + p(1)).toSeq
+            .groupBy(identity).valuesIterator.map(_.size).max.toLong
+        val bigramPm = if (n > 0) 2000L * topBigram / n else 0L
+        val dupPm =
+          if (n > 0) 1000L * (n - w.distinct.length.toLong) / n else 0L
+        val pass = n >= minTokens && n <= maxTokens &&
+          wordLenDeci >= minWordLenDeci && wordLenDeci <= maxWordLenDeci &&
+          bigramPm <= maxBigramPermille && dupPm <= maxDupPermille
+        (id, n, wordLenDeci, bigramPm, dupPm, pass)
+      }
+      .toDF(idCol, "n_tokens", "word_len_deci", "bigram_permille",
+        "dup_token_permille", "pass")
+  }
+
+  /** Guaranteed heavy hitters over the corpus token stream via a
+    * Misra–Gries sketch ([[graft.functions.MisraGriesAggregator]]):
+    * every token with true frequency > n/k, with its EXACT count.
+    *
+    * The sketch is the scale mechanism, not the answer: its summary
+    * content is merge-order-dependent, but its guarantee — all >n/k
+    * items present, counters low by ≤ n/k — is not. So the operator
+    * computes the sketch (map-side partials shuffle ≤ k-1 counters per
+    * partition), verifies both guarantees in-query against the exact
+    * counts of the ≤ k-1 candidates (`require` — a violated bound
+    * fails loudly rather than returning silently wrong results), and
+    * emits the exact-counted survivors. Output is therefore
+    * deterministic and SQL-oracle-able even though the sketch isn't.
+    *
+    * EAGER by design: the verification collects are the operator's
+    * contract and are bounded by k (≤ k-1 candidate rows + one scalar),
+    * never by the corpus. At most k-1 tokens can exceed n/k, so the
+    * result set itself is bounded too.
+    */
+  def heavyHitters(docs: DataFrame, k: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+    val sketch: Map[String, Long] = toks.as[String]
+      .select(graft.functions.MisraGriesAggregator(k).toColumn).head()
+    val n = toks.count()
+    val exact = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val candExact: Map[String, Long] =
+      if (sketch.isEmpty) Map.empty
+      else exact.filter(col("word").isin(sketch.keys.toSeq: _*))
+        .as[(String, Long)].collect().toMap
+    sketch.foreach { case (w, est) =>
+      val ex = candExact(w)
+      require(est <= ex && ex - est <= n / k,
+        s"Misra-Gries bound violated for '$w': est=$est exact=$ex n/k=${n / k}")
+    }
+    val hitters = exact.filter(col("cnt") > n / k)
+      .as[(String, Long)].collect()
+    hitters.foreach { case (w, c) =>
+      require(sketch.contains(w),
+        s"heavy hitter '$w' (count $c > ${n / k}) missing from the sketch")
+    }
+    spark.createDataset(hitters.toSeq.sorted).toDF("word", "cnt")
+  }
+
   /** Corpus vocabulary with document frequencies, top `k` by df: the
     * tokenizer-vocab / stopword-discovery staple. Per-doc distinct
     * tokens (array_distinct before the explode — a doc never counts a

@@ -309,6 +309,78 @@ object PipelineQueries {
       .orderBy("rank")
   }
 
+  // Gopher-style composite quality filter: the integer-exact rules
+  // (token-count range, mean word length in deci-chars, top-bigram and
+  // duplicate-token permille caps) plus the pass verdict. Thresholds
+  // are interpolated into the oracle from the same Scala constants, so
+  // query and oracle cannot drift.
+  private val GfMinTok = 20L
+  private val GfMaxTok = 80L
+  private val GfMinWl = 30L
+  private val GfMaxWl = 60L
+  private val GfMaxBigram = 250L
+  private val GfMaxDup = 400L
+
+  val q89 = Q.checked(
+    "q89_text_gopher_filter",
+    s"""WITH t AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+         FROM documents),
+       g AS (
+         SELECT doc_id,
+                unnest([toks[i] || ' ' || toks[i + 1]
+                        for i in range(1, len(toks))]) AS gram
+         FROM t WHERE len(toks) >= 2),
+       cnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+       topb AS (SELECT doc_id, max(c) AS topb FROM cnt GROUP BY 1),
+       m AS (
+         SELECT t.doc_id,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                CAST(CASE WHEN len(toks) > 0
+                     THEN 10 * length(array_to_string(toks, '')) // len(toks)
+                     ELSE 0 END AS BIGINT) AS word_len_deci,
+                CAST(CASE WHEN len(toks) > 0
+                     THEN 2000 * coalesce(topb.topb, 0) // len(toks)
+                     ELSE 0 END AS BIGINT) AS bigram_permille,
+                CAST(CASE WHEN len(toks) > 0
+                     THEN 1000 * (len(toks) - len(list_distinct(toks))) // len(toks)
+                     ELSE 0 END AS BIGINT) AS dup_token_permille
+         FROM t LEFT JOIN topb ON t.doc_id = topb.doc_id)
+       SELECT doc_id, n_tokens, word_len_deci, bigram_permille,
+              dup_token_permille,
+              (n_tokens BETWEEN $GfMinTok AND $GfMaxTok
+               AND word_len_deci BETWEEN $GfMinWl AND $GfMaxWl
+               AND bigram_permille <= $GfMaxBigram
+               AND dup_token_permille <= $GfMaxDup) AS pass
+       FROM m
+       ORDER BY doc_id""") { (s, d) =>
+    TextAnalysis.gopherFilter(Tables.documents(s, d),
+      minTokens = GfMinTok, maxTokens = GfMaxTok,
+      minWordLenDeci = GfMinWl, maxWordLenDeci = GfMaxWl,
+      maxBigramPermille = GfMaxBigram, maxDupPermille = GfMaxDup)
+      .orderBy("doc_id")
+  }
+
+  // Misra-Gries heavy hitters: the sketch supplies the candidate set
+  // and its guarantees are require-verified in-query against exact
+  // counts; the OUTPUT is the exact-counted >n/k tokens — deterministic
+  // and fully oracle-able even though sketch content is
+  // merge-order-dependent. Completes the sketch family (HLL q14, GK
+  // q51, Bloom q62, MinHash/SimHash/SRP).
+  val q90 = Q.checked(
+    "q90_text_heavy_hitters",
+    """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+                    FROM documents),
+       t2 AS (SELECT word FROM tok WHERE word <> ''),
+       c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM t2 GROUP BY word),
+       n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t2)
+       SELECT word, cnt FROM c CROSS JOIN n
+       WHERE cnt > n // 30
+       ORDER BY word""") { (s, d) =>
+    TextAnalysis.heavyHitters(Tables.documents(s, d), k = 30)
+      .orderBy("word")
+  }
+
   // Text-analysis projection (all-Column, UDF-free) — the closed-form
   // quality/lang-ID formulas recomputed exactly by the oracle.
   val q37 = Q.checked("q37_text_analysis", TextAnalysisSql.sql) { (s, d) =>
