@@ -246,6 +246,43 @@ object Curation {
       (col(idCol) +: keep.map(col)) ++ counts :+ stages.last.as("redacted"): _*)
   }
 
+  /** Canonical form of an absolute URL, for URL-keyed dedup and
+    * per-domain statistics (the CommonCrawl-pipeline staple: the same
+    * page is fetched as `HTTP://Example.com:80/a/?utm_source=x#top` and
+    * `http://example.com/a` and must dedup together):
+    *
+    *   - scheme and host lowercased (only them — paths are
+    *     case-sensitive per RFC 3986);
+    *   - default ports stripped (`:80` for http, `:443` for https);
+    *   - fragment dropped;
+    *   - `utm_*` tracking parameters dropped (with their separators
+    *     repaired — a lone `?utm_only=1` disappears entirely);
+    *   - trailing slashes stripped.
+    *
+    * Pure codegen'd Column chain (map-only; pushes through any plan).
+    * Every regex avoids capture-group REPLACEMENTS, the one syntax
+    * where Java regex (`$1`) and RE2 (`\1`) engines disagree — so the
+    * identical patterns run in a DuckDB/Trino audit twin verbatim
+    * (the q91 oracle does exactly that). Expects absolute URLs; a
+    * schemeless string passes through with its first segment
+    * host-lowered, deterministically.
+    */
+  def normalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = lower(regexp_extract(rest, "^([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val tail = regexp_replace(rest, "^[^/?#]*", "")
+    val noFrag = regexp_replace(tail, "#.*", "")
+    val noUtmMid = regexp_replace(noFrag, "utm_[^&]*&", "")
+    val noUtm = regexp_replace(noUtmMid, "[?&]utm_[^&]*$", "")
+    val noSlash = regexp_replace(noUtm, "/+$", "")
+    when(scheme === "", concat(host, noSlash))
+      .otherwise(concat(scheme, lit("://"), host, noSlash))
+  }
+
   /** Temperature-scaled mixture weights (the multilingual-sampling rule
     * from mBERT/mT5: sample source g with probability ∝ p_g^α, α < 1
     * up-weighting the tail): per group, its doc count, its sampling

@@ -381,6 +381,73 @@ object PipelineQueries {
       .orderBy("word")
   }
 
+  // URL canonicalization + URL-keyed dedup: synthetic messy URLs
+  // (mixed-case scheme/host, default port, utm_* params, fragments)
+  // built identically on both sides from doc_id, normalized by the
+  // SAME regex chain (no capture-group replacements — the one syntax
+  // where Java regex and RE2 disagree), then keeper-joined on the
+  // canonical form. Window-free: groupBy(min) + equi-join.
+  val q91 = Q.checked(
+    "q91_curation_url_dedup",
+    """WITH u AS (
+         SELECT doc_id,
+                'HTTP://WWW.Example' || (doc_id % 7) || '.COM:80/Path/' ||
+                (doc_id % 13) ||
+                CASE WHEN doc_id % 3 = 0
+                     THEN '/?utm_source=x&id=' || (doc_id % 5)
+                     WHEN doc_id % 3 = 1
+                     THEN '?id=' || (doc_id % 5) || '&utm_campaign=y'
+                     ELSE '/' END ||
+                CASE WHEN doc_id % 2 = 0 THEN '#Frag' ELSE '' END AS url
+         FROM documents),
+       n AS (
+         SELECT doc_id, url,
+                lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+         FROM u),
+       h AS (
+         SELECT doc_id, url, scheme,
+                lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS hostport,
+                regexp_replace(rest, '^[^/?#]*', '') AS tail
+         FROM n),
+       m AS (
+         SELECT doc_id, url,
+                CASE WHEN scheme = '' THEN '' ELSE scheme || '://' END ||
+                CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                     WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                     ELSE hostport END ||
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(tail, '#.*', ''),
+                      'utm_[^&]*&', '', 'g'),
+                    '[?&]utm_[^&]*$', ''),
+                  '/+$', '') AS norm_url
+         FROM h)
+       SELECT doc_id, url, norm_url, keeper_id
+       FROM m
+       JOIN (SELECT norm_url, min(doc_id) AS keeper_id
+             FROM m GROUP BY norm_url) k USING (norm_url)
+       ORDER BY doc_id""") { (s, d) =>
+    val url = concat(
+      lit("HTTP://WWW.Example"), (col("doc_id") % 7).cast("string"),
+      lit(".COM:80/Path/"), (col("doc_id") % 13).cast("string"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("/?utm_source=x&id="), (col("doc_id") % 5).cast("string")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("?id="), (col("doc_id") % 5).cast("string"),
+            lit("&utm_campaign=y")))
+        .otherwise(lit("/")),
+      when(col("doc_id") % 2 === 0, lit("#Frag")).otherwise(lit("")))
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("norm_url", graft.operators.Curation.normalizeUrl(col("url")))
+    val keepers = t.groupBy("norm_url").agg(min("doc_id").as("keeper_id"))
+    t.join(keepers, "norm_url")
+      .select("doc_id", "url", "norm_url", "keeper_id")
+      .orderBy("doc_id")
+  }
+
   // Text-analysis projection (all-Column, UDF-free) — the closed-form
   // quality/lang-ID formulas recomputed exactly by the oracle.
   val q37 = Q.checked("q37_text_analysis", TextAnalysisSql.sql) { (s, d) =>

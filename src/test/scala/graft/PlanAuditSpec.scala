@@ -181,4 +181,38 @@ class PlanAuditSpec extends AnyFunSuite {
       .findAllIn(p).size
     assert(exchanges <= 2, s"$exchanges user_id exchanges:\n${p.take(3000)}")
   }
+
+  test("q80/q81: passage dedup prunes the scan, no windows or cartesians") {
+    Seq("q80_dedup_passages", "q81_dedup_chunks").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+        s"$name: ${p.take(2000)}")
+      assert(!p.contains("Window"), s"$name: ${p.take(3000)}")
+      assert(!p.contains("CartesianProduct"), s"$name: ${p.take(3000)}")
+    }
+  }
+
+  test("q84: stream-static enrich broadcasts the dimension, not the events") {
+    val p = plan("q84_stream_static_enrich")
+    // the dim table is the RIGHT side of the left join by construction,
+    // so BuildRight == the dimension is the broadcast side
+    assert(p.contains("BroadcastHashJoin LeftOuter BuildRight"), p.take(3000))
+    // one broadcast in the TREE rendering (the details section repeats
+    // the node name once more per node)
+    assert("\\+- BroadcastExchange".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
+  test("q89: gopher filter is a single map-only pass (no shuffle before sort)") {
+    val p = plan("q89_text_gopher_filter")
+    assert(!"Exchange hashpartitioning".r.findFirstIn(p).isDefined,
+      p.take(3000))
+  }
+
+  test("q87: the clustered read-back pushes the range filter to the scan") {
+    val df = SparkEntry.queries("q87_clustered_write_skipping")(spark, sf)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters"), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(user_id,10)") &&
+      p.contains("LessThanOrEqual(user_id,19)"), p.take(3000))
+  }
 }

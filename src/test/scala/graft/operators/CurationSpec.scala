@@ -146,6 +146,26 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("normalizeUrl: case, ports, fragments, utm params, slashes") {
+    import spark.implicits._
+    val cases = Seq(
+      ("HTTP://Example.COM:80/A/?utm_source=x#top", "http://example.com/A"),
+      ("https://Ex.com:443/a/b/", "https://ex.com/a/b"),
+      ("https://ex.com:8443/a", "https://ex.com:8443/a"), // non-default port kept
+      ("http://ex.com/?utm_a=1&utm_b=2", "http://ex.com"),
+      ("http://ex.com/p?utm_a=1&id=2&utm_b=3", "http://ex.com/p?id=2"),
+      ("http://ex.com/p?id=2", "http://ex.com/p?id=2"),
+      ("ftp://Ex.com:80/f", "ftp://ex.com:80/f"), // :80 only default for http
+      ("Example.COM/Path/", "example.com/Path"), // schemeless passthrough
+      ("http://ex.com", "http://ex.com"))
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), Curation.normalizeUrl(col("url")).as("norm"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"normalizeUrl($in)")
+    }
+  }
+
   test("temperatureWeights: α=1/2 closed form, integer-exact") {
     import spark.implicits._
     // counts 4 and 1 -> sqrt scores 2e6 and 1e6 -> weights 2/3 and 1/3
