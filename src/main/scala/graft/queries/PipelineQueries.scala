@@ -448,6 +448,150 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // Second end-to-end curation composition, over THIS round's stages:
+  // URL-keyed dedup (q91's synthetic urls; keep doc_id == keeper) →
+  // chunk-level dedup on the survivors (q81, cleaned text, empty docs
+  // dropped) → Gopher filter on the CLEANED text (q89 rules) →
+  // temperature mixture weights per language over what passed (q82).
+  // One DuckDB CTE chain composes the four stage oracles — catching
+  // interface drift between them, like q78 does for the round-7 stages.
+  val q92 = Q.checked(
+    "q92_curate_webcrawl_pipeline",
+    s"""WITH u AS (
+         SELECT doc_id,
+                'HTTP://WWW.Example' || (doc_id % 7) || '.COM:80/Path/' ||
+                (doc_id % 13) ||
+                CASE WHEN doc_id % 3 = 0
+                     THEN '/?utm_source=x&id=' || (doc_id % 5)
+                     WHEN doc_id % 3 = 1
+                     THEN '?id=' || (doc_id % 5) || '&utm_campaign=y'
+                     ELSE '/' END ||
+                CASE WHEN doc_id % 2 = 0 THEN '#Frag' ELSE '' END AS url
+         FROM documents),
+       n0 AS (
+         SELECT doc_id,
+                lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+         FROM u),
+       h0 AS (
+         SELECT doc_id, scheme,
+                lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS hostport,
+                regexp_replace(rest, '^[^/?#]*', '') AS tail
+         FROM n0),
+       m0 AS (
+         SELECT doc_id,
+                CASE WHEN scheme = '' THEN '' ELSE scheme || '://' END ||
+                CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+                     WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+                     ELSE hostport END ||
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(tail, '#.*', ''),
+                      'utm_[^&]*&', '', 'g'),
+                    '[?&]utm_[^&]*$$', ''),
+                  '/+$$', '') AS norm_url
+         FROM h0),
+       survivors AS (
+         SELECT d.doc_id, d.text, d.lang
+         FROM documents d
+         JOIN (SELECT doc_id, norm_url FROM m0) mu ON mu.doc_id = d.doc_id
+         JOIN (SELECT norm_url, min(doc_id) AS keeper_id
+               FROM m0 GROUP BY norm_url) k
+           ON k.norm_url = mu.norm_url AND k.keeper_id = d.doc_id),
+       t AS (SELECT doc_id, lang,
+                    regexp_split_to_array(trim(text), '\\s+') AS toks
+             FROM survivors),
+       c AS (SELECT doc_id, i AS idx,
+                    array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS chunk
+             FROM (SELECT doc_id, toks,
+                          unnest(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS i
+                   FROM t)),
+       dupc AS (SELECT chunk FROM c
+                GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2),
+       kept AS (SELECT doc_id, idx, chunk FROM c
+                WHERE chunk NOT IN (SELECT chunk FROM dupc)),
+       rebuilt AS (SELECT doc_id,
+                          string_agg(chunk, ' ' ORDER BY idx) AS clean_text
+                   FROM kept GROUP BY doc_id),
+       cleaned AS (
+         SELECT t.doc_id, t.lang, r.clean_text,
+                regexp_split_to_array(trim(r.clean_text), '\\s+') AS ctoks
+         FROM t JOIN rebuilt r ON r.doc_id = t.doc_id
+         WHERE r.clean_text <> ''),
+       g2 AS (
+         SELECT doc_id,
+                unnest([ctoks[i] || ' ' || ctoks[i + 1]
+                        for i in range(1, len(ctoks))]) AS gram
+         FROM cleaned WHERE len(ctoks) >= 2),
+       cnt2 AS (SELECT doc_id, gram, count(*) AS cg FROM g2 GROUP BY 1, 2),
+       topb2 AS (SELECT doc_id, max(cg) AS topb FROM cnt2 GROUP BY 1),
+       metrics AS (
+         SELECT cl.doc_id, cl.lang,
+                CAST(len(ctoks) AS BIGINT) AS n_tokens,
+                CAST(CASE WHEN len(ctoks) > 0
+                     THEN 10 * length(array_to_string(ctoks, '')) // len(ctoks)
+                     ELSE 0 END AS BIGINT) AS word_len_deci,
+                CAST(CASE WHEN len(ctoks) > 0
+                     THEN 2000 * coalesce(tb.topb, 0) // len(ctoks)
+                     ELSE 0 END AS BIGINT) AS bigram_permille,
+                CAST(CASE WHEN len(ctoks) > 0
+                     THEN 1000 * (len(ctoks) - len(list_distinct(ctoks))) // len(ctoks)
+                     ELSE 0 END AS BIGINT) AS dup_token_permille
+         FROM cleaned cl LEFT JOIN topb2 tb ON tb.doc_id = cl.doc_id),
+       passed AS (
+         SELECT doc_id, lang FROM metrics
+         WHERE n_tokens BETWEEN $GfMinTok AND $GfMaxTok
+           AND word_len_deci BETWEEN $GfMinWl AND $GfMaxWl
+           AND bigram_permille <= $GfMaxBigram
+           AND dup_token_permille <= $GfMaxDup),
+       lc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+              FROM passed GROUP BY lang),
+       sc AS (SELECT lang, n_docs,
+                     CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT)
+                       AS score
+              FROM lc),
+       tot AS (SELECT CAST(sum(score) AS BIGINT) AS total_score FROM sc)
+       SELECT lang, n_docs,
+              (1000000 * score) // total_score AS weight_ppm,
+              (10000 * ((1000000 * score) // total_score)) // 1000000
+                AS target_docs
+       FROM sc CROSS JOIN tot
+       ORDER BY lang""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val url = concat(
+      lit("HTTP://WWW.Example"), (col("doc_id") % 7).cast("string"),
+      lit(".COM:80/Path/"), (col("doc_id") % 13).cast("string"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("/?utm_source=x&id="), (col("doc_id") % 5).cast("string")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("?id="), (col("doc_id") % 5).cast("string"),
+            lit("&utm_campaign=y")))
+        .otherwise(lit("/")),
+      when(col("doc_id") % 2 === 0, lit("#Frag")).otherwise(lit("")))
+    val withNorm = docs
+      .withColumn("norm_url", graft.operators.Curation.normalizeUrl(url))
+    val keepers = withNorm.groupBy("norm_url")
+      .agg(min("doc_id").as("keeper_id"))
+    val survivors = withNorm.join(keepers,
+      withNorm("norm_url") === keepers("norm_url") &&
+        col("doc_id") === col("keeper_id"), "left_semi")
+    val cleaned = graft.operators.Passages.dedupChunks(survivors)
+      .filter(col("clean_text") =!= "")
+      .select(col("doc_id"), col("clean_text"))
+    val withLang = cleaned.join(docs.select("doc_id", "lang"), "doc_id")
+    val passed = TextAnalysis.gopherFilter(withLang,
+      minTokens = GfMinTok, maxTokens = GfMaxTok,
+      minWordLenDeci = GfMinWl, maxWordLenDeci = GfMaxWl,
+      maxBigramPermille = GfMaxBigram, maxDupPermille = GfMaxDup,
+      textCol = "clean_text")
+      .filter(col("pass"))
+      .join(withLang.select("doc_id", "lang"), "doc_id")
+    graft.operators.Curation
+      .temperatureWeights(passed, groupCol = "lang")
+      .orderBy("lang")
+  }
+
   // Text-analysis projection (all-Column, UDF-free) — the closed-form
   // quality/lang-ID formulas recomputed exactly by the oracle.
   val q37 = Q.checked("q37_text_analysis", TextAnalysisSql.sql) { (s, d) =>
