@@ -592,6 +592,56 @@ object PipelineQueries {
       .orderBy("lang")
   }
 
+  // foreachBatch custom sink, made effectively-once: the events table
+  // streamed (file source, AvailableNow) through writeBatchIdempotent
+  // and read back via readCommitted must equal the plain table —
+  // exactly-once through the at-least-once escape hatch. Replay and
+  // torn-write behavior are pinned in StreamOpsSpec.
+  val q93 = Q.checked(
+    "q93_stream_foreachbatch_sink",
+    """SELECT event_id, user_id, event_type, value
+       FROM events ORDER BY event_id""") { (s, d) =>
+    val out = s"${sys.props("java.io.tmpdir")}/graft_fbsink_${ProcessHandle.current().pid()}"
+    val root = new org.apache.hadoop.fs.Path(out)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(root, true) // markers from a previous sf would skip writes
+    // explicit pruned schema: the file's TIMESTAMP(NANOS) ts column is
+    // unreadable without a legacy conf, and this sink doesn't need it —
+    // requesting only these columns keeps the reader off it entirely
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    // the file-stream source requires a DIRECTORY; stage the single
+    // fixture file into one
+    val inDir = new org.apache.hadoop.fs.Path(s"$out/in")
+    fs.mkdirs(inDir)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(s"$d/events.parquet"),
+      fs, new org.apache.hadoop.fs.Path(inDir, "events.parquet"),
+      false, s.sessionState.newHadoopConf())
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.toString)
+    val q = stream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$out/_ckpt")
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        graft.streaming.StreamOps.writeBatchIdempotent(df, id, s"$out/data")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    graft.streaming.StreamOps.readCommitted(s, s"$out/data")
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   // Text-analysis projection (all-Column, UDF-free) — the closed-form
   // quality/lang-ID formulas recomputed exactly by the oracle.
   val q37 = Q.checked("q37_text_analysis", TextAnalysisSql.sql) { (s, d) =>

@@ -74,6 +74,51 @@ object StreamOps {
       .select("left_id", "right_id", "user_id")
   }
 
+  /** Replay-safe (effectively-once) batch writer for `foreachBatch`
+    * sinks. Structured Streaming's built-in file sink is exactly-once,
+    * but `foreachBatch` — the escape hatch every custom sink (JDBC,
+    * upsert, multi-sink fan-out) goes through — is AT-LEAST-ONCE: a
+    * failed micro-batch replays under the SAME batchId. Idempotence is
+    * the sink's job, and the standard recipe is what this implements:
+    * each batch lands in a `batch=<id>` directory, a `_GRAFT_COMMIT`
+    * marker is written only after the data, and a replayed batchId that
+    * finds its marker is skipped entirely. Readers list only marked
+    * directories ([[readCommitted]]), so a crash between data and
+    * marker leaves a torn write invisible — the replay overwrites it.
+    *
+    * Returns true when the batch was written, false when skipped.
+    */
+  def writeBatchIdempotent(df: DataFrame, batchId: Long,
+      path: String): Boolean = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/batch=$batchId")
+    val marker = new org.apache.hadoop.fs.Path(dir, "_GRAFT_COMMIT")
+    val fs = dir.getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf())
+    if (fs.exists(marker)) false
+    else {
+      df.write.mode("overwrite").parquet(dir.toString)
+      fs.create(marker, true).close()
+      true
+    }
+  }
+
+  /** All committed batches under an [[writeBatchIdempotent]] sink path —
+    * torn (marker-less) directories are excluded.
+    */
+  def readCommitted(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val committed =
+      if (!fs.exists(root)) Array.empty[String]
+      else fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_GRAFT_COMMIT")))
+        .map(_.getPath.toString)
+    require(committed.nonEmpty, s"no committed batches under $path")
+    spark.read.parquet(committed: _*)
+  }
+
   /** Stream-static enrichment join: every event joined (left) to a
     * static dimension table — the lookup-enrichment every event
     * pipeline needs (user → account, doc → source metadata). The static

@@ -136,6 +136,30 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> Some("alice"), 2L -> Some("bob"), 3L -> None))
   }
 
+  test("idempotent foreachBatch sink skips replays and hides torn writes") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("fbsink").toString
+    val d1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val d2 = Seq((9L, "REPLAYED-DIFFERENTLY")).toDF("id", "v")
+
+    assert(StreamOps.writeBatchIdempotent(d1, 0L, out))
+    // at-least-once replay of batch 0 — even with different data (a
+    // non-deterministic upstream), the committed batch must win
+    assert(!StreamOps.writeBatchIdempotent(d2, 0L, out))
+    val got = StreamOps.readCommitted(spark, out)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b")))
+
+    // torn write: batch dir exists, marker does not -> invisible
+    d2.write.mode("overwrite").parquet(s"$out/batch=1")
+    val got2 = StreamOps.readCommitted(spark, out)
+      .as[(Long, String)].collect().toSet
+    assert(got2 == got)
+    // and the replay of the torn batch DOES write (no marker yet)
+    assert(StreamOps.writeBatchIdempotent(d1, 1L, out))
+    assert(StreamOps.readCommitted(spark, out).count() == 4)
+  }
+
   test("session windows merge gapped events per user") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
