@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics: ordered funnels and retention cohorts —
+  * the two queries every product-event pipeline runs, shaped for scale:
+  *
+  *   - [[funnel]] is a chain of per-step `groupBy(user).min(ts)`
+  *     aggregations and equi-joins on user id (each step's state is one
+  *     row per surviving user, monotonically shrinking); no windows, no
+  *     per-user event sorting, so a power user with millions of events
+  *     costs one partial-aggregated min, not a single-task sort;
+  *   - [[retention]] reduces the event log to distinct (user, week)
+  *     activity — the partial-aggregated distinct bounds the shuffle at
+  *     users × weeks — then one equi-join against each user's cohort
+  *     week.
+  *
+  * Both emit only integers/dates, hash-exact against any SQL engine.
+  */
+object EventAnalytics {
+
+  /** Ordered-funnel completion counts: a user completes step i when an
+    * event of `steps(i)` occurs STRICTLY after their earliest
+    * completion of step i-1 (first-touch attribution, the standard
+    * product-funnel semantics). Output: one row per step —
+    * `(step, step_name, n_users)`, step 1-based.
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+      tsCol: String = "ts", userCol: String = "user_id",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val perStep = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val hits = events.filter(col(typeCol) === step)
+        val reached = prev match {
+          case None => hits
+          case Some(p) =>
+            hits.join(p.select(col(userCol), col("__t").as("__prev_t")),
+              Seq(userCol))
+              .filter(col(tsCol) > col("__prev_t"))
+        }
+        Some(reached.groupBy(col(userCol)).agg(min(col(tsCol)).as("__t")))
+    }.flatten
+    perStep.zip(steps).zipWithIndex
+      .map { case ((df, name), i) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).as("step"), lit(name).as("step_name"),
+            col("n_users"))
+      }
+      .reduce(_.unionByName(_))
+      .orderBy("step")
+  }
+
+  /** Weekly retention matrix: cohort = the Monday-truncated week of a
+    * user's first event; for every (cohort_week, week_offset) the
+    * number of cohort users with any activity that week. Output:
+    * `(cohort_week DATE, week_offset INT, n_users)`.
+    */
+  def retention(events: DataFrame, tsCol: String = "ts",
+      userCol: String = "user_id"): DataFrame = {
+    val weekly = events
+      .select(col(userCol),
+        date_trunc("week", col(tsCol)).cast("date").as("week"))
+      .distinct()
+    val cohorts = weekly.groupBy(col(userCol))
+      .agg(min(col("week")).as("cohort_week"))
+    weekly
+      .join(cohorts, Seq(userCol))
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int")
+          .as("week_offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+}

@@ -642,6 +642,54 @@ object PipelineQueries {
       .orderBy("event_id")
   }
 
+  // Ordered funnel (view → click → purchase, first-touch semantics):
+  // per-step min-ts chain, window-free — the oracle is the same
+  // min-chain as correlated CTEs.
+  val q94 = Q.checked(
+    "q94_events_funnel",
+    """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                  FROM events),
+       s1 AS (SELECT user_id, min(ts) AS t FROM e
+              WHERE event_type = 'view' GROUP BY user_id),
+       s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+              JOIN s1 ON s1.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.ts > s1.t
+              GROUP BY e.user_id),
+       s3 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+              JOIN s2 ON s2.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t
+              GROUP BY e.user_id)
+       SELECT * FROM (
+         SELECT 1 AS step, 'view' AS step_name,
+                CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+         UNION ALL
+         SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+         UNION ALL
+         SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT))
+       ORDER BY step""") { (s, d) =>
+    graft.operators.EventAnalytics
+      .funnel(Tables.events(s, d), Seq("view", "click", "purchase"))
+  }
+
+  // Weekly retention cohorts: cohort = Monday-truncated first-activity
+  // week; both engines' date_trunc('week') is ISO-Monday, and the
+  // distinct (user, week) reduction is integer-exact.
+  val q95 = Q.checked(
+    "q95_events_retention",
+    """WITH w AS (SELECT DISTINCT user_id,
+                         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+                  FROM events),
+       c AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id)
+       SELECT c.cohort_week,
+              CAST(date_diff('day', c.cohort_week, w.week) // 7 AS INT) AS week_offset,
+              CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+       FROM w JOIN c ON c.user_id = w.user_id
+       GROUP BY 1, 2
+       ORDER BY 1, 2""") { (s, d) =>
+    graft.operators.EventAnalytics.retention(Tables.events(s, d))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   // Text-analysis projection (all-Column, UDF-free) — the closed-form
   // quality/lang-ID formulas recomputed exactly by the oracle.
   val q37 = Q.checked("q37_text_analysis", TextAnalysisSql.sql) { (s, d) =>
