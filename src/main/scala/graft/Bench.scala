@@ -201,6 +201,24 @@ object Bench {
           s"state must be vocabulary-bounded: $stateRows rows vs $rows input lines")
       } finally rmrf(ckpt)
     }),
+    // Passage-dedup linearity probe: 4×jacDocs docs, each pair planting
+    // ONE shared 5-token passage between unique filler tokens, so the
+    // expected answer is closed-form (every doc: exactly 1 dup gram
+    // covering exactly 5 tokens) and the in-run require catches any
+    // quadratic or lossy regression at a scale 400× the fixture.
+    s"passages_dup_${jacDocs * 4}" -> (() => {
+      import spark.implicits._
+      val n = jacDocs * 4
+      val docs = spark.range(n).map { i =>
+        val f = i / 2
+        (i, s"u${i}a u${i}b p${f}v p${f}w p${f}x p${f}y p${f}z u${i}c u${i}d")
+      }.toDF("doc_id", "text")
+      import org.apache.spark.sql.functions.col
+      val got = graft.operators.Passages.duplicatePassageStats(docs)
+        .filter(col("n_dup_grams") === 1 && col("dup_covered_tokens") === 5)
+        .count()
+      require(got == n, s"expected $n docs with exactly one dup passage, got $got")
+    }),
     // the FULL reference lifecycle with a throughput number: pipeline ->
     // TSV sink -> max-dedup + threshold sweep (P/R/F1), not just the
     // pipeline half. Labels split the synthetic test set so the sweep
