@@ -880,6 +880,63 @@ object RelationalQueries {
       .orderBy("o_orderstatus")
   }
 
+  // LATERAL correlated subquery in FROM (SQL:1999 surface, supported by
+  // Spark since 3.2 and by DuckDB): per-customer top-2 orders WITHOUT a
+  // window — the lateral subquery's LIMIT is pushed per outer row.
+  // Identical SQL text runs on both engines.
+  private val lateralSql =
+    """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+       FROM customer c, LATERAL (
+         SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+       ORDER BY c.c_custkey, o.o_orderkey"""
+
+  val q96 = Q.checked("q96_sql_lateral", lateralSql) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(lateralSql)
+  }
+
+  // Three-valued-logic torture: NULL keys in GROUP BY (group together),
+  // count(*) vs count(col) vs count(DISTINCT col), SUM over an
+  // all-null slice, and null-safe vs plain equality in a self-join —
+  // the semantics engines silently diverge on. Nulls are constructed
+  // from orders so both engines derive the identical nullable table;
+  // IS NOT DISTINCT FROM is the portable null-safe equality spelling.
+  private val nullSemanticsSql =
+    """WITH t AS (
+         SELECT o_orderkey AS k,
+                CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                     ELSE o_custkey % 5 END AS g,
+                CASE WHEN o_orderkey % 4 = 0 THEN NULL
+                     ELSE o_totalprice END AS v
+         FROM orders),
+       agg AS (
+         SELECT g,
+                count(*) AS n_rows,
+                count(v) AS n_vals,
+                count(DISTINCT v) AS n_distinct,
+                round(sum(v), 2) AS sum_v,
+                round(sum(CASE WHEN v IS NULL THEN v END), 2) AS sum_all_null
+         FROM t GROUP BY g),
+       joins AS (
+         SELECT
+           CAST((SELECT count(*) FROM t a JOIN t b
+                 ON a.g IS NOT DISTINCT FROM b.g AND a.k = b.k) AS BIGINT)
+             AS nullsafe_matches,
+           CAST((SELECT count(*) FROM t a JOIN t b
+                 ON a.g = b.g AND a.k = b.k) AS BIGINT) AS plain_matches)
+       SELECT g, n_rows, n_vals, n_distinct, sum_v, sum_all_null,
+              nullsafe_matches, plain_matches
+       FROM agg CROSS JOIN joins
+       ORDER BY g NULLS FIRST"""
+
+  val q97 = Q.checked("q97_sql_null_semantics", nullSemanticsSql) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(nullSemanticsSql)
+  }
+
   // Range-clustered parquet layout (ClusteredWrite): events rewritten
   // range-partitioned + sorted on user_id with small row groups, read
   // back through a selective filter. The oracle is the plain filter over
