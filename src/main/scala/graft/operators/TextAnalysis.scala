@@ -253,6 +253,38 @@ object TextAnalysis {
     spark.createDataset(hitters.toSeq.sorted).toDF("word", "cnt")
   }
 
+  /** Count–Min token-frequency estimates beside the exact counts — the
+    * never-underestimates dual of [[heavyHitters]] (see
+    * [[graft.functions.CountMinAggregator]]): one fixed-size sketch
+    * pass over the token stream, then the estimate for every vocab
+    * token computed map-side from the broadcast sketch, with the CM
+    * invariant `estimate ≥ exact` require-checked per row (a violation
+    * fails the job loudly — it would mean the sketch math is wrong).
+    * Sketch content is merge-order-independent, so `cm_est` is
+    * deterministic under any partitioning.
+    */
+  def cmTokenEstimates(docs: DataFrame, depth: Int = 4, width: Int = 1024,
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+    val sketch: Array[Long] = toks.as[String]
+      .select(graft.functions.CountMinAggregator(depth, width).toColumn)
+      .head()
+    val bc = spark.sparkContext.broadcast(sketch)
+    toks.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)]
+      .map { case (w, c) =>
+        val est = graft.functions.CountMinAggregator
+          .estimate(bc.value, depth, width, w)
+        require(est >= c, s"CM underestimated '$w': $est < $c")
+        (w, c, est)
+      }
+      .toDF("word", "cnt", "cm_est")
+  }
+
   /** Corpus vocabulary with document frequencies, top `k` by df: the
     * tokenizer-vocab / stopword-discovery staple. Per-doc distinct
     * tokens (array_distinct before the explode — a doc never counts a

@@ -690,6 +690,15 @@ object PipelineQueries {
       .orderBy("cohort_week", "week_offset")
   }
 
+  // Count-Min token estimates beside exact counts: the sketch's
+  // never-underestimates invariant is require-checked per row; murmur
+  // hashing is not SQL-expressible, rows-only (determinism + error
+  // bounds pinned in CountMinSpec).
+  val q98 = Q.rowsOnly("q98_text_countmin") { (s, d) =>
+    TextAnalysis.cmTokenEstimates(Tables.documents(s, d))
+      .orderBy("word")
+  }
+
   // Text-analysis projection (all-Column, UDF-free) — the closed-form
   // quality/lang-ID formulas recomputed exactly by the oracle.
   val q37 = Q.checked("q37_text_analysis", TextAnalysisSql.sql) { (s, d) =>
