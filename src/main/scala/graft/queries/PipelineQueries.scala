@@ -699,6 +699,38 @@ object PipelineQueries {
       .orderBy("word")
   }
 
+  // FastText-style quality classifier, trained ON the engine (30
+  // rounds of distributed full-batch logistic gradient descent over
+  // hashing-trick features) to recover a planted token signal (docs
+  // containing 'spark' — the fixture's lang column is uncorrelated
+  // with its text by construction, so a planted label is the honest
+  // learnability probe, same pattern as q66/q70's constructed
+  // inputs), then scored map-only. Gradient sums are float
+  // (treeAggregate), so no SQL oracle — rows-only, with the train-set
+  // accuracy require-checked in-query (the signal is a single hashed
+  // feature; below 0.9 means training broke).
+  val q99 = Q.rowsOnly("q99_classifier_quality") { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .withColumn("label",
+        array_contains(split(trim(col("text")), "\\s+"), "spark")
+          .cast("double"))
+    // binary presence features: the fixture docs share one small
+    // vocabulary, so the signal is WHICH tokens appear — 0/1 features
+    // keep its gradient scale independent of doc length
+    val w = graft.operators.Classifier.train(docs, dim = 2048, iters = 60,
+      lr = 2.0, binary = true)
+    val scored = graft.operators.Classifier.score(docs, w, binary = true)
+      .join(docs.select(col("doc_id"), col("label")), "doc_id")
+    val n = scored.count().toDouble
+    val correct = scored
+      .filter((col("p") > 0.5) === (col("label") === 1.0)).count()
+    require(correct / n >= 0.9,
+      f"classifier training accuracy ${correct / n}%.3f below 0.9")
+    scored
+      .select(col("doc_id"), round(col("p"), 6).as("p"), col("label"))
+      .orderBy("doc_id")
+  }
+
   // Text-analysis projection (all-Column, UDF-free) — the closed-form
   // quality/lang-ID formulas recomputed exactly by the oracle.
   val q37 = Q.checked("q37_text_analysis", TextAnalysisSql.sql) { (s, d) =>
