@@ -253,6 +253,58 @@ object TextAnalysis {
     spark.createDataset(hitters.toSeq.sorted).toDF("word", "cnt")
   }
 
+  /** [[heavyHitters]] per GROUP (one Misra–Gries summary per language/
+    * source, via `groupByKey(...).mapValues(word).agg(sketch)` — the
+    * realistic production shape: a sketch PER KEY, each partial-agg
+    * bounded at k−1 counters, so ten thousand groups cost ten thousand
+    * small maps, not ten thousand shuffled token streams). Guarantees
+    * are verified per group against the bounded candidate exact counts,
+    * and the output is each group's exact-counted >n_g/k tokens —
+    * deterministic and SQL-oracle-able, like the global version.
+    */
+  def heavyHittersByGroup(docs: DataFrame, k: Int = 30,
+      groupCol: String = "lang", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .select(col(groupCol).as("grp"),
+        explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+    val sketches: Map[String, Map[String, Long]] = toks
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.functions.MisraGriesAggregator(k).toColumn)
+      .collect().toMap // one row per group, each ≤ k-1 counters
+    val totals: Map[String, Long] = toks.groupBy("grp").count()
+      .as[(String, Long)].collect().toMap
+    val exact = toks.groupBy("grp", "word").agg(count(lit(1)).as("cnt"))
+    val candKeys = sketches.toSeq.flatMap { case (g, m) => m.keys.map(g -> _) }
+    val candExact: Map[(String, String), Long] =
+      if (candKeys.isEmpty) Map.empty
+      else exact
+        .join(candKeys.toDF("grp", "word"), Seq("grp", "word"), "left_semi")
+        .as[(String, String, Long)].collect()
+        .map { case (g, w, c) => (g, w) -> c }.toMap
+    sketches.foreach { case (g, m) =>
+      m.foreach { case (w, est) =>
+        val ex = candExact((g, w))
+        require(est <= ex && ex - est <= totals(g) / k,
+          s"MG bound violated for ($g,'$w'): est=$est exact=$ex")
+      }
+    }
+    val hitters = exact
+      .join(totals.toSeq.toDF("grp", "total"), "grp")
+      .filter(expr(s"cnt > (total DIV $k)"))
+      .select(col("grp").as(groupCol), col("word"), col("cnt"))
+      .as[(String, String, Long)].collect()
+    hitters.foreach { case (g, w, c) =>
+      require(sketches(g).contains(w),
+        s"heavy hitter ($g,'$w') count $c missing from its group sketch")
+    }
+    spark.createDataset(hitters.toSeq.sorted).toDF(groupCol, "word", "cnt")
+  }
+
   /** Count–Min token-frequency estimates beside the exact counts — the
     * never-underestimates dual of [[heavyHitters]] (see
     * [[graft.functions.CountMinAggregator]]): one fixed-size sketch
@@ -283,6 +335,40 @@ object TextAnalysis {
         (w, c, est)
       }
       .toDF("word", "cnt", "cm_est")
+  }
+
+  /** Deflate compression ratio per doc, in permille — the
+    * gibberish/boilerplate signal RefinedWeb and MassiveText-style
+    * filters threshold on: natural prose compresses to ~400-600‰,
+    * repeated boilerplate far below, random noise near 1000‰. Map-only
+    * typed pass; `Deflater` at a fixed level is deterministic for a
+    * given input (same zlib algorithm everywhere), so the output is
+    * stable across runs — but zlib's output is not SQL-reproducible, so
+    * the q101 check is rows-only with closed-form monotonicity pinned
+    * in the spec.
+    */
+  def compressionStats(docs: DataFrame, level: Int = 6,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("id"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val bytes = (if (t == null) "" else t)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val d = new java.util.zip.Deflater(level)
+        d.setInput(bytes)
+        d.finish()
+        val out = new Array[Byte](bytes.length + 64)
+        var n = 0
+        while (!d.finished()) n += d.deflate(out, n, out.length - n)
+        d.end()
+        val permille =
+          if (bytes.isEmpty) 1000L else 1000L * n / bytes.length
+        (id, bytes.length.toLong, n.toLong, permille)
+      }
+      .toDF(idCol, "n_bytes", "n_compressed", "compress_permille")
   }
 
   /** Corpus vocabulary with document frequencies, top `k` by df: the

@@ -731,6 +731,36 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // Per-group heavy hitters (one Misra-Gries sketch per language):
+  // sketch guarantees require-verified per group, output = each
+  // group's exact-counted >n_g/k tokens — fully oracle-able like q90.
+  val q100 = Q.checked(
+    "q100_text_heavy_hitters_grouped",
+    """WITH tok AS (SELECT lang AS grp,
+                           unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+                    FROM documents),
+       t2 AS (SELECT grp, word FROM tok WHERE word <> ''),
+       c AS (SELECT grp, word, CAST(count(*) AS BIGINT) AS cnt
+             FROM t2 GROUP BY grp, word),
+       n AS (SELECT grp, CAST(count(*) AS BIGINT) AS total
+             FROM t2 GROUP BY grp)
+       SELECT c.grp AS lang, c.word, c.cnt
+       FROM c JOIN n ON n.grp = c.grp
+       WHERE c.cnt > n.total // 30
+       ORDER BY lang, word""") { (s, d) =>
+    TextAnalysis.heavyHittersByGroup(Tables.documents(s, d), k = 30)
+      .orderBy("lang", "word")
+  }
+
+  // Deflate compression ratio (the RefinedWeb gibberish/boilerplate
+  // signal): zlib output is deterministic per input but not
+  // SQL-reproducible — rows-only; monotonicity closed forms in
+  // TextAnalysisSpec-adjacent CompressionSpec.
+  val q101 = Q.rowsOnly("q101_text_compression_ratio") { (s, d) =>
+    TextAnalysis.compressionStats(Tables.documents(s, d))
+      .orderBy("doc_id")
+  }
+
   // Text-analysis projection (all-Column, UDF-free) — the closed-form
   // quality/lang-ID formulas recomputed exactly by the oracle.
   val q37 = Q.checked("q37_text_analysis", TextAnalysisSql.sql) { (s, d) =>
