@@ -54,6 +54,7 @@ object SparkEntry {
     RelationalQueries.q57, RelationalQueries.q58,
     RelationalQueries.q72, RelationalQueries.q73, RelationalQueries.q87,
     RelationalQueries.q96, RelationalQueries.q97,
+    RelationalQueries.q102, RelationalQueries.q103,
     PipelineQueries.q30, PipelineQueries.q31, PipelineQueries.q32,
     PipelineQueries.q33, PipelineQueries.q34, PipelineQueries.q35,
     PipelineQueries.q36, PipelineQueries.q37, PipelineQueries.q38,

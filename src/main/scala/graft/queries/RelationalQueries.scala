@@ -937,6 +937,72 @@ object RelationalQueries {
     s.sql(nullSemanticsSql)
   }
 
+  // Parquet schema evolution: two batches written with DIFFERENT
+  // schemas (the second adds a column), read back with mergeSchema —
+  // old rows surface the new column as NULL. The production "a new
+  // pipeline version added a field" path; the oracle recomputes the
+  // union with explicit NULLs.
+  val q102 = Q.checked(
+    "q102_schema_evolution",
+    """SELECT r_regionkey, r_name,
+              CASE WHEN r_regionkey >= 3 THEN r_regionkey * 10 END AS extra
+       FROM region
+       UNION ALL
+       SELECT r_regionkey + 100 AS r_regionkey, r_name, NULL AS extra
+       FROM region
+       ORDER BY r_regionkey""") { (s, d) =>
+    val path = s"${sys.props("java.io.tmpdir")}/graft_evolve_${ProcessHandle.current().pid()}"
+    val base = Tables.region(s, d)
+    // batch 1: old writer version — no `extra` column, shifted keys
+    base.select((col("r_regionkey") + 100).as("r_regionkey"), col("r_name"))
+      .write.mode("overwrite").parquet(s"$path/b1")
+    // batch 2: new writer version — adds `extra` (nullable)
+    base.select(col("r_regionkey"), col("r_name"),
+      when(col("r_regionkey") >= 3, col("r_regionkey") * 10).as("extra"))
+      .write.mode("overwrite").parquet(s"$path/b2")
+    s.read.option("mergeSchema", "true").parquet(s"$path/b1", s"$path/b2")
+      .select("r_regionkey", "r_name", "extra")
+      .orderBy("r_regionkey")
+  }
+
+  // Higher-order array functions (Catalyst lambda surface, all
+  // codegen'd): transform/filter/exists/forall/aggregate/zip_with
+  // against DuckDB's list comprehensions and list_* lambdas.
+  val q103 = Q.checked(
+    "q103_array_higher_order",
+    """SELECT o_orderkey,
+              array_to_string([x * 2 FOR x IN parts], ',') AS doubled,
+              COALESCE(array_to_string([x FOR x IN parts IF x % 3 = 0], ','), '')
+                AS div3,
+              len([x FOR x IN parts IF x > 50]) > 0 AS has_big,
+              len([x FOR x IN parts IF x >= 0]) = len(parts) AS all_nonneg,
+              CAST(list_sum(parts) AS BIGINT) AS total,
+              array_to_string([parts[i] + rev[i]
+                               FOR i IN range(1, len(parts) + 1)], ',')
+                AS palindrome_sum
+       FROM (SELECT o_orderkey,
+                    [o_orderkey % 7, o_orderkey % 5, o_orderkey % 3] AS parts,
+                    [o_orderkey % 3, o_orderkey % 5, o_orderkey % 7] AS rev
+             FROM orders)
+       ORDER BY o_orderkey""") { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        array(col("o_orderkey") % 7, col("o_orderkey") % 5,
+          col("o_orderkey") % 3).as("parts"),
+        array(col("o_orderkey") % 3, col("o_orderkey") % 5,
+          col("o_orderkey") % 7).as("rev"))
+      .select(
+        col("o_orderkey"),
+        array_join(transform(col("parts"), x => x * 2), ",").as("doubled"),
+        array_join(filter(col("parts"), x => x % 3 === 0), ",").as("div3"),
+        exists(col("parts"), x => x > 50).as("has_big"),
+        forall(col("parts"), x => x >= 0).as("all_nonneg"),
+        aggregate(col("parts"), lit(0L), (acc, x) => acc + x).as("total"),
+        array_join(zip_with(col("parts"), col("rev"), (a, b) => a + b), ",")
+          .as("palindrome_sum"))
+      .orderBy("o_orderkey")
+  }
+
   // Range-clustered parquet layout (ClusteredWrite): events rewritten
   // range-partitioned + sorted on user_id with small row groups, read
   // back through a selective filter. The oracle is the plain filter over
