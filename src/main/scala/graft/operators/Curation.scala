@@ -246,6 +246,27 @@ object Curation {
       (col(idCol) +: keep.map(col)) ++ counts :+ stages.last.as("redacted"): _*)
   }
 
+  /** Winsorization (percentile clipping) per group: values below the
+    * `lo` quantile or above the `hi` quantile of their group are
+    * clipped to those bounds — the standard outlier treatment before
+    * training on heavy-tailed numeric features. Exact percentiles via
+    * one partial-aggregated pass per group (groups are the unit of
+    * clipping, so the percentile state is per-group, never global),
+    * broadcast back and applied map-side with greatest/least.
+    */
+  def winsorize(df: DataFrame, valueCol: String, groupCol: String,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"bad quantiles [$lo, $hi]")
+    val bounds = df.groupBy(col(groupCol))
+      .agg(
+        expr(s"percentile($valueCol, $lo)").as("__lo"),
+        expr(s"percentile($valueCol, $hi)").as("__hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn(s"${valueCol}_winsorized",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** Canonical form of an absolute URL, for URL-keyed dedup and
     * per-domain statistics (the CommonCrawl-pipeline staple: the same
     * page is fetched as `HTTP://Example.com:80/a/?utm_source=x#top` and

@@ -52,6 +52,35 @@ object EventAnalytics {
       .orderBy("step")
   }
 
+  /** Per-event session ids (gaps-and-islands): a new session starts
+    * when the gap since the user's previous event exceeds
+    * `gapMinutes`. One window per user ordered by (ts, event id — the
+    * unique tiebreak keeps the running sum deterministic under equal
+    * timestamps); the partition key is a USER, so the window's state is
+    * bounded by one user's events — the acceptable window shape, unlike
+    * a corpus-wide partition. Emits `session_id` = (user_id,
+    * session_seq) so downstream grouping needs no re-derivation.
+    * The aggregated twin of this (per-session windows) is
+    * [[graft.streaming.StreamOps.sessionCounts]]/q42; this one labels
+    * the EVENTS, which attribution and funnel slicing need.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30,
+      tsCol: String = "ts", userCol: String = "user_id",
+      idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val newSession = when(
+      lag(col(tsCol), 1).over(w).isNull ||
+        col(tsCol).cast("long") - lag(col(tsCol), 1).over(w).cast("long")
+          > gapMinutes * 60L, 1L).otherwise(0L)
+    events.withColumn("session_seq",
+      sum(newSession).over(
+        Window.partitionBy(col(userCol))
+          .orderBy(col(tsCol), col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** Weekly retention matrix: cohort = the Monday-truncated week of a
     * user's first event; for every (cohort_week, week_offset) the
     * number of cohort users with any activity that week. Output:

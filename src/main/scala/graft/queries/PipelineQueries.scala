@@ -761,6 +761,54 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // Per-event sessionization (gaps-and-islands, 30-min gap): windows
+  // partitioned per USER (bounded state) with a unique (ts, event_id)
+  // tiebreak so the running session counter is deterministic.
+  val q104 = Q.checked(
+    "q104_events_sessionize",
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                  FROM events),
+       m AS (SELECT event_id, user_id, ts,
+                    CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                         THEN 1 ELSE 0 END AS new_s
+             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       SELECT event_id, user_id, ts,
+              CAST(sum(new_s) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                AS session_seq
+       FROM m ORDER BY user_id, ts, event_id""") { (s, d) =>
+    graft.operators.EventAnalytics
+      .sessionize(Tables.events(s, d).select("event_id", "user_id", "ts"))
+      .select("event_id", "user_id", "ts", "session_seq")
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  // Winsorization per event type at exact P5/P95 (q47 already pins
+  // percentile == quantile_cont parity): clipped values rounded on
+  // both sides.
+  val q105 = Q.checked(
+    "q105_curation_winsorize",
+    """WITH b AS (SELECT event_type,
+                         quantile_cont(value, 0.05) AS lo,
+                         quantile_cont(value, 0.95) AS hi
+                  FROM events GROUP BY event_type)
+       SELECT e.event_id, e.event_type,
+              round(e.value, 6) AS value,
+              round(least(greatest(e.value, b.lo), b.hi), 6)
+                AS value_winsorized
+       FROM events e JOIN b ON b.event_type = e.event_type
+       ORDER BY e.event_id""") { (s, d) =>
+    graft.operators.Curation
+      .winsorize(Tables.events(s, d).select("event_id", "event_type", "value"),
+        valueCol = "value", groupCol = "event_type")
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 6).as("value"),
+        round(col("value_winsorized"), 6).as("value_winsorized"))
+      .orderBy("event_id")
+  }
+
   // Text-analysis projection (all-Column, UDF-free) — the closed-form
   // quality/lang-ID formulas recomputed exactly by the oracle.
   val q37 = Q.checked("q37_text_analysis", TextAnalysisSql.sql) { (s, d) =>
