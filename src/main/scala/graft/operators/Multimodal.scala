@@ -373,6 +373,125 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Patterned gray PNG: gray(x, y) = (a·x + b·y) mod 256, with an
+    * optional sparse perturbation (+16 on every 37th pixel) for
+    * constructing near-duplicate twins whose perceptual hash stays
+    * within a few bits. JDK encoder, headless-safe.
+    */
+  def encodePatternPng(width: Int, height: Int, a: Int, b: Int,
+      noise: Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val i = y * width + x
+        var g = (a * x + b * y) % 256
+        if (noise && i % 37 == 0) g = math.min(255, g + 16)
+        px(i) = (g << 16) | (g << 8) | g
+        x += 1
+      }
+      y += 1
+    }
+    img.setRGB(0, 0, width, height, px, 0, width)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 64-bit average-hash (aHash) of an image payload — the classic
+    * perceptual fingerprint LAION-scale image dedup starts from: decode,
+    * block-average the luminance onto an 8×8 grid (exact integer sums
+    * over each cell — no resampling library, no float drift), then one
+    * bit per cell: 1 iff the cell is strictly brighter than the 64-cell
+    * mean. Deterministic for a given payload; decode failures are None.
+    */
+  def perceptualHash(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val decoded = // same codec-only exception scope as decodeImage
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    decoded.map { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      val cells = new Array[Long](64)
+      val counts = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        val cy = math.min(7, y * 8 / h)
+        var x = 0
+        while (x < w) {
+          val cx = math.min(7, x * 8 / w)
+          val rgb = px(y * w + x)
+          // integer luminance, same weights as decodeImage's features
+          val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+            + 114 * (rgb & 0xff)) / 1000
+          cells(cy * 8 + cx) += lum
+          counts(cy * 8 + cx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val avgs = Array.tabulate(64)(i =>
+        if (counts(i) == 0) 0L else cells(i) / counts(i))
+      val mean = avgs.sum / 64
+      avgs.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+        if (v > mean) acc | (1L << i) else acc
+      }
+    }
+  }
+
+  /** Image near-duplicate pairs by perceptual-hash Hamming distance ≤
+    * `maxDist` — pigeonhole-blocked like [[Dedup.simhashPairs]]: the 64
+    * bits split into `maxDist + 1` blocks, two hashes within distance k
+    * must agree on ≥ 1 whole block, so candidates are a bucket-local
+    * equi-join on (block index, block value), never a quadratic scan;
+    * each candidate is verified with an exact popcount. Hashing is one
+    * map-only decode pass.
+    */
+  def imageDupPairs(media: DataFrame, maxDist: Int = 6,
+      idCol: String = "doc_id",
+      payloadCol: String = "payload"): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"bad maxDist $maxDist")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val nBlocks = maxDist + 1
+    val width = 64 / nBlocks
+    val hashes = media
+      .select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        perceptualHash(bytes).map(id -> _)
+      })
+      .toDF("id", "phash")
+      .localCheckpoint(true) // hash once; both join sides reuse
+    val blocks = hashes
+      .as[(Long, Long)]
+      .flatMap { case (id, ph) =>
+        (0 until nBlocks).iterator.map { b =>
+          val lo = b * width
+          val hi = if (b == nBlocks - 1) 64 else lo + width
+          val mask = if (hi - lo == 64) -1L else ((1L << (hi - lo)) - 1) << lo
+          (b, ph & mask, id, ph)
+        }
+      }
+      .toDF("blk", "blkval", "id", "phash")
+    val a = blocks.select(col("blk"), col("blkval"),
+      col("id").as("id1"), col("phash").as("h1"))
+    val b = blocks.select(col("blk"), col("blkval"),
+      col("id").as("id2"), col("phash").as("h2"))
+    a.join(b, Seq("blk", "blkval"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
   /** Deterministic "frame sample" over a payload: every strideth byte,
     * standing in for video frame sampling; keeps the batched-binary
     * plumbing honest (offsets, bounds, empty payloads).

@@ -809,6 +809,35 @@ object PipelineQueries {
       .orderBy("event_id")
   }
 
+  // Image near-dup dedup by perceptual hash (LAION-style): every doc
+  // gets a patterned PNG; docs < 50 also get a sparsely-noised twin
+  // under an offset id. The aHash/pigeonhole machinery must pair every
+  // planted twin with its original (require-checked in-query) without
+  // quadratic scans. ImageIO + murmur-free but codec-bound — rows-only;
+  // hash determinism + twin-distance bounds pinned in the spec.
+  val q106 = Q.rowsOnly("q106_multimodal_image_dedup") { (s, d) =>
+    import s.implicits._
+    val ids = Tables.documents(s, d).select(col("doc_id").cast("long"))
+      .as[Long]
+    val media = ids.mapPartitions(_.flatMap { id =>
+      val a = 1 + (id % 97).toInt
+      val b = 1 + (id % 89).toInt
+      val base = (id,
+        graft.operators.Multimodal.encodePatternPng(32, 32, a, b, noise = false))
+      if (id < 50)
+        Iterator(base, (id + DupOffset,
+          graft.operators.Multimodal.encodePatternPng(32, 32, a, b, noise = true)))
+      else Iterator(base)
+    }).toDF("doc_id", "payload")
+    val pairs = graft.operators.Multimodal.imageDupPairs(media, maxDist = 6)
+    val planted = pairs
+      .filter(col("id2") === col("id1") + DupOffset && col("id1") < 50)
+      .count()
+    require(planted == 50,
+      s"expected all 50 planted twins within Hamming 6, found $planted")
+    pairs.orderBy("id1", "id2")
+  }
+
   // Text-analysis projection (all-Column, UDF-free) — the closed-form
   // quality/lang-ID formulas recomputed exactly by the oracle.
   val q37 = Q.checked("q37_text_analysis", TextAnalysisSql.sql) { (s, d) =>
