@@ -486,6 +486,46 @@ object Dedup {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Generic Hamming-distance pairing over 64-bit fingerprints by
+    * pigeonhole blocking: the bits split into `maxDist + 1` blocks, two
+    * hashes within distance k must agree on ≥ 1 whole block, so
+    * candidates come from a bucket-local equi-join on (block index,
+    * block value) — never a quadratic scan — and each is verified with
+    * an exact popcount. Shared by SimHash text dedup, perceptual-hash
+    * image dedup and audio-fingerprint dedup; input is any
+    * `(id: long, hash: long)` frame.
+    */
+  def hammingPairs(hashes: DataFrame, maxDist: Int,
+      idCol: String = "id", hashCol: String = "hash"): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"bad maxDist $maxDist")
+    val spark = hashes.sparkSession
+    import spark.implicits._
+    val nBlocks = maxDist + 1
+    val width = 64 / nBlocks
+    val blocks = hashes
+      .select(col(idCol).cast("long"), col(hashCol).cast("long"))
+      .as[(Long, Long)]
+      .flatMap { case (id, ph) =>
+        (0 until nBlocks).iterator.map { b =>
+          val lo = b * width
+          val hi = if (b == nBlocks - 1) 64 else lo + width
+          val mask = if (hi - lo == 64) -1L else ((1L << (hi - lo)) - 1) << lo
+          (b, ph & mask, id, ph)
+        }
+      }
+      .toDF("blk", "blkval", "id", "phash")
+    val a = blocks.select(col("blk"), col("blkval"),
+      col("id").as("id1"), col("phash").as("h1"))
+    val b = blocks.select(col("blk"), col("blkval"),
+      col("id").as("id2"), col("phash").as("h2"))
+    a.join(b, Seq("blk", "blkval"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
   /** SemDeDup-style semantic dup pairs (Abbas et al. 2023, "SemDeDup:
     * Data-efficient learning at web-scale through semantic
     * deduplication"): k-means-cluster the embedding space (deterministic

@@ -446,50 +446,122 @@ object Multimodal {
   }
 
   /** Image near-duplicate pairs by perceptual-hash Hamming distance ≤
-    * `maxDist` — pigeonhole-blocked like [[Dedup.simhashPairs]]: the 64
-    * bits split into `maxDist + 1` blocks, two hashes within distance k
-    * must agree on ≥ 1 whole block, so candidates are a bucket-local
-    * equi-join on (block index, block value), never a quadratic scan;
-    * each candidate is verified with an exact popcount. Hashing is one
-    * map-only decode pass.
+    * `maxDist`: one map-only decode+hash pass (localCheckpoint'ed so
+    * both sides of the candidate join reuse it), then the shared
+    * pigeonhole pairer [[Dedup.hammingPairs]].
     */
   def imageDupPairs(media: DataFrame, maxDist: Int = 6,
       idCol: String = "doc_id",
       payloadCol: String = "payload"): DataFrame = {
-    require(maxDist >= 0 && maxDist < 64, s"bad maxDist $maxDist")
     val spark = media.sparkSession
     import spark.implicits._
-    val nBlocks = maxDist + 1
-    val width = 64 / nBlocks
     val hashes = media
       .select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
         perceptualHash(bytes).map(id -> _)
       })
-      .toDF("id", "phash")
-      .localCheckpoint(true) // hash once; both join sides reuse
-    val blocks = hashes
-      .as[(Long, Long)]
-      .flatMap { case (id, ph) =>
-        (0 until nBlocks).iterator.map { b =>
-          val lo = b * width
-          val hi = if (b == nBlocks - 1) 64 else lo + width
-          val mask = if (hi - lo == 64) -1L else ((1L << (hi - lo)) - 1) << lo
-          (b, ph & mask, id, ph)
-        }
+      .toDF("id", "hash")
+      .localCheckpoint(true)
+    Dedup.hammingPairs(hashes, maxDist)
+  }
+
+  /** 64-bit audio fingerprint: the energy-envelope hash (the shape a
+    * Shazam-style landmark scheme reduces to for coarse dedup) — decode
+    * 16-bit PCM, split the samples into 64 equal frames, exact integer
+    * mean |sample| per frame, one bit per frame: 1 iff the frame is
+    * strictly louder than the whole clip's mean frame energy.
+    * Deterministic per payload; non-PCM-16 or undecodable payloads are
+    * None (same codec hygiene as [[decodeAudio]]).
+    */
+  def audioFingerprint(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => return None }
+    try {
+      val fmt = ais.getFormat
+      if (fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16) return None
+      val raw =
+        try ais.readAllBytes()
+        catch { case scala.util.control.NonFatal(_) => return None }
+      val big = fmt.isBigEndian
+      val total = raw.length / 2
+      if (total < 64) return None // too short for a 64-frame envelope
+      val sums = new Array[Long](64)
+      val counts = new Array[Long](64)
+      var i = 0
+      while (i < total) {
+        val lo = raw(2 * i) & 0xff
+        val hi = raw(2 * i + 1) & 0xff
+        val s = (if (big) (lo << 8) | hi else (hi << 8) | lo).toShort.toInt
+        val f = math.min(63, i * 64 / total)
+        sums(f) += math.abs(s)
+        counts(f) += 1
+        i += 1
       }
-      .toDF("blk", "blkval", "id", "phash")
-    val a = blocks.select(col("blk"), col("blkval"),
-      col("id").as("id1"), col("phash").as("h1"))
-    val b = blocks.select(col("blk"), col("blkval"),
-      col("id").as("id2"), col("phash").as("h2"))
-    a.join(b, Seq("blk", "blkval"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"),
-        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("int").as("hamming"))
-      .filter(col("hamming") <= maxDist)
-      .distinct()
+      val frames = Array.tabulate(64)(f =>
+        if (counts(f) == 0) 0L else sums(f) / counts(f))
+      val mean = frames.sum / 64
+      Some(frames.zipWithIndex.foldLeft(0L) { case (acc, (v, f)) =>
+        if (v > mean) acc | (1L << f) else acc
+      })
+    } finally ais.close()
+  }
+
+  /** Audio near-duplicate pairs by fingerprint Hamming distance —
+    * identical machinery to [[imageDupPairs]], over
+    * [[audioFingerprint]].
+    */
+  def audioDupPairs(media: DataFrame, maxDist: Int = 6,
+      idCol: String = "doc_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashes = media
+      .select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        audioFingerprint(bytes).map(id -> _)
+      })
+      .toDF("id", "hash")
+      .localCheckpoint(true)
+    Dedup.hammingPairs(hashes, maxDist)
+  }
+
+  /** 16-bit mono PCM wave with a per-frame amplitude ENVELOPE (64
+    * frames of `frameLen` samples; frame f's square-wave amplitude =
+    * 500 + ((a·f + b) mod 29)·1000, with an optional +400 perturbation
+    * on every 5th frame for near-duplicate twins) — the patterned-PNG
+    * analogue for fingerprint testing: distinct (a, b) give distinct
+    * envelopes, a noised twin stays within a few envelope bits.
+    */
+  def encodeEnvelopeWav(a: Int, b: Int, noise: Boolean,
+      frameLen: Int = 40, sampleRate: Int = 8000): Array[Byte] = {
+    val n = 64 * frameLen
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val raw = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val f = i / frameLen
+      var amp = 500 + ((a * f + b) % 29) * 1000
+      if (noise && f % 5 == 0) amp = math.min(Short.MaxValue.toInt, amp + 400)
+      val s = if (i % 2 == 0) amp else -amp
+      raw(2 * i) = (s & 0xff).toByte
+      raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    try javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    finally ais.close()
+    bos.toByteArray
   }
 
   /** Deterministic "frame sample" over a payload: every strideth byte,

@@ -838,6 +838,37 @@ object PipelineQueries {
     pairs.orderBy("id1", "id2")
   }
 
+  // Audio near-dup dedup by energy-envelope fingerprint — the audio
+  // twin of q106: every doc gets an envelope-patterned WAV, docs < 50
+  // also a perturbed twin; all 50 planted twins must pair within
+  // Hamming 6 through the shared pigeonhole machinery (a ranges over
+  // 1..28 — a ≡ 0 mod 29 would make the envelope CONSTANT, every frame
+  // tied at the mean, and the twin's perturbation would flip 13 bits
+  // at once). Codec-bound,
+  // rows-only; distances pinned in MultimodalPhashSpec.
+  val q107 = Q.rowsOnly("q107_multimodal_audio_dedup") { (s, d) =>
+    import s.implicits._
+    val ids = Tables.documents(s, d).select(col("doc_id").cast("long"))
+      .as[Long]
+    val media = ids.mapPartitions(_.flatMap { id =>
+      val a = 1 + (id % 28).toInt // never 0 mod 29: envelope stays varied
+      val b = (id % 29).toInt
+      val base = (id,
+        graft.operators.Multimodal.encodeEnvelopeWav(a, b, noise = false))
+      if (id < 50)
+        Iterator(base, (id + DupOffset,
+          graft.operators.Multimodal.encodeEnvelopeWav(a, b, noise = true)))
+      else Iterator(base)
+    }).toDF("doc_id", "payload")
+    val pairs = graft.operators.Multimodal.audioDupPairs(media, maxDist = 6)
+    val planted = pairs
+      .filter(col("id2") === col("id1") + DupOffset && col("id1") < 50)
+      .count()
+    require(planted == 50,
+      s"expected all 50 planted audio twins within Hamming 6, found $planted")
+    pairs.orderBy("id1", "id2")
+  }
+
   // Text-analysis projection (all-Column, UDF-free) — the closed-form
   // quality/lang-ID formulas recomputed exactly by the oracle.
   val q37 = Q.checked("q37_text_analysis", TextAnalysisSql.sql) { (s, d) =>

@@ -61,6 +61,50 @@ class MultimodalPhashSpec extends AnyFunSuite {
     assert((0L until 8L).forall(i => want.exists(p => p._1 == i && p._2 == i + 1000)))
   }
 
+  test("audio fingerprint: twins close, distinct envelopes far, brute-force parity") {
+    val h = Multimodal.audioFingerprint(
+      Multimodal.encodeEnvelopeWav(3, 7, noise = false)).get
+    assert(h == Multimodal.audioFingerprint(
+      Multimodal.encodeEnvelopeWav(3, 7, noise = false)).get)
+    val twin = Multimodal.audioFingerprint(
+      Multimodal.encodeEnvelopeWav(3, 7, noise = true)).get
+    val other = Multimodal.audioFingerprint(
+      Multimodal.encodeEnvelopeWav(11, 2, noise = false)).get
+    val dTwin = java.lang.Long.bitCount(h ^ twin)
+    val dOther = java.lang.Long.bitCount(h ^ other)
+    info(s"audio twin distance $dTwin, distinct-envelope distance $dOther")
+    assert(dTwin <= 6)
+    assert(dOther > 6)
+
+    val clips = (0L until 20L).flatMap { i =>
+      val base = (i, Multimodal.encodeEnvelopeWav(
+        1 + (i % 9).toInt, (i % 5).toInt, noise = false))
+      if (i < 6) Seq(base, (i + 1000, Multimodal.encodeEnvelopeWav(
+        1 + (i % 9).toInt, (i % 5).toInt, noise = true)))
+      else Seq(base)
+    }
+    val got = Multimodal.audioDupPairs(clips.toDF("doc_id", "payload"),
+      maxDist = 6).as[(Long, Long, Int)].collect().toSet
+    val hs = clips.map { case (id, b) =>
+      id -> Multimodal.audioFingerprint(b).get
+    }
+    val want = (for {
+      (i1, h1) <- hs; (i2, h2) <- hs
+      if i1 < i2
+      dd = java.lang.Long.bitCount(h1 ^ h2)
+      if dd <= 6
+    } yield (i1, i2, dd)).toSet
+    assert(got == want)
+  }
+
+  test("audio fingerprint: too-short and non-audio payloads are None") {
+    assert(Multimodal.audioFingerprint(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.audioFingerprint(
+      Multimodal.encodeWav(32, 100)).isEmpty) // < 64 samples
+    assert(Multimodal.audioFingerprint(
+      Multimodal.encodePatternPng(16, 16, 1, 1, noise = false)).isEmpty)
+  }
+
   test("undecodable payloads are skipped, not fatal") {
     val media = Seq(
       (1L, png(2, 3)),
