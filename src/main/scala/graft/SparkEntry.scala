@@ -77,7 +77,8 @@ object SparkEntry {
     PipelineQueries.q93, PipelineQueries.q94, PipelineQueries.q95,
     PipelineQueries.q98, PipelineQueries.q99, PipelineQueries.q100,
     PipelineQueries.q101, PipelineQueries.q104, PipelineQueries.q105,
-    PipelineQueries.q106, PipelineQueries.q107)
+    PipelineQueries.q106, PipelineQueries.q107, PipelineQueries.q108,
+    PipelineQueries.q109)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

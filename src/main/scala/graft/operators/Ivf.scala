@@ -25,6 +25,11 @@ object Ivf {
     s
   }
 
+  /** The nProbe nearest cell ids — shared with [[Pq.ivfPqTopK]]. */
+  private[operators] def probeCells(v: Array[Float],
+      cents: Array[Array[Double]], nProbe: Int): Seq[Int] =
+    probes(v, cents, nProbe)
+
   /** Nearest-centroid cell id — shared with [[Dedup.embeddingPairsKmeans]]. */
   private[operators] def nearestCell(v: Array[Float],
       cents: Array[Array[Double]]): Int = nearest(v, cents)

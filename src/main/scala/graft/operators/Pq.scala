@@ -205,6 +205,100 @@ object Pq {
         else Iterator.empty
       }
       .toDF("query_id", "neighbor_id", "cos_sim")
+    finishTopK(embeddings, scored, queryIds, k, rerank, idCol, vecCol)
+  }
+
+  /** IVF-PQ (the paper's IVFADC, the FAISS production layout): a coarse
+    * IVF quantizer restricts each query to its `nProbe` nearest cells,
+    * and PQ/ADC scores only the codes INSIDE those cells — the corpus
+    * pass is an equi-join on cell id instead of a full scan, and the
+    * scan that remains touches m-byte codes, not vectors. Compose with
+    * `rerank` for the IVFADC-R configuration. Both quantizers train
+    * deterministically (lowest-id init, no RNG).
+    */
+  def ivfPqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 5,
+      nList: Int = 16, nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
+      iters: Int = 3, rerank: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val coarse = Ivf.trainCentroids(embeddings, nList, iters, idCol, vecCol)
+    val bcCoarse = spark.sparkContext.broadcast(coarse)
+    val cb = trainCodebooks(embeddings, m, ksub, iters, idCol, vecCol)
+    val bcCb = spark.sparkContext.broadcast(cb)
+
+    // corpus: (cell, id, codes) — one map-only pass assigns + encodes
+    val codes = embeddings
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val c = bcCb.value
+        val sl = slices(v, c.m, c.dsub)
+        (Ivf.nearestCell(v, bcCoarse.value), id,
+          Array.tabulate(c.m)(j => nearestSub(sl(j), c.cents(j))))
+      }
+      .toDF("cell", "id", "codes")
+
+    // queries fan out to their probed cells with their ADC tables
+    val qtabs = embeddings
+      .filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, qv) =>
+        val c = bcCb.value
+        val sl = slices(qv, c.m, c.dsub)
+        val dotTab = Array.tabulate(c.m)(j => c.cents(j).map { cent =>
+          var s = 0.0
+          var i = 0
+          while (i < cent.length) { s += sl(j)(i) * cent(i); i += 1 }
+          s
+        })
+        val normTab = Array.tabulate(c.m)(j => c.cents(j).map { cent =>
+          var s = 0.0
+          var i = 0
+          while (i < cent.length) { s += cent(i) * cent(i); i += 1 }
+          s
+        })
+        var qn = 0.0
+        qv.foreach(x => qn += x.toDouble * x)
+        Ivf.probeCells(qv, bcCoarse.value, nProbe).iterator
+          .map(cell => (cell, qid, dotTab, normTab, math.sqrt(qn)))
+      }
+      .toDF("cell", "query_id", "dot_tab", "norm_tab", "qnorm")
+
+    val scored = codes
+      .join(broadcast(qtabs), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("id"), col("codes"), col("query_id"),
+        col("dot_tab"), col("norm_tab"), col("qnorm"))
+      .as[(Long, Array[Int], Long, Array[Array[Double]], Array[Array[Double]], Double)]
+      .flatMap { case (id, code, qid, dotTab, normTab, qnorm) =>
+        var dot = 0.0
+        var xn2 = 0.0
+        var j = 0
+        while (j < code.length) {
+          dot += dotTab(j)(code(j))
+          xn2 += normTab(j)(code(j))
+          j += 1
+        }
+        val denom = qnorm * math.sqrt(xn2)
+        val cosv = if (denom == 0.0) Double.NaN else dot / denom
+        if (java.lang.Double.isFinite(cosv))
+          Iterator.single((qid, id, math.rint(cosv * 1e6) / 1e6))
+        else Iterator.empty
+      }
+      .toDF("query_id", "neighbor_id", "cos_sim")
+    finishTopK(embeddings, scored, queryIds, k, rerank, idCol, vecCol)
+  }
+
+  /** Shared tail of the PQ searches: pure-ADC top-k (score column
+    * renamed `adc_cos`) or the r-shortlist exact re-rank.
+    */
+  private def finishTopK(embeddings: DataFrame, scored: DataFrame,
+      queryIds: Seq[Long], k: Int, rerank: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     if (rerank <= k)
       VectorSearch.topKPerQuery(scored, k)
         .withColumnRenamed("cos_sim", "adc_cos")

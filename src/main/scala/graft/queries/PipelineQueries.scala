@@ -869,6 +869,39 @@ object PipelineQueries {
     pairs.orderBy("id1", "id2")
   }
 
+  // SemDeDup end-to-end: the q86 k-means-bounded semantic pairs fed
+  // through the SAME connected-components + keeper-drop machinery the
+  // text dedup family uses (the pair-shape compatibility claim, made
+  // concrete) — embeddings in, deduplicated keeper ids out. k-means is
+  // not SQL-expressible, rows-only; every composed piece is
+  // individually oracled/specced (q86, q68, q69).
+  val q108 = Q.rowsOnly("q108_dedup_semantic_drop") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val pairs = Dedup.embeddingPairsKmeans(emb, threshold = 0.4,
+      nClusters = 16, iters = 2)
+    val kept = graft.operators.DupGraph
+      .dropNearDups(emb, pairs, idCol = "vec_id")
+      .select(col("vec_id").cast("long").as("vec_id"))
+    // sanity: dropping is real but bounded — the pair graph has edges,
+    // and every vec absent from it must survive
+    val n = emb.count()
+    val k = kept.count()
+    require(k < n, s"semantic drop removed nothing ($k of $n kept)")
+    require(k > n / 2, s"semantic drop removed too much ($k of $n kept)")
+    kept.orderBy("vec_id")
+  }
+
+  // IVF-PQ (FAISS's IVFADC-R layout): coarse cells bound the candidate
+  // set, PQ codes bound the bytes scanned, an exact re-rank restores
+  // recall. k-means quantizers are not SQL-expressible, rows-only;
+  // recall vs the exact search asserted in PqSpec.
+  val q109 = Q.rowsOnly("q109_ann_ivfpq_topk") { (s, d) =>
+    graft.operators.Pq.ivfPqTopK(Tables.embeddings(s, d),
+      queryIds = 0L to 9L, k = 5, nList = 16, nProbe = 6, m = 8,
+      ksub = 16, iters = 2, rerank = 50)
+      .orderBy("query_id", "neighbor_id")
+  }
+
   // Text-analysis projection (all-Column, UDF-free) — the closed-form
   // quality/lang-ID formulas recomputed exactly by the oracle.
   val q37 = Q.checked("q37_text_analysis", TextAnalysisSql.sql) { (s, d) =>

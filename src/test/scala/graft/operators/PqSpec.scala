@@ -72,6 +72,32 @@ class PqSpec extends AnyFunSuite {
     assert(rrRecall >= adcRecall)
   }
 
+  test("IVF-PQ is deterministic; probed+reranked recall stays usable") {
+    val emb = Tables.embeddings(spark, sf)
+    val qids = 0L to 9L
+    val exact = VectorSearch.cosineTopK(emb, qids, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = Pq.ivfPqTopK(emb, qids, k = 5, nList = 16, nProbe = 6,
+      m = 8, ksub = 16, iters = 2, rerank = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Pq.ivfPqTopK(emb, qids, k = 5, nList = 16, nProbe = 6,
+      m = 8, ksub = 16, iters = 2, rerank = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    val recall = exact.intersect(a).size.toDouble / exact.size
+    info(f"IVF-PQ recall@5 = $recall%.2f (nProbe=6/16, shortlist 50)")
+    // two stacked approximations (cells + codes): the bar is the
+    // product-ish of the IVF (≥0.5) and PQ-rerank (≥0.6) bars
+    assert(recall >= 0.4, s"recall $recall")
+    // full probe + big shortlist recovers the IVF-only behavior or better
+    val full = Pq.ivfPqTopK(emb, qids, k = 5, nList = 8, nProbe = 8,
+      m = 8, ksub = 16, iters = 1, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullRecall = exact.intersect(full).size.toDouble / exact.size
+    info(f"full-probe IVF-PQ recall@5 = $fullRecall%.2f")
+    assert(fullRecall >= recall)
+  }
+
   test("codebooks reject a dimension not divisible by m") {
     import spark.implicits._
     val emb = Seq((0L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding")
