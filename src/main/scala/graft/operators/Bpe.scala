@@ -84,12 +84,15 @@ object Bpe {
           val next = hist
             .map { case (syms, f) => (mergePair(syms, l, r), f) }
             .localCheckpoint(true)
-          hist.unpersist(blocking = false)
+          // Dataset.unpersist would be a no-op here (checkpoint blocks
+          // live on the underlying RDD) — free them explicitly or every
+          // merge round leaks its histogram into storage memory
+          graft.util.Checkpoints.free(hist)
           hist = next
           rank += 1
       }
     }
-    hist.unpersist(blocking = false)
+    graft.util.Checkpoints.free(hist)
     merges.result().toDF("rank", "left", "right", "pair_count")
   }
 

@@ -253,18 +253,23 @@ object Curation {
     * one partial-aggregated pass per group (groups are the unit of
     * clipping, so the percentile state is per-group, never global),
     * broadcast back and applied map-side with greatest/least.
+    *
+    * Rows whose group key is NULL form their own group (the join back
+    * is null-safe, `<=>`), clipped to the NULL group's own percentiles
+    * — never silently dropped. A group whose values are all NULL gets
+    * NULL bounds and so a NULL winsorized value, like any NULL input.
     */
   def winsorize(df: DataFrame, valueCol: String, groupCol: String,
       lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo < hi, s"bad quantiles [$lo, $hi]")
-    val bounds = df.groupBy(col(groupCol))
+    val bounds = df.groupBy(col(groupCol).as("__grp"))
       .agg(
         expr(s"percentile($valueCol, $lo)").as("__lo"),
         expr(s"percentile($valueCol, $hi)").as("__hi"))
-    df.join(broadcast(bounds), Seq(groupCol))
+    df.join(broadcast(bounds), col(groupCol) <=> col("__grp"))
       .withColumn(s"${valueCol}_winsorized",
         least(greatest(col(valueCol), col("__lo")), col("__hi")))
-      .drop("__lo", "__hi")
+      .drop("__grp", "__lo", "__hi")
   }
 
   /** Canonical form of an absolute URL, for URL-keyed dedup and
@@ -297,8 +302,17 @@ object Curation {
       .otherwise(hostport)
     val tail = regexp_replace(rest, "^[^/?#]*", "")
     val noFrag = regexp_replace(tail, "#.*", "")
-    val noUtmMid = regexp_replace(noFrag, "utm_[^&]*&", "")
-    val noUtm = regexp_replace(noUtmMid, "[?&]utm_[^&]*$", "")
+    // utm_* stripping is anchored to a parameter boundary so a `utm_`
+    // inside a path segment (`/utm_page?a=1`), a value (`?a=utm_x`), or
+    // a suffixed name (`?xutm_a=1`) is never touched: first every
+    // `&utm_...` param goes (global), which leaves at most one utm param
+    // in FIRST position; `?utm_...&` then collapses to `?`, and a lone
+    // `?utm_...` disappears. RE2 has no lookbehind, so boundary-keeping
+    // fixed replacements (`?`) do the job lookbehind would — still zero
+    // capture-group replacements, still verbatim-portable.
+    val noUtmAmp = regexp_replace(noFrag, "&utm_[^&]*", "")
+    val noUtmFirst = regexp_replace(noUtmAmp, "\\?utm_[^&]*&", "?")
+    val noUtm = regexp_replace(noUtmFirst, "\\?utm_[^&]*$", "")
     val noSlash = regexp_replace(noUtm, "/+$", "")
     when(scheme === "", concat(host, noSlash))
       .otherwise(concat(scheme, lit("://"), host, noSlash))

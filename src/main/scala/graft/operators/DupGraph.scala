@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
 
 import graft.util.Ids
@@ -135,17 +134,11 @@ object DupGraph {
       .as[(Long, Long)]
   }
 
-  /** Frees a localCheckpoint's storage blocks. `Dataset.unpersist` only
-    * clears CacheManager entries and is a no-op for checkpoint blocks
-    * (the persist lives on the underlying RDD); without this, every
-    * round's edge list stays resident until the ContextCleaner's next
-    * GC-driven sweep.
+  /** Frees a localCheckpoint's storage blocks — see
+    * [[graft.util.Checkpoints.free]] (shared with [[Bpe.trainMerges]]).
     */
   private def freeCheckpoint(ds: Dataset[_]): Unit =
-    ds.queryExecution.analyzed.foreach {
-      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    graft.util.Checkpoints.free(ds)
 
   /** Corpus minus near-duplicates: keeps every doc that is its own
     * cluster minimum (including all docs with no pair at all — absent

@@ -360,7 +360,11 @@ object TextAnalysis {
         val d = new java.util.zip.Deflater(level)
         d.setInput(bytes)
         d.finish()
-        val out = new Array[Byte](bytes.length + 64)
+        // deflate's worst case EXPANDS the input (~5 bytes per 16 KiB
+        // stored block + header/trailer); an undersized buffer would
+        // make deflate() return 0 forever once it fills, spinning the
+        // drain loop — so size it with the proper zlib bound
+        val out = new Array[Byte](bytes.length + bytes.length / 16383 * 5 + 64)
         var n = 0
         while (!d.finished()) n += d.deflate(out, n, out.length - n)
         d.end()

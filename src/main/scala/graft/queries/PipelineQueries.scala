@@ -419,9 +419,11 @@ object PipelineQueries {
                 regexp_replace(
                   regexp_replace(
                     regexp_replace(
-                      regexp_replace(tail, '#.*', ''),
-                      'utm_[^&]*&', '', 'g'),
-                    '[?&]utm_[^&]*$', ''),
+                      regexp_replace(
+                        regexp_replace(tail, '#.*', ''),
+                        '&utm_[^&]*', '', 'g'),
+                      '\?utm_[^&]*&', '?'),
+                    '\?utm_[^&]*$', ''),
                   '/+$', '') AS norm_url
          FROM h)
        SELECT doc_id, url, norm_url, keeper_id
@@ -487,9 +489,11 @@ object PipelineQueries {
                 regexp_replace(
                   regexp_replace(
                     regexp_replace(
-                      regexp_replace(tail, '#.*', ''),
-                      'utm_[^&]*&', '', 'g'),
-                    '[?&]utm_[^&]*$$', ''),
+                      regexp_replace(
+                        regexp_replace(tail, '#.*', ''),
+                        '&utm_[^&]*', '', 'g'),
+                      '\\?utm_[^&]*&', '?'),
+                    '\\?utm_[^&]*$$', ''),
                   '/+$$', '') AS norm_url
          FROM h0),
        survivors AS (

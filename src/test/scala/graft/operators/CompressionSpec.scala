@@ -39,6 +39,39 @@ class CompressionSpec extends AnyFunSuite {
     assert(got(3L)._4 == 1000L && got(4L)._4 == 1000L)
   }
 
+  test("deflate bound covers worst-case EXPANDING input (the hang scenario)") {
+    // truly random bytes EXPAND under deflate (stored blocks: ~5 bytes
+    // per 16 KiB + trailer), so the old `len + 64` buffer fills and
+    // deflate() returns 0 forever — prove at the byte level that (a)
+    // random input really does exceed len + 64 and (b) the zlib bound
+    // the operator now uses drains to completion
+    val rnd = new scala.util.Random(7)
+    val bytes = Array.fill[Byte](600 * 1024)(rnd.nextInt().toByte)
+    val d = new java.util.zip.Deflater(6)
+    d.setInput(bytes)
+    d.finish()
+    val out = new Array[Byte](bytes.length + bytes.length / 16383 * 5 + 64)
+    var n = 0
+    var spins = 0
+    while (!d.finished() && spins < 1000000) {
+      n += d.deflate(out, n, out.length - n)
+      spins += 1
+    }
+    d.end()
+    assert(d.finished(), "deflate must finish inside the zlib bound")
+    assert(n > bytes.length + 64,
+      s"random input must expand past the old len+64 buffer: $n")
+  }
+
+  test("large high-entropy doc through the operator terminates") {
+    val rnd = new scala.util.Random(7)
+    val big = new String(Array.fill(600 * 1024)((rnd.nextInt(256) - 128).toByte),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val got = TextAnalysis.compressionStats(Seq((1L, big)).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(got._3 > 0 && got._4 >= 700, s"high-entropy should resist: $got")
+  }
+
   test("deterministic across runs") {
     val docs = Seq((1L, "alpha beta gamma alpha beta")).toDF("doc_id", "text")
     val a = TextAnalysis.compressionStats(docs).collect().toSeq

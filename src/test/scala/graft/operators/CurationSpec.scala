@@ -157,13 +157,35 @@ class CurationSpec extends AnyFunSuite {
       ("http://ex.com/p?id=2", "http://ex.com/p?id=2"),
       ("ftp://Ex.com:80/f", "ftp://ex.com:80/f"), // :80 only default for http
       ("Example.COM/Path/", "example.com/Path"), // schemeless passthrough
-      ("http://ex.com", "http://ex.com"))
+      ("http://ex.com", "http://ex.com"),
+      // utm_ NOT at a parameter boundary must never be touched: in a
+      // path segment, in a value, or inside a suffixed parameter name
+      ("http://ex.com/utm_page?a=1&b=2", "http://ex.com/utm_page?a=1&b=2"),
+      ("http://ex.com/p?a=utm_x&b=1", "http://ex.com/p?a=utm_x&b=1"),
+      ("http://ex.com/p?xutm_a=1&b=2", "http://ex.com/p?xutm_a=1&b=2"),
+      ("http://ex.com/p?a=1&utm_x", "http://ex.com/p?a=1"))
     val got = cases.map(_._1).toDF("url")
       .select(col("url"), Curation.normalizeUrl(col("url")).as("norm"))
       .as[(String, String)].collect().toMap
     cases.foreach { case (in, want) =>
       assert(got(in) == want, s"normalizeUrl($in)")
     }
+  }
+
+  test("winsorize: NULL group keys clip within their own group, never drop") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), 1.0), (2L, Some("a"), 2.0), (3L, Some("a"), 100.0),
+      (4L, None, 10.0), (5L, None, 20.0), (6L, None, 1000.0))
+      .toDF("id", "grp", "v")
+    val got = Curation.winsorize(df, "v", "grp", lo = 0.0, hi = 0.5)
+      .select("id", "v_winsorized").as[(Long, Double)].collect().toMap
+    assert(got.size == 6, "NULL-group rows must survive winsorization")
+    // NULL group {10,20,1000}: hi = median 20 clips 1000 -> 20
+    assert(got(6L) == 20.0)
+    assert(got(4L) == 10.0 && got(5L) == 20.0)
+    // group a {1,2,100}: hi = 2 clips 100 -> 2
+    assert(got(3L) == 2.0)
   }
 
   test("temperatureWeights: α=1/2 closed form, integer-exact") {
