@@ -257,10 +257,17 @@ object TextAnalysis {
     * source, via `groupByKey(...).mapValues(word).agg(sketch)` — the
     * realistic production shape: a sketch PER KEY, each partial-agg
     * bounded at k−1 counters, so ten thousand groups cost ten thousand
-    * small maps, not ten thousand shuffled token streams). Guarantees
-    * are verified per group against the bounded candidate exact counts,
-    * and the output is each group's exact-counted >n_g/k tokens —
-    * deterministic and SQL-oracle-able, like the global version.
+    * small maps, not ten thousand shuffled token streams). The output is
+    * each group's exact-counted >n_g/k tokens — deterministic and
+    * SQL-oracle-able, like the global version.
+    *
+    * Unlike the global version (whose collects are bounded by the FIXED
+    * k), nothing here touches the driver: both Misra–Gries guarantees
+    * are verified IN-QUERY, per row, the way q98 checks Count–Min —
+    * so keying by a high-cardinality column (URL domain at 100 TB) is
+    * safe. Overestimate/slack bounds ride the candidate⋈exact join; a
+    * heavy hitter missing from its group's sketch would surface through
+    * the anti-join guard branch, which fails the job on its first row.
     */
   def heavyHittersByGroup(docs: DataFrame, k: Int = 30,
       groupCol: String = "lang", textCol: String = "text"): DataFrame = {
@@ -270,39 +277,48 @@ object TextAnalysis {
       .select(col(groupCol).as("grp"),
         explode(split(trim(col(textCol)), "\\s+")).as("word"))
       .filter(col("word") =!= "")
-    val sketches: Map[String, Map[String, Long]] = toks
+    // one sketch row per group, each ≤ k-1 counters — stays distributed
+    val cand = toks
       .as[(String, String)]
       .groupByKey(_._1)
       .mapValues(_._2)
       .agg(graft.functions.MisraGriesAggregator(k).toColumn)
-      .collect().toMap // one row per group, each ≤ k-1 counters
-    val totals: Map[String, Long] = toks.groupBy("grp").count()
-      .as[(String, Long)].collect().toMap
+      .toDF("grp", "sketch")
+      .select(col("grp"), explode(col("sketch")).as(Seq("word", "est")))
     val exact = toks.groupBy("grp", "word").agg(count(lit(1)).as("cnt"))
-    val candKeys = sketches.toSeq.flatMap { case (g, m) => m.keys.map(g -> _) }
-    val candExact: Map[(String, String), Long] =
-      if (candKeys.isEmpty) Map.empty
-      else exact
-        .join(candKeys.toDF("grp", "word"), Seq("grp", "word"), "left_semi")
-        .as[(String, String, Long)].collect()
-        .map { case (g, w, c) => (g, w) -> c }.toMap
-    sketches.foreach { case (g, m) =>
-      m.foreach { case (w, est) =>
-        val ex = candExact((g, w))
-        require(est <= ex && ex - est <= totals(g) / k,
-          s"MG bound violated for ($g,'$w'): est=$est exact=$ex")
+    val totals = toks.groupBy("grp").agg(count(lit(1)).as("total"))
+    // MG bound (est ≤ exact ≤ est + n_g/k) require-checked per
+    // candidate row, executor-side
+    val verified = cand
+      .join(exact, Seq("grp", "word"))
+      .join(totals, Seq("grp"))
+      .as[(String, String, Long, Long, Long)]
+      .map { case (g, w, est, ex, total) =>
+        require(est <= ex && ex - est <= total / k,
+          s"MG bound violated for ($g,'$w'): est=$est exact=$ex n/k=${total / k}")
+        (g, w, ex, total)
       }
-    }
-    val hitters = exact
-      .join(totals.toSeq.toDF("grp", "total"), "grp")
+      .toDF("grp", "word", "cnt", "total")
+    val hitters = verified
       .filter(expr(s"cnt > (total DIV $k)"))
+      .select(col("grp"), col("word"), col("cnt"))
+    // coverage guarantee: every exact >n_g/k token must be among its
+    // group's candidates — the anti-join is empty when it holds, and any
+    // row reaching the guard map fails the job with the culprit named
+    val missing = exact
+      .join(totals, Seq("grp"))
+      .filter(expr(s"cnt > (total DIV $k)"))
+      .join(cand.select("grp", "word"), Seq("grp", "word"), "left_anti")
+      .as[(String, String, Long, Long)]
+      .map { case (g, w, c, _) =>
+        require(false,
+          s"heavy hitter ($g,'$w') count $c missing from its group sketch")
+        (g, w, c)
+      }
+      .toDF("grp", "word", "cnt")
+    hitters.unionByName(missing)
       .select(col("grp").as(groupCol), col("word"), col("cnt"))
-      .as[(String, String, Long)].collect()
-    hitters.foreach { case (g, w, c) =>
-      require(sketches(g).contains(w),
-        s"heavy hitter ($g,'$w') count $c missing from its group sketch")
-    }
-    spark.createDataset(hitters.toSeq.sorted).toDF(groupCol, "word", "cnt")
+      .orderBy(groupCol, "word")
   }
 
   /** Count–Min token-frequency estimates beside the exact counts — the

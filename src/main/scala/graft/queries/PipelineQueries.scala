@@ -883,15 +883,23 @@ object PipelineQueries {
     val emb = Tables.embeddings(s, d)
     val pairs = Dedup.embeddingPairsKmeans(emb, threshold = 0.4,
       nClusters = 16, iters = 2)
+    val comps = graft.operators.DupGraph.components(pairs)
     val kept = graft.operators.DupGraph
-      .dropNearDups(emb, pairs, idCol = "vec_id")
+      .dropNearDupsByComponents(emb, comps, idCol = "vec_id")
       .select(col("vec_id").cast("long").as("vec_id"))
-    // sanity: dropping is real but bounded — the pair graph has edges,
-    // and every vec absent from it must survive
+    // structural invariant, NOT a fixture-tuned band: keeper-drop keeps
+    // exactly one vec per near-dup component plus every singleton, so
+    // kept == n − (pair-graph nodes − components) — derived from the
+    // pair graph itself, it holds at any SF and any threshold
     val n = emb.count()
     val k = kept.count()
-    require(k < n, s"semantic drop removed nothing ($k of $n kept)")
-    require(k > n / 2, s"semantic drop removed too much ($k of $n kept)")
+    val nodes = comps.count()
+    val nComp = comps.select("component").distinct().count()
+    require(nodes > nComp,
+      s"semantic pair graph is edgeless ($nodes nodes, $nComp components)")
+    require(k == n - (nodes - nComp),
+      s"keeper-drop broke the component invariant: kept $k of $n, " +
+        s"graph $nodes nodes in $nComp components")
     kept.orderBy("vec_id")
   }
 
