@@ -120,21 +120,89 @@ object PipelineQueries {
       .orderBy("id1", "id2")
   }
 
+  // A fixed-size slice of the dup'd corpus (200 base docs + the 50
+  // planted twins) for brute-force property oracles: the slice never
+  // grows with SF, so an exact quadratic check over it costs the same
+  // at sf0.001 and sf100.
+  private def dupSlice(s: SparkSession, d: String): DataFrame =
+    dupCorpus(s, d)
+      .filter(col("doc_id") < 200 ||
+        (col("doc_id") >= DupOffset && col("doc_id") < DupOffset + 50))
+      .select(col("doc_id").cast("long").as("id"), col("text"))
+
   // MinHash LSH near-dup candidates + exact verify — murmur3-seeded, not
   // SQL-expressible: rows-only (the dup'd corpus guarantees hits).
   // Tight banding (8x16: candidate prob ~ J^16 per band) — the fixture
   // docs share one small vocabulary, so shingle sets overlap heavily and
   // loose 4-row bands would make candidate generation quadratic.
+  //
+  // PROPERTY ORACLE (in-query): candidate recall against the exact pair
+  // set — every slice pair with true shingle Jaccard >= threshold+0.2
+  // (brute-forced over the fixed 250-doc slice, the same metric the
+  // operator verifies with) must surface in the LSH output; at J >= 0.9
+  // the 8x16 banding's per-pair hit probability is >0.998 and the seeded
+  // signatures make the outcome deterministic. The 50 planted twins
+  // (J = 1.0 exactly, identical signatures => structurally guaranteed
+  // candidates) keep the check non-vacuous at every SF.
   val q33 = Q.rowsOnly("q33_dedup_minhash") { (s, d) =>
-    Dedup.minhashPairs(dupCorpus(s, d), threshold = 0.7,
+    import s.implicits._
+    val got = Dedup.minhashPairs(dupCorpus(s, d), threshold = 0.7,
       bands = 8, rowsPerBand = 16)
-      .orderBy("id1", "id2")
+    val slice = dupSlice(s, d)
+    val exactHigh = slice.select(col("id").as("id1"), col("text").as("t1"))
+      .join(slice.select(col("id").as("id2"), col("text").as("t2")),
+        col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("t1"), col("t2"))
+      .as[(Long, Long, String, String)]
+      .map { case (i1, i2, t1, t2) =>
+        val s1 = Dedup.shingles(t1)
+        val s2 = Dedup.shingles(t2)
+        val inter = s1.intersect(s2).size
+        val j = if (s1.isEmpty && s2.isEmpty) 1.0
+        else inter.toDouble / (s1.size + s2.size - inter)
+        (i1, i2, j)
+      }
+      .toDF("id1", "id2", "j")
+      .filter(col("j") >= 0.9)
+    val nHigh = exactHigh.count()
+    require(nHigh >= 50,
+      s"property oracle vacuous: only $nHigh exact slice pairs at J>=0.9")
+    val missed = exactHigh.join(got, Seq("id1", "id2"), "left_anti").count()
+    require(missed == 0,
+      s"MinHash LSH missed $missed of $nHigh exact slice pairs at J>=0.9")
+    got.orderBy("id1", "id2")
   }
 
   // SimHash pigeonhole Hamming<=3 pairs — rows-only for the same reason.
+  //
+  // PROPERTY ORACLE (in-query): the pigeonhole split is a THEOREM — two
+  // hashes within Hamming maxDist must agree on >= 1 of maxDist+1 blocks
+  // — so exact recall is 100% at any SF: every slice pair whose
+  // brute-forced simhash distance is <= maxDist must appear in the
+  // output, planted twins (distance 0) included.
   val q34 = Q.rowsOnly("q34_dedup_simhash") { (s, d) =>
-    Dedup.simhashPairs(dupCorpus(s, d), maxDist = 3)
-      .orderBy("id1", "id2")
+    import s.implicits._
+    val got = Dedup.simhashPairs(dupCorpus(s, d), maxDist = 3)
+    val slice = dupSlice(s, d)
+    val hashed = slice
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        (id, Dedup.simhash64((if (t == null) "" else t).trim.split("\\s+").toSeq))
+      }
+      .toDF("id", "sh")
+    val exactClose = hashed.select(col("id").as("id1"), col("sh").as("h1"))
+      .join(hashed.select(col("id").as("id2"), col("sh").as("h2")),
+        col("id1") < col("id2"))
+      .filter(bit_count(col("h1").bitwiseXOR(col("h2"))) <= 3)
+      .select("id1", "id2")
+    val nClose = exactClose.count()
+    require(nClose >= 50,
+      s"property oracle vacuous: only $nClose exact slice pairs at dist<=3")
+    val missed = exactClose.join(got, Seq("id1", "id2"), "left_anti").count()
+    require(missed == 0,
+      s"SimHash pigeonhole missed $missed of $nClose exact slice pairs — " +
+        "the block-agreement theorem was violated")
+    got.orderBy("id1", "id2")
   }
 
   // Embedding-cosine near-dup, exact variant — the oracle-checked
