@@ -187,9 +187,16 @@ object VectorSearch {
     sig
   }
 
-  /** Approximate top-k: rank only within the query's SRP bucket. Falls
-    * back to fewer than k results when a bucket is small — the standard
-    * recall/cost trade; increase nBits for precision, decrease for recall.
+  /** Approximate top-k: rank only within the query's SRP bucket(s),
+    * unioned over `tables` independent hyperplane tables (candidates
+    * dedup'd on ids BEFORE the vectors join back, so extra tables never
+    * shuffle the vectors twice — the [[graft.operators.Dedup.embeddingPairsLsh]]
+    * shape). Per true neighbor at cosine c the hit probability is
+    * 1-(1-p^nBits)^tables with p = 1-arccos(c)/π: more tables buy
+    * recall, more bits buy selectivity. `tables = 1` reproduces the
+    * classic single-table variant bit-identically. Falls back to fewer
+    * than k results when the probed buckets are small — the standard
+    * recall/cost trade.
     */
   def srpTopK(
       embeddings: DataFrame,
@@ -197,23 +204,36 @@ object VectorSearch {
       k: Int = 5,
       nBits: Int = 8,
       dim: Int = 64,
+      tables: Int = 1,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val planes = hyperplanes(nBits, dim)
-    val signed = embeddings
+    val allPlanes = Array.tabulate(tables)(t =>
+      hyperplanes(nBits, dim, seed = 0x9e3779b9L + t))
+    val vecs = embeddings
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val signed = vecs
       .as[(Long, Array[Float])]
-      .map { case (id, v) => (id, v, srpSignatureArray(v, planes)) }
-      .toDF("id", "vec", "bucket")
+      .map { case (id, v) =>
+        (id, allPlanes.map(p => srpSignatureArray(v, p)).toSeq)
+      }
+      .toDF("id", "sigs")
+      .select(col("id"), posexplode(col("sigs")).as(Seq("table", "bucket")))
     val queries = signed
       .filter(col("id").isin(queryIds: _*))
-      .select(col("id").as("query_id"), col("vec").as("qvec"),
-        col("bucket"))
-    val scored = signed
-      .join(broadcast(queries), Seq("bucket"))
+      .select(col("id").as("query_id"), col("table"), col("bucket"))
+    val cands = signed
+      .join(broadcast(queries), Seq("table", "bucket"))
       .filter(col("id") =!= col("query_id"))
+      .select("query_id", "id")
+      .distinct()
+    val qvecs = vecs
+      .filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+    val scored = cands
+      .join(vecs, "id")
+      .join(broadcast(qvecs), "query_id")
       .select(col("query_id"), col("id").as("neighbor_id"),
         col("vec"), col("qvec"))
       .as[(Long, Long, Array[Float], Array[Float])]

@@ -330,30 +330,63 @@ object PipelineQueries {
       .orderBy("query_id", "neighbor_id")
   }
 
-  // SRP-LSH approximate top-k — hyperplane-seeded, rows-only.
+  // In-query ANN recall floor for the approximate-search family: the
+  // approximate result must contain at least `floor` of the
+  // oracled-exact top-5 pairs — q35's exact formulation recomputed here
+  // (one broadcast query-set pass over the corpus, the same cost class
+  // as the q35 baseline every ANN variant is graded against). All the
+  // approximate paths are RNG-free/seeded, so measured recall is
+  // deterministic and a floor is a real gate, not a coin flip.
+  private def requireAnnRecall(s: SparkSession, d: String, got: DataFrame,
+      floor: Double, label: String): DataFrame = {
+    val exact = VectorSearch.cosineTopK(Tables.embeddings(s, d),
+      queryIds = 0L to 9L, k = 5)
+      .select("query_id", "neighbor_id")
+    val nExact = exact.count()
+    val hit = exact
+      .join(got.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .count()
+    require(nExact > 0 && hit.toDouble / nExact >= floor,
+      s"$label recall $hit/$nExact below floor $floor vs the exact top-k")
+    got
+  }
+
+  // SRP-LSH approximate top-k — hyperplane-seeded, rows-only. Multi-table
+  // (16 tables × 4 bits): the fixture's true top-5 neighbors sit at low
+  // cosine (the hard, near-random regime), where a single table's bucket
+  // recall is ~5%; unioning independent tables restores it the way any
+  // production SRP deployment does.
   val q36 = Q.rowsOnly("q36_ann_srp_topk") { (s, d) =>
-    VectorSearch.srpTopK(Tables.embeddings(s, d), queryIds = 0L to 9L,
-      k = 5, nBits = 6)
+    requireAnnRecall(s, d,
+      VectorSearch.srpTopK(Tables.embeddings(s, d), queryIds = 0L to 9L,
+        k = 5, nBits = 4, tables = 16),
+      floor = 0.5, label = "SRP-LSH")
       .orderBy("query_id", "neighbor_id")
   }
 
   // IVF coarse-quantized ANN — deterministic k-means cells, probe the 6
   // nearest of 16; k-means is not SQL-expressible, rows-only (recall vs
-  // the exact search is asserted in SkewAndIvfSpec).
+  // the exact search is asserted in SkewAndIvfSpec AND require-gated
+  // in-query below).
   val q44 = Q.rowsOnly("q44_ann_ivf_topk") { (s, d) =>
-    graft.operators.Ivf.ivfTopK(Tables.embeddings(s, d),
-      queryIds = 0L to 9L, k = 5, nList = 16, nProbe = 6, iters = 2)
+    requireAnnRecall(s, d,
+      graft.operators.Ivf.ivfTopK(Tables.embeddings(s, d),
+        queryIds = 0L to 9L, k = 5, nList = 16, nProbe = 6, iters = 2),
+      floor = 0.9, label = "IVF")
       .orderBy("query_id", "neighbor_id")
   }
 
   // Product-quantization ADC ANN — 8 subspaces × 16 codes over the
   // 64-dim embeddings (32× compression; scoring touches only code ids
   // + per-query lookup tables). k-means codebooks are not
-  // SQL-expressible, rows-only; recall vs the exact search and the
-  // reconstruction-cosine identity are asserted in PqSpec.
+  // SQL-expressible, rows-only; the reconstruction-cosine identity is
+  // asserted in PqSpec, recall require-gated in-query below.
   val q85 = Q.rowsOnly("q85_ann_pq_topk") { (s, d) =>
-    graft.operators.Pq.pqTopK(Tables.embeddings(s, d),
-      queryIds = 0L to 9L, k = 5, m = 8, ksub = 16, iters = 2, rerank = 50)
+    requireAnnRecall(s, d,
+      graft.operators.Pq.pqTopK(Tables.embeddings(s, d),
+        queryIds = 0L to 9L, k = 5, m = 8, ksub = 16, iters = 2, rerank = 50),
+      floor = 0.6, label = "PQ/ADC")
       .orderBy("query_id", "neighbor_id")
   }
 
@@ -974,11 +1007,14 @@ object PipelineQueries {
   // IVF-PQ (FAISS's IVFADC-R layout): coarse cells bound the candidate
   // set, PQ codes bound the bytes scanned, an exact re-rank restores
   // recall. k-means quantizers are not SQL-expressible, rows-only;
-  // recall vs the exact search asserted in PqSpec.
+  // recall vs the exact search asserted in PqSpec AND require-gated
+  // in-query vs the exact top-k.
   val q109 = Q.rowsOnly("q109_ann_ivfpq_topk") { (s, d) =>
-    graft.operators.Pq.ivfPqTopK(Tables.embeddings(s, d),
-      queryIds = 0L to 9L, k = 5, nList = 16, nProbe = 6, m = 8,
-      ksub = 16, iters = 2, rerank = 50)
+    requireAnnRecall(s, d,
+      graft.operators.Pq.ivfPqTopK(Tables.embeddings(s, d),
+        queryIds = 0L to 9L, k = 5, nList = 16, nProbe = 6, m = 8,
+        ksub = 16, iters = 2, rerank = 50),
+      floor = 0.6, label = "IVF-PQ")
       .orderBy("query_id", "neighbor_id")
   }
 

@@ -92,4 +92,29 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(out.map(_._4).toSeq == Seq(1, 2))
     assert(out.forall(_._3 <= 1.0))
   }
+
+  test("srpTopK: recall vs exact is monotone in table count") {
+    import spark.implicits._
+    // table 0's hyperplanes are seed-stable, so candidates(t tables) ⊆
+    // candidates(t+1 tables); a true top-k neighbor can only be
+    // displaced by a strictly better candidate — which is itself in the
+    // exact top-k — so recall never decreases as tables grow
+    val rnd = new scala.util.Random(3)
+    val vecs = (0L until 300L)
+      .map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val exact = VectorSearch.cosineTopK(vecs, queryIds = 0L to 4L, k = 5)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recalls = Seq(1, 4, 12).map { t =>
+      val got = VectorSearch.srpTopK(vecs, queryIds = 0L to 4L, k = 5,
+        nBits = 4, dim = 16, tables = t)
+        .select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      (exact & got).size
+    }
+    assert(recalls == recalls.sorted, s"recall not monotone: $recalls")
+    assert(recalls.last > recalls.head,
+      s"extra tables bought no recall on this seeded set: $recalls")
+  }
 }
