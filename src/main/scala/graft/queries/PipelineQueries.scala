@@ -1959,17 +1959,99 @@ object PipelineQueries {
       .orderBy("lang")
   }
 
-  // DIRT pipeline end-to-end on the committed mini biarc corpus — corpus
-  // lines are not a fixture table, so rows-only here; the hand-computed
-  // closed-form scores are asserted in DirtPipelineSpec.
+  // DIRT pipeline end-to-end on the committed PLANTED biarc corpus
+  // (corpus lines are not a fixture table, so rows-only) — but
+  // self-verifying: the corpus plants three path-pair families with
+  // closed-form Lin scores, require-checked in-query against the
+  // pipeline output (the q106/q107 planted-twin pattern):
+  //   - 50 twin pairs (identical slot/word count profiles): the
+  //     numerator equals the denominator sum feature-for-feature, so
+  //     score == 1.0 exactly (up to float summation order);
+  //   - 25 disjoint pairs (no shared filler in either slot): empty
+  //     feature intersection, score == 0.0 exactly;
+  //   - 25 partial pairs (half the fillers shared per slot): strictly
+  //     between, 0 < score < 1.
+  // The MiniCorpus hand-computed scores stay pinned in DirtPipelineSpec.
   val q40 = Q.rowsOnly("q40_dirt_similarity") { (s, _) =>
     import s.implicits._
-    DirtPipeline.run(s,
-      s.createDataset(MiniCorpus.lines),
-      MiniCorpus.testSet)
+    val scored = DirtPipeline.run(s,
+      s.createDataset(PlantedBiarc.lines),
+      PlantedBiarc.testSet)
+    def family(tag: String) = scored.filter(col("path1").contains(tag))
+    val twinN = family("vtw").count()
+    val twinOff = family("vtw")
+      .filter(abs(col("score") - 1.0) > 1e-9).count()
+    require(twinN == 50 && twinOff == 0,
+      s"twin pairs: $twinN scored, $twinOff off the closed-form 1.0")
+    val djN = family("vdj").count()
+    val djOff = family("vdj").filter(col("score") =!= 0.0).count()
+    require(djN == 25 && djOff == 0,
+      s"disjoint pairs: $djN scored, $djOff off the closed-form 0.0")
+    val ptN = family("vpt").count()
+    val ptOff = family("vpt")
+      .filter(col("score") <= 0.0 || col("score") >= 1.0).count()
+    require(ptN == 25 && ptOff == 0,
+      s"partial pairs: $ptN scored, $ptOff outside (0, 1)")
+    scored
       .select(col("path1"), col("path2"), round(col("score"), 6).as("score"))
       .orderBy("path1", "path2")
   }
+}
+
+/** Planted biarc corpus for the self-verifying q40: 100 verb groups,
+  * each materializing the `X <verb> from Y` / `X <verb> of Y` path pair
+  * with a controlled filler-profile relationship (identical / disjoint /
+  * half-overlapping), 8 weighted instances per path — ~1.6k lines in
+  * the reference's biarc format (`head \t tok/POS/dep/headIdx... \t
+  * count`, DirtDriver.java:527-552; score semantics `:972-975`).
+  *
+  * Why the closed forms hold regardless of corpus-wide margins: MI
+  * values depend on global N and the margins, but twin paths see
+  * IDENTICAL triple profiles, so their kept-feature sets and MI values
+  * coincide feature-for-feature — numerator Σ(mi1+mi2) and denominator
+  * (Σmi1)+(Σmi2) are the same sum, sim = 1 per slot. Disjoint fillers
+  * make the (slot, word) intersection empty — numerator 0. Partial
+  * overlap keeps 0 < numerator < denominator (unique features have
+  * positive MI under the >0.001 filter).
+  */
+object PlantedBiarc {
+  private val FillersPerPath = 8
+  private def cnt(j: Int): Int = 1 + (j % 3)
+
+  private def line(v: String, x: String, prep: String, y: String,
+      c: Int): String =
+    s"$v\t$x/NNS/nsubj/2 $v/VBP/ROOT/0 $prep/IN/prep/2 $y/NN/pobj/3\t$c"
+
+  val lines: Seq[String] = {
+    val twins = for {
+      k <- 0 until 50
+      j <- 0 until FillersPerPath
+      prep <- Seq("from", "of") // identical profiles for both paths
+    } yield line(s"vtw$k", s"a$k${"x"}$j", prep, s"b$k${"y"}$j", cnt(j))
+    val disjoint = for {
+      k <- 0 until 25
+      j <- 0 until FillersPerPath
+      prep <- Seq("from", "of")
+    } yield line(s"vdj$k", s"d$prep$k${"x"}$j", prep, s"e$prep$k${"y"}$j",
+      cnt(j))
+    val partial = for {
+      k <- 0 until 25
+      j <- 0 until FillersPerPath
+      prep <- Seq("from", "of")
+      // fillers 0..3 shared between the two paths, 4..7 disjoint
+    } yield {
+      val (x, y) =
+        if (j < FillersPerPath / 2) (s"p$k${"x"}$j", s"q$k${"y"}$j")
+        else (s"p$prep$k${"x"}$j", s"q$prep$k${"y"}$j")
+      line(s"vpt$k", x, prep, y, cnt(j))
+    }
+    twins ++ disjoint ++ partial
+  }
+
+  val testSet: Seq[String] =
+    (0 until 50).map(k => s"X vtw$k from Y\tX vtw$k of Y") ++
+      (0 until 25).map(k => s"X vdj$k from Y\tX vdj$k of Y") ++
+      (0 until 25).map(k => s"X vpt$k from Y\tX vpt$k of Y")
 }
 
 /** Mini biarc corpus shared by the DIRT driver query and benches — same
