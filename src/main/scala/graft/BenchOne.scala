@@ -34,10 +34,15 @@ object BenchOne {
     val synthetic: Map[String, () => Unit] = Bench.syntheticRunners(spark,
       sys.env.getOrElse("SPARK_GRAFT_DIRT_ROWS", "200000").toLong,
       sys.env.getOrElse("SPARK_GRAFT_JACCARD_DOCS", "50000").toLong).toMap
+    // the q68/q69 shared-pair-graph override, same as the full bench:
+    // `BenchOne q68… q69…` times the composed shape Bench times, while
+    // q69 alone falls back to the stand-alone computation
+    val overrides = Bench.componentRunners(spark, sfDir)
 
     args.foreach { name =>
-      val body: () => Unit = SparkEntry.queries.get(name)
-        .map(fn => () => { fn(spark, sfDir).count(); () })
+      val body: () => Unit = overrides.get(name)
+        .orElse(SparkEntry.queries.get(name)
+          .map(fn => () => { fn(spark, sfDir).count(); () }))
         .orElse(synthetic.get(name))
         .getOrElse(sys.error(s"unknown query: $name"))
       val times = (1 to reps).map { _ =>
