@@ -219,6 +219,46 @@ object Bench {
         .count()
       require(got == n, s"expected $n docs with exactly one dup passage, got $got")
     }),
+    // ANN scale probe: IVF-PQ over 4×jacDocs synthetic 64-dim vectors
+    // with PLANTED closed-form ground truth — queries 0..9 each get 5
+    // near-copies (ids 10+5q+j, cosine ≈ 0.996) while random 64-dim
+    // pairs concentrate near 0 (max |cos| over 2M comparisons ≈ 0.6),
+    // so the true top-5 per query is known by construction and the
+    // in-run require gates recall at 200k-vector scale the way
+    // passages_dup gates passage dedup. Both quantizers are RNG-free,
+    // so the result is deterministic.
+    s"ann_ivfpq_${jacDocs * 4}" -> (() => {
+      import spark.implicits._
+      val n = jacDocs * 4
+      val dim = 64
+      def mix(x: Long, salt: Long): Long = {
+        var z = x + salt * 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+        z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+        (z ^ (z >>> 33)) & Long.MaxValue
+      }
+      def unit(x: Long, salt: Long): Float =
+        ((mix(x, salt) % 2000001L) / 1000000.0f) - 1.0f
+      val vecs = spark.range(n).map { i =>
+        val v =
+          if (i >= 10 && i < 60) {
+            val q = (i - 10) / 5 // near-copy of query q
+            Array.tabulate(dim)(d =>
+              unit(q * dim + d, 11L) + 0.05f * unit(i * dim + d, 13L))
+          } else Array.tabulate(dim)(d => unit(i * dim + d, 11L))
+        (i, v)
+      }.toDF("vec_id", "embedding")
+      val got = graft.operators.Pq.ivfPqTopK(vecs, queryIds = 0L to 9L,
+        k = 5, nList = 64, nProbe = 8, m = 8, ksub = 16, iters = 2,
+        rerank = 50)
+      import org.apache.spark.sql.functions.{col, expr}
+      val planted = got
+        .filter(col("neighbor_id") >= 10 && col("neighbor_id") < 60 &&
+          expr("(neighbor_id - 10) DIV 5") === col("query_id"))
+        .count()
+      require(planted >= 40,
+        s"IVF-PQ recalled only $planted/50 planted neighbors at $n vectors")
+    }),
     // the FULL reference lifecycle with a throughput number: pipeline ->
     // TSV sink -> max-dedup + threshold sweep (P/R/F1), not just the
     // pipeline half. Labels split the synthetic test set so the sweep
