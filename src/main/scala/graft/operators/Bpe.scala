@@ -105,4 +105,36 @@ object Bpe {
     merges.foreach { case (l, r) => syms = mergePair(syms, l, r) }
     syms
   }
+
+  /** Sequential reference over a word-frequency histogram — the same
+    * formula [[trainMerges]] distributes, evaluated in one thread. The
+    * q88 property oracle collects the (vocabulary-bounded by contract)
+    * histogram and requires distributed == sequential; BpeSpec pins
+    * this implementation against its own independent reference.
+    */
+  def sequentialMerges(hist0: Seq[(String, Long)],
+      nMerges: Int): Seq[(Int, String, String, Long)] = {
+    var hist: Map[List[String], Long] = hist0
+      .map { case (w, f) => (w.map(_.toString).toList :+ EndMark) -> f }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var k = 0
+    var stop = false
+    while (k < nMerges && !stop) {
+      val counts = hist.toSeq.flatMap { case (syms, f) =>
+        syms.sliding(2).collect { case List(a, b) => ((a, b), f) }
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      if (counts.isEmpty) stop = true
+      else {
+        val ((l, r), c) = counts.toSeq
+          .minBy { case ((a, b), cnt) => (-cnt, a, b) }
+        out += ((k, l, r, c))
+        hist = hist.toSeq.map { case (syms, f) =>
+          mergePair(syms.toArray, l, r).toList -> f
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        k += 1
+      }
+    }
+    out.result()
+  }
 }

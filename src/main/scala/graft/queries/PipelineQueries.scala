@@ -262,11 +262,33 @@ object PipelineQueries {
   }
 
   // LSH-bucketed variant (hyperplane-seeded → rows-only); recall vs the
-  // exact baseline is asserted in DedupEmbeddingSpec.
+  // exact baseline asserted in DedupEmbeddingSpec AND require-gated
+  // in-query: >= 0.8 of the exact pairs on the fixed vec_id < 1000
+  // slice (q45's oracled formulation — the bounded slice keeps the
+  // quadratic check constant-cost at any SF) must appear in the LSH
+  // output. Seeded hyperplanes make the gate deterministic (0.94
+  // observed).
   val q46 = Q.rowsOnly("q46_dedup_embedding_lsh") { (s, d) =>
-    Dedup.embeddingPairsLsh(Tables.embeddings(s, d), threshold = 0.4,
-      nBits = 2, tables = 4)
-      .orderBy("id1", "id2")
+    graft.functions.GraftFunctions.register(s)
+    val got = Dedup.embeddingPairsLsh(Tables.embeddings(s, d),
+      threshold = 0.4, nBits = 2, tables = 4)
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") < 1000)
+    val exact = emb.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+      .join(emb.select(col("vec_id").as("id2"), col("embedding").as("v2")),
+        col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        explode(array(round(
+          graft.functions.GraftFunctions.cosineSim(col("v1"), col("v2")), 6)))
+          .as("cos_sim"))
+      .filter(!isnan(col("cos_sim")) && col("cos_sim") >= 0.4)
+      .select("id1", "id2")
+    val nExact = exact.count()
+    val hit = exact
+      .join(got.select("id1", "id2"), Seq("id1", "id2"), "left_semi")
+      .count()
+    require(nExact > 0 && hit.toDouble / nExact >= 0.8,
+      s"embedding-LSH recall $hit/$nExact below 0.8 on the exact slice")
+    got.orderBy("id1", "id2")
   }
 
   // Exact brute-force cosine top-k against DuckDB's list_cosine_similarity
@@ -402,12 +424,29 @@ object PipelineQueries {
 
   // Distributed BPE merge training over the corpus word histogram —
   // tokenizer training as iterative relational passes. The greedy
-  // sequential merge rule is not SQL-expressible, rows-only; the
-  // distributed == sequential-reference equivalence and the paper's
-  // hand-checkable first merges are pinned in BpeSpec.
+  // sequential merge rule is not SQL-expressible, rows-only — but
+  // PROPERTY-ORACLED in-query: the distributed merge table must equal
+  // the sequential reference run on the collected word histogram
+  // (vocabulary-bounded by contract — BPE's whole design collapses the
+  // corpus to distinct words before any driver state). BpeSpec
+  // additionally pins the sequential reference itself against an
+  // independent implementation and the paper's hand-checked merges.
   val q88 = Q.rowsOnly("q88_bpe_merges") { (s, d) =>
-    graft.operators.Bpe.trainMerges(Tables.documents(s, d), nMerges = 12)
-      .orderBy("rank")
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val got = graft.operators.Bpe.trainMerges(docs, nMerges = 12)
+    val hist = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)].collect().toSeq
+    val want = graft.operators.Bpe.sequentialMerges(hist, 12)
+    val gotSeq = got.as[(Int, String, String, Long)].collect().toSeq
+      .sortBy(_._1)
+    require(gotSeq == want,
+      s"distributed BPE merges diverge from the sequential reference " +
+        s"(first got=${gotSeq.headOption} want=${want.headOption})")
+    got.orderBy("rank")
   }
 
   // Gopher-style composite quality filter: the integer-exact rules

@@ -62,6 +62,13 @@ class BpeSpec extends AnyFunSuite {
     // then "est", then "est</w>"
     assert(got.take(3) == Seq(("e", "s", 9L), ("es", "t", 9L),
       ("est", Bpe.EndMark, 9L)))
+    // the shipped sequential reference (the q88 in-query oracle) must
+    // itself match this spec's independent implementation
+    val hist = corpus.split(" ").toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val seq = Bpe.sequentialMerges(hist, 8)
+      .map { case (_, l, r, c) => (l, r, c) }
+    assert(seq == want)
   }
 
   test("training is deterministic and segmentation round-trips") {
