@@ -62,6 +62,11 @@ object Bpe {
       .localCheckpoint(true)
 
     val merges = Seq.newBuilder[(Int, String, String, Long)]
+    // the lazily-checkpointed round k histogram materializes during
+    // round k+1's argmax job, READING round k-1's blocks — so round
+    // k-1 can only be freed after that argmax returns (freeing it at
+    // creation time races the materialization and loses blocks)
+    var prev: Dataset[(Array[String], Long)] = null
     var rank = 0
     var exhausted = false
     while (rank < nMerges && !exhausted) {
@@ -76,22 +81,28 @@ object Bpe {
         .orderBy(desc("pair_count"), asc("l"), asc("r"))
         .limit(1)
         .as[(String, String, Long)]
-        .collect()
+        .collect() // materializes `hist`'s lazy checkpoint
+      // Dataset.unpersist would be a no-op here (checkpoint blocks live
+      // on the underlying RDD) — free the grandparent explicitly or
+      // every merge round leaks its histogram into storage memory
+      if (prev != null) { graft.util.Checkpoints.free(prev); prev = null }
       top.headOption match {
         case None => exhausted = true // every word is one symbol already
         case Some((l, r, c)) =>
           merges += ((rank, l, r, c))
+          // LAZY checkpoint: the next round's argmax collect is the
+          // first action over this Dataset and materializes the
+          // checkpoint in the same job — eager would add a full extra
+          // pass per merge round
           val next = hist
             .map { case (syms, f) => (mergePair(syms, l, r), f) }
-            .localCheckpoint(true)
-          // Dataset.unpersist would be a no-op here (checkpoint blocks
-          // live on the underlying RDD) — free them explicitly or every
-          // merge round leaks its histogram into storage memory
-          graft.util.Checkpoints.free(hist)
+            .localCheckpoint(false)
+          prev = hist
           hist = next
           rank += 1
       }
     }
+    if (prev != null) graft.util.Checkpoints.free(prev)
     graft.util.Checkpoints.free(hist)
     merges.result().toDF("rank", "left", "right", "pair_count")
   }

@@ -55,7 +55,7 @@ object DupGraph {
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct()
       .as[(Long, Long)]
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: the first fingerprint materializes it
 
     // cheap order-independent fingerprint for the convergence test: the
     // star rounds are monotone (edge multiset only moves toward the
@@ -72,7 +72,11 @@ object DupGraph {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // LAZY checkpoint: the fingerprint action below is the round's
+      // first job over `next`, so it materializes the checkpoint AND
+      // computes the convergence agg in ONE pass — an eager checkpoint
+      // would spend a second job per round on the same scan
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val nfp = fingerprint(next)
       converged = nfp == fp
       if (converged) {
