@@ -215,4 +215,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("GreaterThanOrEqual(user_id,10)") &&
       p.contains("LessThanOrEqual(user_id,19)"), p.take(3000))
   }
+
+  test("srpTopK multi-table: candidates dedup on ids only, vectors rejoin after") {
+    // the candidate-dedup aggregate must group (query_id, id) and nothing
+    // else — vector payloads rejoin AFTER the distinct, so extra hash
+    // tables never shuffle vectors once per table; and no stage may fall
+    // back to a cartesian/window
+    val p = graft.operators.VectorSearch
+      .srpTopK(Tables.embeddings(spark, sf), queryIds = 0L to 9L,
+        k = 5, nBits = 4, tables = 4)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("Keys [2]: [query_id"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      p.take(3000))
+  }
+
+  test("heavyHittersByGroup: sketches partial-aggregate; guard rides the union") {
+    // one Misra-Gries sketch per group via the typed Aggregator: the agg
+    // must be two-phase (<= k-1 counters per partition shuffle, never raw
+    // token streams), and the coverage guard must be IN the plan (a
+    // Union branch), not a driver-side collect
+    val p = graft.operators.TextAnalysis
+      .heavyHittersByGroup(Tables.documents(spark, sf), k = 10)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("ObjectHashAggregate"), p.take(3000))
+    assert(p.toLowerCase.contains("partial_"), p.take(3000))
+    assert(p.contains("Union"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      p.take(3000))
+  }
 }
