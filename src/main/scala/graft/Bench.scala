@@ -127,7 +127,8 @@ object Bench {
     * trustworthy as the session ages.
     */
   val heavyQueries: Set[String] = Set(
-    "q32_dedup_jaccard", "q52_multimodal_image_decode",
+    "q32_dedup_jaccard", "q40_dirt_similarity",
+    "q52_multimodal_image_decode",
     "q53_dedup_ngram_jaccard", "q68_dedup_components",
     "q69_dedup_drop_clusters", "q78_curate_corpus_pipeline",
     "q83_dedup_pagerank")

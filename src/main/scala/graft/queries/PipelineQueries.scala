@@ -1068,8 +1068,25 @@ object PipelineQueries {
   }
 
   // Rolling-hash winnowing fingerprint — engine-specific, rows-only
-  // (golden-tested in unit specs).
+  // (golden-tested in unit specs), with an in-query PROPERTY oracle:
+  // the fingerprint is the MIN over all 8-gram window hashes, so
+  // embedding a doc's text inside a longer string can only LOWER it
+  // (its windows are a subset of the superstring's) — require
+  // fp(pad + text + pad) <= fp(text) for every doc long enough to have
+  // a window. A wrong window slide/boundary term breaks this
+  // containment invariant immediately.
   val q38 = Q.rowsOnly("q38_text_fingerprint") { (s, d) =>
+    val violations = Tables.documents(s, d)
+      .filter(length(col("text")) >= TextAnalysis.FingerprintK)
+      .select(
+        TextAnalysis.fingerprintUdf(col("text")).as("fp"),
+        TextAnalysis.fingerprintUdf(
+          concat(lit("zzpadzz "), col("text"), lit(" zzpadzz")))
+          .as("fp_wide"))
+      .filter(col("fp_wide") > col("fp"))
+      .count()
+    require(violations == 0,
+      s"window-containment invariant violated for $violations docs")
     TextAnalysis.analyze(Tables.documents(s, d))
       .select("doc_id", "fingerprint")
       .orderBy("doc_id")
