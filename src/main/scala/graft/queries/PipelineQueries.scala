@@ -147,7 +147,7 @@ object PipelineQueries {
   val q33 = Q.rowsOnly("q33_dedup_minhash") { (s, d) =>
     import s.implicits._
     val got = Dedup.minhashPairs(dupCorpus(s, d), threshold = 0.7,
-      bands = 8, rowsPerBand = 16)
+      bands = 8, rowsPerBand = 16).persist()
     val slice = dupSlice(s, d)
     val exactHigh = slice.select(col("id").as("id1"), col("text").as("t1"))
       .join(slice.select(col("id").as("id2"), col("text").as("t2")),
@@ -170,7 +170,8 @@ object PipelineQueries {
     val missed = exactHigh.join(got, Seq("id1", "id2"), "left_anti").count()
     require(missed == 0,
       s"MinHash LSH missed $missed of $nHigh exact slice pairs at J>=0.9")
-    got.orderBy("id1", "id2")
+    graft.util.CacheRelease.afterFirstAction(
+      got.orderBy("id1", "id2"), Seq(got))
   }
 
   // SimHash pigeonhole Hamming<=3 pairs — rows-only for the same reason.
@@ -182,7 +183,7 @@ object PipelineQueries {
   // output, planted twins (distance 0) included.
   val q34 = Q.rowsOnly("q34_dedup_simhash") { (s, d) =>
     import s.implicits._
-    val got = Dedup.simhashPairs(dupCorpus(s, d), maxDist = 3)
+    val got = Dedup.simhashPairs(dupCorpus(s, d), maxDist = 3).persist()
     val slice = dupSlice(s, d)
     val hashed = slice
       .as[(Long, String)]
@@ -202,7 +203,8 @@ object PipelineQueries {
     require(missed == 0,
       s"SimHash pigeonhole missed $missed of $nClose exact slice pairs — " +
         "the block-agreement theorem was violated")
-    got.orderBy("id1", "id2")
+    graft.util.CacheRelease.afterFirstAction(
+      got.orderBy("id1", "id2"), Seq(got))
   }
 
   // Embedding-cosine near-dup, exact variant — the oracle-checked
@@ -271,7 +273,7 @@ object PipelineQueries {
   val q46 = Q.rowsOnly("q46_dedup_embedding_lsh") { (s, d) =>
     graft.functions.GraftFunctions.register(s)
     val got = Dedup.embeddingPairsLsh(Tables.embeddings(s, d),
-      threshold = 0.4, nBits = 2, tables = 4)
+      threshold = 0.4, nBits = 2, tables = 4).persist()
     val emb = Tables.embeddings(s, d).filter(col("vec_id") < 1000)
     val exact = emb.select(col("vec_id").as("id1"), col("embedding").as("v1"))
       .join(emb.select(col("vec_id").as("id2"), col("embedding").as("v2")),
@@ -288,7 +290,8 @@ object PipelineQueries {
       .count()
     require(nExact > 0 && hit.toDouble / nExact >= 0.8,
       s"embedding-LSH recall $hit/$nExact below 0.8 on the exact slice")
-    got.orderBy("id1", "id2")
+    graft.util.CacheRelease.afterFirstAction(
+      got.orderBy("id1", "id2"), Seq(got))
   }
 
   // Exact brute-force cosine top-k against DuckDB's list_cosine_similarity
@@ -359,8 +362,12 @@ object PipelineQueries {
   // as the q35 baseline every ANN variant is graded against). All the
   // approximate paths are RNG-free/seeded, so measured recall is
   // deterministic and a floor is a real gate, not a coin flip.
-  private def requireAnnRecall(s: SparkSession, d: String, got: DataFrame,
+  private def requireAnnRecall(s: SparkSession, d: String, got0: DataFrame,
       floor: Double, label: String): DataFrame = {
+    // the ANN result feeds both the recall gate (an action here) and
+    // the caller's output action: persist it so the operator runs once,
+    // released after the caller's first action (the q78 pattern)
+    val got = got0.persist()
     val exact = VectorSearch.cosineTopK(Tables.embeddings(s, d),
       queryIds = 0L to 9L, k = 5)
       .select("query_id", "neighbor_id")
@@ -371,7 +378,7 @@ object PipelineQueries {
       .count()
     require(nExact > 0 && hit.toDouble / nExact >= floor,
       s"$label recall $hit/$nExact below floor $floor vs the exact top-k")
-    got
+    graft.util.CacheRelease.afterFirstAction(got, Seq(got))
   }
 
   // SRP-LSH approximate top-k — hyperplane-seeded, rows-only. Multi-table
@@ -2034,7 +2041,7 @@ object PipelineQueries {
     import s.implicits._
     val scored = DirtPipeline.run(s,
       s.createDataset(PlantedBiarc.lines),
-      PlantedBiarc.testSet)
+      PlantedBiarc.testSet).persist()
     def family(tag: String) = scored.filter(col("path1").contains(tag))
     val twinN = family("vtw").count()
     val twinOff = family("vtw")
@@ -2050,9 +2057,11 @@ object PipelineQueries {
       .filter(col("score") <= 0.0 || col("score") >= 1.0).count()
     require(ptN == 25 && ptOff == 0,
       s"partial pairs: $ptN scored, $ptOff outside (0, 1)")
-    scored
-      .select(col("path1"), col("path2"), round(col("score"), 6).as("score"))
-      .orderBy("path1", "path2")
+    graft.util.CacheRelease.afterFirstAction(
+      scored
+        .select(col("path1"), col("path2"), round(col("score"), 6).as("score"))
+        .orderBy("path1", "path2"),
+      Seq(scored))
   }
 }
 
