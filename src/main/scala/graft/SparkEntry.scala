@@ -78,7 +78,8 @@ object SparkEntry {
     PipelineQueries.q98, PipelineQueries.q99, PipelineQueries.q100,
     PipelineQueries.q101, PipelineQueries.q104, PipelineQueries.q105,
     PipelineQueries.q106, PipelineQueries.q107, PipelineQueries.q108,
-    PipelineQueries.q109)
+    PipelineQueries.q109, PipelineQueries.q110, PipelineQueries.q111,
+    PipelineQueries.q112, PipelineQueries.q113, PipelineQueries.q114)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

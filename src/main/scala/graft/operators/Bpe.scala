@@ -148,4 +148,47 @@ object Bpe {
     }
     out.result()
   }
+
+  /** Tokenizer runtime over a corpus: encode every document with a
+    * trained merge table — the apply step that turns curated text into
+    * the subword stream a training run consumes.
+    *
+    * Output: `(doc_id, n_words, n_subwords, subword_text)` where
+    * `subword_text` joins the per-word segmentations with ' ' inside a
+    * word and the word boundary restored at [[EndMark]] — so stripping
+    * the markers reproduces the whitespace-normalized input exactly
+    * (the lossless-roundtrip property q114 requires in-query, and the
+    * reason n_subwords is a true token count, not an estimate).
+    *
+    * 100 TB shape: the merge table is `nMerges` rows — collected once,
+    * broadcast, applied map-side. No shuffle, no per-round passes; the
+    * corpus scan is the only job. (Greedy rank-order application per
+    * word is the standard runtime; sub-quadratic per-word encoders
+    * exist but the fixture's words are short — document before
+    * optimizing.)
+    */
+  def encodeDocs(docs: DataFrame, merges: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // rank order: merges MUST apply in training order or segmentations
+    // diverge from the trained tokenizer
+    val table: Seq[(String, String)] = merges
+      .select(col("rank").cast("int"), col("left"), col("right"))
+      .as[(Int, String, String)]
+      .collect().sortBy(_._1).map(t => (t._2, t._3)).toSeq
+    val bc = spark.sparkContext.broadcast(table)
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val words = (if (text == null) "" else text.trim)
+          .split("\\s+").filter(_.nonEmpty)
+        val segs = words.map(w => segment(w, bc.value))
+        (id, words.length.toLong,
+          segs.iterator.map(_.length.toLong).sum,
+          segs.iterator.map(_.mkString(" ")).mkString(" "))
+      }
+      .toDF("doc_id", "n_words", "n_subwords", "subword_text")
+  }
 }

@@ -355,4 +355,40 @@ object Curation {
         expr("(1000000 * score) DIV total_score").as("weight_ppm"))
       .withColumn("target_docs", expr(s"($budget * weight_ppm) DIV 1000000"))
   }
+
+  /** Deterministic stratified sample: the `n` smallest id-hash-ranked
+    * rows of EVERY stratum (exact per-stratum sample sizes — the
+    * eval-set / per-language quota construction `sample()` can't give).
+    * The rank key is the first 15 hex digits of `md5(id)` as an integer
+    * (60 bits — any SQL engine can audit the selection), so membership
+    * is stable under corpus growth and re-partitioning, like every
+    * sampler here.
+    *
+    * 100 TB shape: a `row_number` window would funnel each stratum
+    * through one task (a hot language = one straggler). Instead the
+    * k-bounded [[graft.functions.MinKAggregator]] rides a regular
+    * partial aggregation: every map task keeps at most `n` (rank, id)
+    * pairs per stratum, so shuffle bytes are `strata x n`, independent
+    * of corpus size.
+    */
+  def stratifiedSample(docs: DataFrame, n: Int, strataCol: String = "lang",
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(strataCol).as("stratum"),
+        conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+          .cast("long").as("rk"),
+        col(idCol).cast("long").as("id"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(graft.functions.MinKAggregator(n).toColumn.name("mink"))
+      .flatMap { case (stratum, picked) =>
+        picked.iterator.zipWithIndex.map { case ((_, id), i) =>
+          (stratum, id, (i + 1).toLong)
+        }
+      }
+      .toDF(strataCol, idCol, "rn")
+  }
 }

@@ -2063,6 +2063,160 @@ object PipelineQueries {
         .orderBy("path1", "path2"),
       Seq(scored))
   }
+
+  // Record linkage: every customer-name pair within edit distance 1,
+  // via SymSpell deletion-neighborhood blocking + exact levenshtein
+  // verify (the FastSS exactness theorem — FuzzyJoin scaladoc). The
+  // oracle is the N² formulation; blocking changes the cost, never the
+  // answer, so the two agree row-for-row.
+  val q110 = Q.checked(
+    "q110_fuzzy_join_editdist",
+    """SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+              CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+       FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+       WHERE levenshtein(a.c_name, b.c_name) <= 1
+       ORDER BY id1, id2""") { (s, d) =>
+    graft.operators.FuzzyJoin
+      .editDistanceSelfJoin(Tables.customer(s, d), "c_custkey", "c_name",
+        maxDist = 1)
+      .orderBy("id1", "id2")
+  }
+
+  // Deterministic stratified sample: the 40 smallest md5(doc_id)-ranked
+  // docs of every lang stratum, via the k-bounded MinK aggregation (a
+  // row_number window would funnel each stratum through one task —
+  // Curation.stratifiedSample scaladoc). The oracle IS that window
+  // formulation: same rank key, same (rk, doc_id) tie order.
+  val q111 = Q.checked(
+    "q111_stratified_sample",
+    """WITH r AS (SELECT lang, doc_id,
+                         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS rk
+                  FROM documents),
+       w AS (SELECT lang, doc_id,
+                    CAST(row_number() OVER (PARTITION BY lang
+                                            ORDER BY rk, doc_id) AS BIGINT) AS rn
+             FROM r)
+       SELECT lang, doc_id, rn FROM w WHERE rn <= 40
+       ORDER BY lang, doc_id""") { (s, d) =>
+    graft.operators.Curation
+      .stratifiedSample(Tables.documents(s, d), n = 40)
+      .orderBy("lang", "doc_id")
+  }
+
+  // Stupid-backoff bigram-LM quality score (Brants et al. 2007): model
+  // trained on the doc_id % 7 slice, every doc scored by its mean
+  // integer micro-probability per transition — exact BIGINT arithmetic
+  // end-to-end (the q79 device), so the held-out backoff branch and the
+  // seen-bigram branch both hash-match cross-engine. The real-ln twin
+  // is unit-pinned in NgramLmSpec.
+  val q112 = Q.checked(
+    "q112_bigram_lm_backoff",
+    """WITH tr AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                   FROM documents WHERE doc_id % 7 = 0),
+       al AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents),
+       big AS (SELECT t[i] AS w1, t[i+1] AS w2,
+                      CAST(count(*) AS BIGINT) AS cb
+               FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tr)
+               WHERE t[i] <> '' AND t[i+1] <> ''
+               GROUP BY w1, w2),
+       uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
+               FROM (SELECT unnest(t) AS w FROM tr)
+               WHERE w <> '' GROUP BY w),
+       tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_total FROM uni),
+       trans AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+                 FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM al)
+                 WHERE t[i] <> '' AND t[i+1] <> ''),
+       p AS (SELECT doc_id,
+                    CASE WHEN cb IS NOT NULL THEN (1000000 * cb) // c1.cu
+                         ELSE (400000 * COALESCE(c2.cu, 0)) // n_total
+                    END AS p_micro
+             FROM trans
+             LEFT JOIN big ON big.w1 = trans.w1 AND big.w2 = trans.w2
+             LEFT JOIN uni c1 ON c1.w = trans.w1
+             LEFT JOIN uni c2 ON c2.w = trans.w2
+             CROSS JOIN tot),
+       agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
+                      CAST(sum(p_micro) AS BIGINT) AS sum_p_micro
+               FROM p GROUP BY doc_id)
+       SELECT d.doc_id,
+              COALESCE(n_trans, 0) AS n_trans,
+              COALESCE(sum_p_micro, 0) AS sum_p_micro,
+              CASE WHEN COALESCE(n_trans, 0) > 0
+                   THEN sum_p_micro // n_trans ELSE 0 END AS mean_p_micro
+       FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+       ORDER BY d.doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    graft.operators.NgramLm
+      .stupidBackoffScore(docs, docs.filter(col("doc_id") % 7 === 0))
+      .orderBy("doc_id")
+  }
+
+  // DSIR importance weights (Xie et al. 2023): target = the lang='en'
+  // slice, raw = the whole corpus; per-doc centered micro-ratio sum
+  // (the exact-rational linearization of the log-weight — Dsir scaladoc;
+  // the real-ln weight is unit-pinned in DsirSpec). Positive w_micro =
+  // more target-like than the corpus average.
+  val q113 = Q.checked(
+    "q113_dsir_importance",
+    """WITH tgt AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                    FROM documents WHERE lang = 'en'),
+       ct AS (SELECT token, CAST(count(*) AS BIGINT) AS c_t
+              FROM tgt WHERE token <> '' GROUP BY token),
+       rawt AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                FROM documents),
+       cr AS (SELECT token, CAST(count(*) AS BIGINT) AS c_r
+              FROM rawt WHERE token <> '' GROUP BY token),
+       vocab AS (SELECT COALESCE(ct.token, cr.token) AS token,
+                        COALESCE(c_t, 0) AS c_t, COALESCE(c_r, 0) AS c_r
+                 FROM ct FULL OUTER JOIN cr ON ct.token = cr.token),
+       norms AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_t,
+                        CAST(sum(c_r) AS BIGINT) AS n_r,
+                        CAST(count(*) AS BIGINT) AS v FROM vocab),
+       ratios AS (SELECT token,
+                         (1000000 * (c_t + 1) * (n_r + v)) // ((c_r + 1) * (n_t + v))
+                           - 1000000 AS lr_micro
+                  FROM vocab CROSS JOIN norms),
+       dt AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+              FROM documents)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(sum(lr_micro) AS BIGINT) AS w_micro
+       FROM dt JOIN ratios ON ratios.token = dt.token
+       WHERE dt.token <> ''
+       GROUP BY doc_id
+       ORDER BY doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    graft.operators.Dsir
+      .importanceWeights(docs, docs.filter(col("lang") === "en"))
+      .orderBy("doc_id")
+  }
+
+  // Tokenizer runtime: encode the corpus with a 40-merge BPE table
+  // trained on the doc_id % 7 slice, and require the lossless
+  // roundtrip IN-QUERY — stripping the </w> markers must reproduce the
+  // whitespace-normalized input for EVERY document (the property that
+  // makes n_subwords a true token count). Segmentation order isn't
+  // SQL-expressible, so the driver check is rows-only; the merge table
+  // itself is property-oracled by q88.
+  val q114 = Q.rowsOnly("q114_bpe_encode") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val merges = graft.operators.Bpe
+      .trainMerges(docs.filter(col("doc_id") % 7 === 0), nMerges = 40)
+    val enc = graft.operators.Bpe.encodeDocs(docs, merges).persist()
+    val broken = enc
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .filter(
+        trim(regexp_replace(
+          regexp_replace(col("subword_text"), lit(" "), lit("")),
+          lit(java.util.regex.Pattern.quote(graft.operators.Bpe.EndMark)),
+          lit(" "))) =!=
+          regexp_replace(trim(col("text")), lit("\\s+"), lit(" ")))
+      .count()
+    require(broken == 0, s"BPE roundtrip broke on $broken docs")
+    graft.util.CacheRelease.afterFirstAction(
+      enc.select("doc_id", "n_words", "n_subwords").orderBy("doc_id"),
+      Seq(enc))
+  }
 }
 
 /** Planted biarc corpus for the self-verifying q40: 100 verb groups,

@@ -100,4 +100,32 @@ class BpeSpec extends AnyFunSuite {
     assert(got == refMerges(Seq("aa", "aa"), 10).zipWithIndex
       .map { case ((l, r, c), i) => (i, l, r, c) })
   }
+
+  test("encodeDocs: per-word segment equality and lossless roundtrip") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "lower lowest low"),
+      (1L, "  spaced   out  "),
+      (2L, "")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, nMerges = 8)
+    val table = merges.as[(Int, String, String, Long)].collect()
+      .sortBy(_._1).map(t => (t._2, t._3)).toSeq
+    val got = Bpe.encodeDocs(docs, merges)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 0: subword stream == word-by-word driver-side segment()
+    val want0 = "lower lowest low".split(" ")
+      .map(w => Bpe.segment(w, table).mkString(" ")).mkString(" ")
+    assert(got(0L)._4 == want0)
+    assert(got(0L)._2 == 3L)
+    assert(got(0L)._3 == want0.split(" ").length.toLong)
+    // roundtrip: strip markers -> whitespace-normalized input
+    for ((id, (_, _, _, sub)) <- got) {
+      val back = sub.replace(" ", "").replace(Bpe.EndMark, " ").trim
+      val norm = Seq("lower lowest low", "spaced out", "")(id.toInt)
+      assert(back == norm, s"doc $id")
+    }
+    // empty doc: zero words, zero subwords
+    assert(got(2L) == ((2L, 0L, 0L, "")))
+  }
 }

@@ -199,4 +199,41 @@ class CurationSpec extends AnyFunSuite {
     assert(got("a") == (("a", 4L, 666666L, 5999L)))
     assert(got("b") == (("b", 1L, 333333L, 2999L)))
   }
+
+  test("stratifiedSample: exact per-stratum sizes, growth-stable picks") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val n = 7
+    val got = Curation.stratifiedSample(docs, n)
+      .as[(String, Long, Long)].collect().toSeq
+    val byStratum = got.groupBy(_._1)
+    val sizes = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    // every stratum filled to min(|stratum|, n), ranks 1..k dense
+    assert(byStratum.keySet == sizes.keySet)
+    byStratum.foreach { case (lang, rows) =>
+      assert(rows.size == math.min(sizes(lang), n.toLong))
+      assert(rows.map(_._3).sorted == (1L to rows.size).toSeq)
+    }
+    // stability: sampling a GROWN corpus keeps every pick whose rank
+    // survives — the no-RNG membership contract (object doc)
+    val grown = docs.unionByName(
+      docs.withColumn("doc_id", col("doc_id") + 1000000L))
+    val got2 = Curation.stratifiedSample(grown, n)
+      .as[(String, Long, Long)].collect().toSeq
+    val picked2 = got2.map(t => (t._1, t._2)).toSet
+    val survivors = got.map(t => (t._1, t._2)).count(picked2.contains)
+    // at least some originals survive and none shifts rank order among
+    // survivors; with ~2x candidates expect roughly half to survive
+    assert(survivors > 0)
+    // surviving picks keep their relative order: a grown corpus can
+    // displace picks with smaller hashes but never reorder survivors
+    got2.groupBy(_._1).foreach { case (lang, rows2) =>
+      val order1 = got.filter(_._1 == lang).sortBy(_._3).map(_._2)
+        .filter(id => rows2.exists(_._2 == id))
+      val order2 = rows2.sortBy(_._3).map(_._2)
+        .filter(order1.contains)
+      assert(order1 == order2, s"relative order drifted in $lang")
+    }
+  }
 }
