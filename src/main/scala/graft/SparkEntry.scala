@@ -55,6 +55,7 @@ object SparkEntry {
     RelationalQueries.q72, RelationalQueries.q73, RelationalQueries.q87,
     RelationalQueries.q96, RelationalQueries.q97,
     RelationalQueries.q102, RelationalQueries.q103,
+    RelationalQueries.q115,
     PipelineQueries.q30, PipelineQueries.q31, PipelineQueries.q32,
     PipelineQueries.q33, PipelineQueries.q34, PipelineQueries.q35,
     PipelineQueries.q36, PipelineQueries.q37, PipelineQueries.q38,
@@ -79,7 +80,8 @@ object SparkEntry {
     PipelineQueries.q101, PipelineQueries.q104, PipelineQueries.q105,
     PipelineQueries.q106, PipelineQueries.q107, PipelineQueries.q108,
     PipelineQueries.q109, PipelineQueries.q110, PipelineQueries.q111,
-    PipelineQueries.q112, PipelineQueries.q113, PipelineQueries.q114)
+    PipelineQueries.q112, PipelineQueries.q113, PipelineQueries.q114,
+    PipelineQueries.q116, PipelineQueries.q117, PipelineQueries.q118)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture snapshot maintenance without a table format:
+  * MERGE semantics (upsert + delete) expressed as plain relational
+  * algebra, so a periodic "apply the changelog to the snapshot" job
+  * needs nothing but parquet in and parquet out.
+  *
+  * Shape at 100 TB: the changelog first collapses to ONE winning row
+  * per key via an ordinary partial-aggregated `max(struct(...))` —
+  * lexicographic struct comparison with the ordering columns leading,
+  * so each map task ships at most one candidate per key (a hot key that
+  * was updated a billion times costs one row of shuffle, where the
+  * window formulation `row_number() = 1` would funnel the full billion
+  * through one task). The collapsed deltas then meet the snapshot in a
+  * single full-outer equi-join on the key — broadcastable when the
+  * delta is small, AQE-handled otherwise. No windows anywhere.
+  */
+object Cdc {
+
+  /** Apply `changes` to `base` with latest-wins semantics.
+    *
+    * `changes` must carry the key, the ordering columns (later wins;
+    * supply a unique tiebreaker for determinism), an `op` column with
+    * values `I`/`U` (upsert: the row's full new image wins) or `D`
+    * (delete: the key disappears), and the same data columns as `base`.
+    * Keys absent from the changelog pass through untouched; `I`/`U` on
+    * an unseen key inserts it.
+    */
+  def latestWinsMerge(base: DataFrame, changes: DataFrame, key: String,
+      ordering: Seq[String], op: String = "op"): DataFrame = {
+    val dataCols = base.columns.filter(_ != key).toSeq
+    // one winner per key: max over (ordering..., op, data...) structs —
+    // ordering fields lead, so comparison never reaches the payload
+    // unless the caller's tiebreaker is non-unique
+    val winner = changes
+      .groupBy(col(key))
+      .agg(max(struct(((ordering :+ op) ++ dataCols).map(col): _*)).as("w"))
+      .select(col(key) +: (s"w.$op" +: dataCols.map(c => s"w.$c")).map(col): _*)
+
+    val b = base.alias("b")
+    val c = winner.alias("c")
+    b.join(c, b(key) === c(key), "full_outer")
+      .filter(coalesce(c(op), lit("")) =!= "D")
+      .select(
+        coalesce(b(key), c(key)).as(key) +:
+          dataCols.map(d => when(c(op).isNotNull, c(d)).otherwise(b(d)).as(d)): _*)
+  }
+}

@@ -81,6 +81,28 @@ object EventAnalytics {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Slowly-changing-dimension type 2 build: turn a per-key change
+    * stream into validity intervals — each change row becomes a version
+    * with `valid_from` = its own timestamp and `valid_to` = the key's
+    * NEXT change (null on the open, current version). One `lead` window
+    * per key ordered by (ts, unique id tiebreak): the partition key is
+    * an entity, so window state is bounded by one entity's history —
+    * the same acceptable window shape as [[sessionize]], never a
+    * corpus-wide partition. Attribute columns pass through untouched;
+    * the output is the standard point-in-time-joinable dimension table
+    * ("state of key k at time t" = the row with valid_from ≤ t <
+    * valid_to).
+    */
+  def scd2(changes: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** Weekly retention matrix: cohort = the Monday-truncated week of a
     * user's first event; for every (cohort_week, week_offset) the
     * number of cohort users with any activity that week. Output:

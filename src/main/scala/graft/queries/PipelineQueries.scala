@@ -2217,6 +2217,111 @@ object PipelineQueries {
       enc.select("doc_id", "n_words", "n_subwords").orderBy("doc_id"),
       Seq(enc))
   }
+
+  /** CDC latest-wins snapshot merge (q116): MERGE semantics over plain
+    * parquet. The changelog is derived deterministically from the
+    * fixture — each order is a change event for its customer carrying a
+    * full new row image (name from the dimension, balance =
+    * o_totalprice), with op mapped from o_orderstatus (P→delete,
+    * F→update, O→insert). `Cdc.latestWinsMerge` collapses the log to
+    * one winner per key via partial-aggregated max(struct) — no window,
+    * a billion-change hot key ships one row per map task — then one
+    * full-outer join applies it to the snapshot. The oracle replays the
+    * identical semantics with a row_number CTE + FULL JOIN in DuckDB.
+    */
+  val q116 = Q.checked(
+    "q116_cdc_latest_wins_merge",
+    """WITH ch AS (
+         SELECT o_custkey AS k, c_name AS name, o_totalprice AS bal,
+                o_orderdate AS ts, o_orderkey AS tieb,
+                CASE o_orderstatus WHEN 'P' THEN 'D' WHEN 'F' THEN 'U'
+                     ELSE 'I' END AS op
+         FROM orders JOIN customer ON o_custkey = c_custkey),
+       w AS (
+         SELECT k, name, bal, op,
+                row_number() OVER (PARTITION BY k
+                                   ORDER BY ts DESC, tieb DESC) AS rn
+         FROM ch),
+       last AS (SELECT k, name, bal, op FROM w WHERE rn = 1)
+       SELECT COALESCE(b.c_custkey, last.k) AS c_custkey,
+              CASE WHEN last.k IS NOT NULL THEN last.name
+                   ELSE b.c_name END AS c_name,
+              CASE WHEN last.k IS NOT NULL THEN last.bal
+                   ELSE b.c_acctbal END AS c_acctbal
+       FROM customer b FULL JOIN last ON b.c_custkey = last.k
+       WHERE COALESCE(last.op, '') <> 'D'
+       ORDER BY c_custkey""") { (s, d) =>
+    val base = Tables.customer(s, d)
+      .select("c_custkey", "c_name", "c_acctbal")
+    val changes = Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_custkey"),
+        col("c_name"),
+        col("o_totalprice").as("c_acctbal"),
+        col("o_orderdate").as("ts"),
+        col("o_orderkey").as("tieb"),
+        when(col("o_orderstatus") === "P", "D")
+          .when(col("o_orderstatus") === "F", "U")
+          .otherwise("I").as("op"))
+    graft.operators.Cdc
+      .latestWinsMerge(base, changes, "c_custkey", Seq("ts", "tieb"))
+      .orderBy("c_custkey")
+  }
+
+  /** SCD2 validity intervals (q117): the events stream read as a
+    * per-user attribute changelog becomes the standard type-2 dimension
+    * — every change versioned with [valid_from, valid_to) and a
+    * current flag. The one window is partitioned per USER (bounded
+    * state, `sessionize`'s acceptable shape) with the unique event id
+    * as tiebreak; the oracle runs the identical window in DuckDB.
+    */
+  val q117 = Q.checked(
+    "q117_scd2_intervals",
+    """SELECT user_id, event_id, event_type, value,
+              CAST(ts AS TIMESTAMP) AS valid_from,
+              lead(CAST(ts AS TIMESTAMP)) OVER w AS valid_to,
+              (lead(CAST(ts AS TIMESTAMP)) OVER w IS NULL) AS is_current
+       FROM events
+       WINDOW w AS (PARTITION BY user_id
+                    ORDER BY CAST(ts AS TIMESTAMP), event_id)
+       ORDER BY user_id, valid_from, event_id""") { (s, d) =>
+    graft.operators.EventAnalytics
+      .scd2(Tables.events(s, d).select(
+        "user_id", "event_id", "event_type", "value", "ts"))
+      .select("user_id", "event_id", "event_type", "value",
+        "valid_from", "valid_to", "is_current")
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  /** Sliding-window RAG chunking (q118): every document split into
+    * overlapping 50-token windows at stride 40 — map-only fan-out
+    * (explode over a closed-form chunk count), one projected scan, no
+    * shuffle. The oracle rebuilds the identical chunks with DuckDB's
+    * list slicing; token spans are 1-based inclusive on both sides.
+    */
+  val q118 = Q.checked(
+    "q118_rag_sliding_chunks",
+    """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks
+                  FROM documents),
+       n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+       c AS (SELECT doc_id, toks, n,
+                    unnest(generate_series(0,
+                      greatest(0, CAST(ceil((n - 50) / 40.0) AS BIGINT))))
+                      AS chunk_idx
+             FROM n)
+       SELECT doc_id, chunk_idx,
+              chunk_idx * 40 + 1 AS token_start,
+              least(chunk_idx * 40 + 50, n) AS token_end,
+              array_to_string(toks[(chunk_idx * 40 + 1):(chunk_idx * 40 + 50)],
+                              ' ') AS chunk_text
+       FROM c
+       ORDER BY doc_id, chunk_idx""") { (s, d) =>
+    graft.operators.Chunking
+      .slidingChunks(Tables.documents(s, d), window = 50, stride = 40)
+      .orderBy("doc_id", "chunk_idx")
+  }
 }
 
 /** Planted biarc corpus for the self-verifying q40: 100 verb groups,

@@ -1024,4 +1024,30 @@ object RelationalQueries {
       .select("event_id", "ts", "user_id", "event_type", "value")
       .orderBy("event_id")
   }
+
+  /** Z-order-clustered layout (q115): like q87 but the table is laid
+    * out on the Morton interleave of TWO bucketized columns, so
+    * min/max pruning works for selective predicates on EITHER — the
+    * multi-dimensional access-path layout (a linear user_id sort can't
+    * skip on value). The oracle is layout-invisible by design: the same
+    * filter over the plain table must return identical rows whatever
+    * the physical order; the skipping itself is proven by scan metrics
+    * in `ZOrderSpec`.
+    */
+  val q115 = Q.checked(
+    "q115_zorder_write_skipping",
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+       FROM events
+       WHERE user_id BETWEEN 10 AND 19 AND value BETWEEN 100.0 AND 200.0
+       ORDER BY event_id""") { (s, d) =>
+    val path = s"${sys.props("java.io.tmpdir")}/graft_zorder_events_${ProcessHandle.current().pid()}"
+    graft.operators.ClusteredWrite.writeZOrder(
+      Tables.events(s, d).drop("props"), path, "user_id", "value",
+      bits = 8, rowGroupBytes = 64 * 1024, numFiles = 8)
+    s.read.parquet(path)
+      .filter(col("user_id").between(10, 19) &&
+        col("value").between(100.0, 200.0))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
 }

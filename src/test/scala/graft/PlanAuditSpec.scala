@@ -244,4 +244,67 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("Window"),
       p.take(3000))
   }
+
+  test("q110: blocked edit-distance join is equi-join only, never all-pairs") {
+    // the SymSpell deletion-neighborhood key MUST drive a hash equi-join;
+    // a cartesian or nested-loop means candidate generation regressed to
+    // the N² formulation that survives only in the oracle
+    val p = plan("q110_fuzzy_join_editdist")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("q111: stratified sample partial-aggregates, no per-stratum window") {
+    // the MinK aggregator must ride two-phase aggregation (<= n pairs per
+    // stratum shuffle from each map task); a Window would funnel every
+    // stratum through one task
+    val p = plan("q111_stratified_sample")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("ObjectHashAggregate"), p.take(3000))
+    assert(p.toLowerCase.contains("partial_"), p.take(3000))
+  }
+
+  test("q112/q113: LM and DSIR scoring prune the scan and partial-aggregate") {
+    Seq("q112_bigram_lm_backoff", "q113_dsir_importance").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+        s"$name: ${p.take(2000)}")
+      assert(p.contains("partial_count"), s"$name: ${p.take(3000)}")
+      assert(!p.contains("Window"), s"$name: ${p.take(3000)}")
+      assert(!p.contains("CartesianProduct"), s"$name: ${p.take(3000)}")
+    }
+  }
+
+  test("q116: CDC merge collapses the changelog with partial agg, no window") {
+    // latest-wins must reduce via max(struct) two-phase aggregation — a
+    // row_number window would funnel each hot key through one task
+    val p = plan("q116_cdc_latest_wins_merge")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.toLowerCase.contains("partial_max"), p.take(3000))
+  }
+
+  test("slidingChunks: chunking is map-only — no exchange, no window") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b c d e f")).toDF("doc_id", "text")
+    val p = graft.operators.Chunking.slidingChunks(docs, 4, 3)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("encodeDocs: BPE encoding is map-only — no exchange, no window") {
+    // the merge table is collected+broadcast by construction; the corpus
+    // pass must stay a projected scan + typed map (audited directly like
+    // largeStar — q114 wraps it in the roundtrip gate)
+    import spark.implicits._
+    val docs = Seq((0L, "low lower")).toDF("doc_id", "text")
+    val merges = Seq((0, "l", "o", 2L))
+      .toDF("rank", "left", "right", "pair_count")
+    val p = graft.operators.Bpe.encodeDocs(docs, merges)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
 }

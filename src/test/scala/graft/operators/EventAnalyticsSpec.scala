@@ -59,4 +59,33 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("2024-01-01", 0) -> 1L, ("2024-01-01", 1) -> 1L,
       ("2024-01-01", 3) -> 1L, ("2024-01-08", 0) -> 1L))
   }
+
+  test("scd2: versions chain per key, open interval is current") {
+    val ev = Seq(
+      (1L, 10L, "a", ts(1, 1)), (1L, 11L, "b", ts(1, 5)), (1L, 12L, "c", ts(2, 1)),
+      (2L, 20L, "x", ts(1, 3))
+    ).toDF("user_id", "event_id", "state", "ts")
+    val got = EventAnalytics.scd2(ev)
+      .select("user_id", "event_id", "state", "valid_from", "valid_to",
+        "is_current")
+      .as[(Long, Long, String, Timestamp, Option[Timestamp], Boolean)]
+      .collect().sortBy(r => (r._1, r._4.getTime)).toSeq
+    assert(got == Seq(
+      (1L, 10L, "a", ts(1, 1), Some(ts(1, 5)), false),
+      (1L, 11L, "b", ts(1, 5), Some(ts(2, 1)), false),
+      (1L, 12L, "c", ts(2, 1), None, true),
+      (2L, 20L, "x", ts(1, 3), None, true)))
+  }
+
+  test("scd2: equal timestamps chain deterministically by the id tiebreak") {
+    val ev = Seq(
+      (1L, 10L, "a", ts(1, 1)), (1L, 11L, "b", ts(1, 1))
+    ).toDF("user_id", "event_id", "state", "ts")
+    val got = EventAnalytics.scd2(ev)
+      .select("event_id", "valid_to", "is_current")
+      .as[(Long, Option[Timestamp], Boolean)].collect().sortBy(_._1).toSeq
+    // the lower event id is the earlier version; its valid_to is the
+    // (equal) timestamp of its successor
+    assert(got == Seq((10L, Some(ts(1, 1)), false), (11L, None, true)))
+  }
 }

@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Regenerate bench_baseline.json from committed quiet-run evidence.
+
+Usage: pin_baseline.py OUT RUN.json [RUN.json ...]
+
+Pin policy (round 9): the per-entry pin is the MAX of each query's
+median-of-reps across the given clean full quiet runs (the envelope),
+and the pinned spread is [min of run mins, max of run maxes] across
+those runs. Rationale: per-entry medians whipsaw up to ~2.5x between
+clean runs of IDENTICAL code (committed examples: dirt_lifecycle_200000
+at 1.47/3.49/3.90 s across runs 10/8/11, q53 at 2.08-3.57 s), so any
+single-run pin — fast OR slow — makes some normal future run flag a
+false 2x regression (the round-8 'stale-fast baseline' failure, where
+five sub-second queries stayed perma-flagged against pins from one
+deep-warmed run). Against the envelope, a >2x flag means the query ran
+slower than TWICE ANYTHING a clean run of this code ever produced —
+i.e. a real regression or real contention, never baseline staleness.
+All source runs must come from the same code state for every entry they
+contain; entries absent from older runs (newly added queries) pin from
+the runs that have them.
+
+Top-level fields are recomputed so the file stays internally
+consistent (the ADVICE r8 defect): value = sum of pinned entries,
+n_ok = len(queries), errors/regressions empty (a pin is a reference
+point, not a comparison), provenance recorded in pinned_from.
+"""
+import json
+import sys
+
+
+def main() -> None:
+    out, *paths = sys.argv[1:]
+    runs = [json.load(open(p)) for p in paths]
+    for p, r in zip(paths, runs):
+        if r.get("errors"):
+            raise SystemExit(f"{p}: refusing to pin from a run with errors")
+
+    names = sorted({q for r in runs for q in r["queries"]})
+    queries, spread = {}, {}
+    for q in names:
+        vals = [r["queries"][q] for r in runs if q in r["queries"]]
+        queries[q] = max(vals)
+        los = [r["spread"][q][0] for r in runs if q in r.get("spread", {})]
+        his = [r["spread"][q][1] for r in runs if q in r.get("spread", {})]
+        spread[q] = [min(los) if los else queries[q], max(his) if his else queries[q]]
+
+    ref = runs[-1]
+    pinned = {
+        "metric": ref["metric"],
+        "value": round(sum(queries.values()), 3),
+        "unit": ref["unit"],
+        "sf": ref["sf"],
+        "reps": ref["reps"],
+        "n_ok": len(queries),
+        "n_err": 0,
+        "queries": {q: round(v, 4) for q, v in queries.items()},
+        "spread": {q: [round(lo, 4), round(hi, 4)] for q, (lo, hi) in spread.items()},
+        "errors": {},
+        "regressions": {},
+        "pinned_from": [p.split("/")[-1] for p in paths],
+    }
+    # Compact single-line form, exactly like Bench's own output line:
+    # Bench.parsePrevQueries regex-matches `"queries":{...}` with no
+    # whitespace, so a pretty-printed pin would silently disable the guard.
+    with open(out, "w") as f:
+        json.dump(pinned, f, separators=(",", ":"))
+        f.write("\n")
+    print(f"pinned {len(queries)} entries -> {out} (total {pinned['value']} s)")
+
+
+if __name__ == "__main__":
+    main()
