@@ -81,7 +81,9 @@ object SparkEntry {
     PipelineQueries.q106, PipelineQueries.q107, PipelineQueries.q108,
     PipelineQueries.q109, PipelineQueries.q110, PipelineQueries.q111,
     PipelineQueries.q112, PipelineQueries.q113, PipelineQueries.q114,
-    PipelineQueries.q116, PipelineQueries.q117, PipelineQueries.q118)
+    PipelineQueries.q116, PipelineQueries.q117, PipelineQueries.q118,
+    PipelineQueries.q119, PipelineQueries.q120, PipelineQueries.q121,
+    PipelineQueries.q122)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

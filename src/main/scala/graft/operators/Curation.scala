@@ -391,4 +391,37 @@ object Curation {
       }
       .toDF(strataCol, idCol, "rn")
   }
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis 2006):
+    * per group, keep the `k` items with the largest key u^(1/w), where
+    * u is a deterministic LCG variate of the item id and w the item's
+    * weight — heavier items survive proportionally more often, and the
+    * whole draw is reproducible AND engine-portable (integer LCG +
+    * `pow`, both expressible in ANSI SQL), so the DuckDB oracle replays
+    * the identical draw (q122). State per group is bounded at `k` by
+    * [[graft.functions.TopKAggregator]] — no window: a billion-row
+    * group ships at most `k` pairs per map task.
+    */
+  def weightedSample(docs: DataFrame, k: Int, groupCol: String = "lang",
+      weightCol: String = "n_chars", idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"sample size must be positive: $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val u = ((col(idCol).cast("long") * lit(48271L) + lit(11L)) %
+      lit(2147483647L)).cast("double") / lit(2147483647.0)
+    val key = pow(u, lit(1.0) / col(weightCol).cast("double"))
+    docs
+      .select(col(groupCol).as("grp"), col(idCol).cast("long").as("id"),
+        key.as("key"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(graft.functions.TopKAggregator(k).toColumn.name("kept"))
+      .flatMap { case (grp, kept) =>
+        kept.iterator.zipWithIndex.map { case ((id, _), i) =>
+          (grp, id, (i + 1).toLong)
+        }
+      }
+      .toDF(groupCol, idCol, "rank")
+  }
 }

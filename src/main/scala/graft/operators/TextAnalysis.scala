@@ -488,6 +488,56 @@ object TextAnalysis {
       .agg((sum("ln_p") / count(lit(1))).as("mean_ln_p"))
   }
 
+  /** Within-document repeated n-gram span removal — the fine-grained
+    * repetition cleanup of C4 (Raffel et al. 2020 drop duplicate
+    * three-sentence spans; here the unit is the word n-gram, the
+    * granularity the fixture's sentence-free token streams support).
+    * A token is dropped when ANY n-gram covering it is a repeat of an
+    * earlier occurrence of the same n-gram in the SAME document; the
+    * first occurrence of every span always survives, so a document is
+    * never emptied. Documents whose text is entirely whitespace vanish
+    * from the output (no tokens to keep) — documented contract.
+    *
+    * Scale shape: every window/shuffle is keyed by `doc_id` (or
+    * `doc_id, gram`), so state per task is bounded by the longest
+    * DOCUMENT, never the corpus — the same per-doc-bounded contract as
+    * `EventAnalytics.sessionize`. Reassembly is one `array_sort` over
+    * the kept tokens of a doc.
+    */
+  def dropRepeatedNgrams(docs: DataFrame, n: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 2, s"n-gram size must be >= 2, got $n")
+    val byPos = Window.partitionBy(idCol).orderBy("pos")
+    val toks = docs
+      .select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+    // the n-gram STARTING at each position (null in the final n-1 slots)
+    val gram = toks.withColumn("gram",
+      when(lead("word", n - 1).over(byPos).isNotNull,
+        concat_ws(" ",
+          (0 until n).map(i => lead(col("word"), i).over(byPos)): _*)))
+    val byGram = Window.partitionBy(col(idCol), col("gram")).orderBy("pos")
+    val flagged = gram.withColumn("rep",
+      when(col("gram").isNotNull &&
+        row_number().over(byGram) > 1, 1).otherwise(0))
+    // a token at pos p is covered by grams starting at p-(n-1)..p;
+    // positions are consecutive per doc, so a rows frame is exact
+    val cover = byPos.rowsBetween(-(n - 1), 0)
+    flagged
+      .withColumn("covered", max("rep").over(cover))
+      .withColumn("n_before", count(lit(1)).over(Window.partitionBy(idCol)))
+      .filter(col("covered") === 0)
+      .groupBy(col(idCol), col("n_before"))
+      .agg(
+        count(lit(1)).as("n_after"),
+        array_join(
+          expr("transform(array_sort(collect_list(struct(pos, word))), x -> x.word)"),
+          " ").as("clean_text"))
+      .select(col(idCol), col("n_before"), col("n_after"), col("clean_text"))
+  }
+
   /** Full per-document text-analysis projection over a corpus table. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

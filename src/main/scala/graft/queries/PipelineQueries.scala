@@ -2322,6 +2322,179 @@ object PipelineQueries {
       .slidingChunks(Tables.documents(s, d), window = 50, stride = 40)
       .orderBy("doc_id", "chunk_idx")
   }
+
+  /** Unigram-LM subword tokenizer (q119, SentencePiece's model): train
+    * on the doc_id % 5 slice, encode the whole corpus. Viterbi
+    * segmentation / hard-EM training aren't SQL-expressible, so the
+    * driver check is rows-only — but the query is property-oracled
+    * in-query twice, the q88/q114 pattern: (a) the distributed EM loop
+    * must EQUAL `Unigram.sequentialTrain` (plain Scala) on the
+    * collected histogram — legitimate driver state, vocabulary-bounded
+    * by the same contract as BPE — and (b) the segmentation must be a
+    * lossless roundtrip for EVERY document (concatenated pieces ==
+    * whitespace-stripped input), which is what makes `n_pieces` a true
+    * token count.
+    */
+  val q119 = Q.rowsOnly("q119_unigram_encode") { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val slice = docs.filter(col("doc_id") % 5 === 0)
+    val table = graft.operators.Unigram
+      .train(slice, vocabSize = 120, iters = 2, maxPieceLen = 4,
+        seedSize = 300).persist()
+    val hist = graft.operators.Unigram.wordHistogram(slice)
+      .as[(String, Long)].collect().toSeq
+    val want = graft.operators.Unigram
+      .sequentialTrain(hist, vocabSize = 120, iters = 2, maxPieceLen = 4,
+        seedSize = 300)
+    val gotTable = table.as[(String, Double)].collect().toMap
+    require(gotTable == want,
+      s"distributed unigram train diverges from the sequential reference " +
+        s"(|got|=${gotTable.size} |want|=${want.size})")
+    val enc = graft.operators.Unigram.encodeDocs(docs, table).persist()
+    val broken = enc
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .filter(
+        regexp_replace(col("piece_text"), lit(" "), lit("")) =!=
+          regexp_replace(trim(col("text")), lit("\\s+"), lit("")))
+      .count()
+    require(broken == 0, s"unigram roundtrip broke on $broken docs")
+    graft.util.CacheRelease.afterFirstAction(
+      enc.select("doc_id", "n_words", "n_pieces").orderBy("doc_id"),
+      Seq(enc, table))
+  }
+
+  /** Within-document repeated-bigram span removal (q120) — C4's
+    * duplicate-span cleanup at word-bigram granularity: a token is
+    * dropped when any bigram covering it repeats an earlier occurrence
+    * in the same document; first occurrences always survive. Every
+    * shuffle is keyed by doc (or doc+gram), state bounded by document
+    * length. The oracle replays the identical window algebra in DuckDB.
+    */
+  val q120 = Q.checked(
+    "q120_drop_repeated_ngrams",
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                  FROM documents),
+       tok0 AS (SELECT doc_id, toks,
+                       unnest(generate_series(1, CAST(len(toks) AS BIGINT)))
+                         AS i
+                FROM t),
+       tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS word
+               FROM tok0 WHERE toks[i] <> ''),
+       g AS (SELECT doc_id, pos, word,
+                    CASE WHEN lead(word, 1) OVER w IS NOT NULL
+                         THEN word || ' ' || (lead(word, 1) OVER w)
+                    END AS gram
+             FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       r AS (SELECT doc_id, pos, word, gram,
+                    CASE WHEN gram IS NOT NULL AND
+                         row_number() OVER (PARTITION BY doc_id, gram
+                                            ORDER BY pos) > 1
+                         THEN 1 ELSE 0 END AS rep
+             FROM g),
+       c AS (SELECT doc_id, pos, word,
+                    max(rep) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)
+                      AS covered,
+                    count(*) OVER (PARTITION BY doc_id) AS n_before
+             FROM r)
+       SELECT doc_id, n_before, CAST(count(*) AS BIGINT) AS n_after,
+              string_agg(word, ' ' ORDER BY pos) AS clean_text
+       FROM c WHERE covered = 0
+       GROUP BY doc_id, n_before
+       ORDER BY doc_id""") { (s, d) =>
+    graft.operators.TextAnalysis
+      .dropRepeatedNgrams(Tables.documents(s, d), n = 2)
+      .orderBy("doc_id")
+  }
+
+  /** PCA over the embedding corpus (q121): covariance via ONE
+    * treeAggregate moment pass (driver state = the 64×64 block), top-4
+    * eigenpairs by deterministic power iteration, map-only projection.
+    * Not SQL-expressible (iterative eigensolve), rows-only — but gated
+    * in-query: (a) each eigenpair satisfies ‖Cv − λv‖∞ ≤ 1e-8·max(1,λ)
+    * on the independently re-accumulated covariance, (b) eigenvalues
+    * strictly ordered and the top one dominates every coordinate
+    * variance, (c) components orthonormal, and (d) DISTRIBUTED check:
+    * avg(pc_i²) over the projected corpus must equal λ_i (the defining
+    * variance identity of PCA) to 1e-6 relative.
+    */
+  /** Residual tolerance for the q121 eigen gates: Jacobi diagonalizes
+    * to ~1e-14·‖C‖ regardless of eigenvalue gaps (the reason Pca uses
+    * it over power iteration, which stalls on the fixture's flat bulk
+    * spectrum), so 1e-9 is generous while still catching any broken
+    * rotation or moment pass.
+    */
+  private val PcaResidTol = 1e-9
+
+  val q121 = Q.rowsOnly("q121_pca_project") { (s, d) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val comps = graft.operators.Pca.fitTopK(emb, k = 4)
+    val rows = comps.select("comp_id", "eigenvalue", "vector", "mean")
+      .as[(Int, Double, Seq[Double], Seq[Double])].collect().sortBy(_._1)
+    val (n, sums, gram) = graft.operators.Pca.moments(emb)
+    val dd = sums.length
+    val cov = graft.operators.Pca.covariance(n, sums, gram)
+    for (((_, lam, v, _), i) <- rows.zipWithIndex) {
+      val resid = (0 until dd).map { r =>
+        val cvr = (0 until dd).map(c0 => cov(r * dd + c0) * v(c0)).sum
+        math.abs(cvr - lam * v(r))
+      }.max
+      require(resid <= PcaResidTol * math.max(1.0, math.abs(lam)),
+        s"eigen residual $resid too large for component $i (lambda=$lam)")
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      require(math.abs(norm - 1.0) <= 1e-10, s"component $i not unit norm")
+    }
+    for (i <- rows.indices; j <- 0 until i) {
+      val dotIj = rows(i)._3.zip(rows(j)._3).map { case (a, b) => a * b }.sum
+      require(math.abs(dotIj) <= 1e-7,
+        s"components $i,$j not orthogonal: $dotIj")
+      require(rows(j)._2 >= rows(i)._2 - 1e-9,
+        s"eigenvalues out of order at $j,$i")
+    }
+    val maxCoordVar = (0 until dd).map(i => cov(i * dd + i)).max
+    require(rows(0)._2 >= maxCoordVar - 1e-9,
+      s"top eigenvalue ${rows(0)._2} below max coordinate variance $maxCoordVar")
+    val proj = graft.operators.Pca.project(emb, comps).persist()
+    val varRow = proj.agg(
+      avg(col("pc0") * col("pc0")), avg(col("pc1") * col("pc1")),
+      avg(col("pc2") * col("pc2")), avg(col("pc3") * col("pc3"))).head()
+    for (i <- 0 until 4) {
+      val lam = rows(i)._2
+      require(math.abs(varRow.getDouble(i) - lam) <= 1e-6 * math.max(1.0, lam),
+        s"projected variance ${varRow.getDouble(i)} != lambda $lam for pc$i")
+    }
+    graft.util.CacheRelease.afterFirstAction(
+      proj.orderBy("vec_id"), Seq(proj))
+  }
+
+  /** Weighted sampling without replacement (q122, Efraimidis–Spirakis):
+    * top-25 per language by u^(1/n_chars) with u a deterministic
+    * integer-LCG variate of doc_id — the draw is engine-portable, so
+    * the DuckDB oracle replays it EXACTLY (same integers, same pow; key
+    * gaps are ~1e-6 while cross-engine pow differs at ~1e-16, so the
+    * order can't flip). Per-group state is bounded at k by the TopK
+    * UDAF — no window over the corpus.
+    */
+  val q122 = Q.checked(
+    "q122_weighted_sample",
+    """WITH k AS (
+         SELECT lang, doc_id,
+                power(CAST((doc_id * 48271 + 11) % 2147483647 AS DOUBLE)
+                        / 2147483647.0,
+                      1.0 / n_chars) AS key
+         FROM documents),
+       r AS (SELECT lang, doc_id,
+                    row_number() OVER (PARTITION BY lang
+                                       ORDER BY key DESC, doc_id) AS rank
+             FROM k)
+       SELECT lang, doc_id, CAST(rank AS BIGINT) AS rank
+       FROM r WHERE rank <= 25
+       ORDER BY lang, rank""") { (s, d) =>
+    graft.operators.Curation.weightedSample(Tables.documents(s, d), k = 25)
+      .orderBy("lang", "rank")
+  }
 }
 
 /** Planted biarc corpus for the self-verifying q40: 100 verb groups,
