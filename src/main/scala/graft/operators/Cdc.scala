@@ -48,4 +48,26 @@ object Cdc {
         coalesce(b(key), c(key)).as(key) +:
           dataCols.map(d => when(c(op).isNotNull, c(d)).otherwise(b(d)).as(d)): _*)
   }
+
+  /** Incremental aggregate maintenance: fold a batch of new fact rows
+    * into a pre-aggregated `(key, cnt, total)` snapshot without
+    * touching the base table — the materialized-view refresh pattern
+    * where a day's delta costs |snapshot keys| + |delta|, not a 100 TB
+    * base rescan. Works for any commutative-monoid aggregate; count and
+    * sum here, the shape every decomposable aggregate (avg = sum/cnt,
+    * variance via (n, Σx, Σx²)) reduces to.
+    *
+    * The delta batch is pre-aggregated per key map-side, then merged
+    * with the snapshot by a union + re-sum — one shuffle keyed by the
+    * snapshot key.
+    */
+  def mergeAggDelta(snapshot: DataFrame, delta: DataFrame, key: String,
+      valueCol: String): DataFrame = {
+    val deltaAgg = delta.groupBy(col(key))
+      .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("total"))
+    snapshot.select(col(key), col("cnt"), col("total"))
+      .unionByName(deltaAgg)
+      .groupBy(col(key))
+      .agg(sum("cnt").cast("long").as("cnt"), sum("total").as("total"))
+  }
 }

@@ -242,4 +242,50 @@ object DupGraph {
       .select(col("id"))
     docs.join(losers, Ids.longId(idCol) === losers("id"), "left_anti")
   }
+
+  /** Per-node triangle counts over an undirected simple graph given as
+    * canonical edges (`a < b`, distinct) — the local-clustering signal
+    * over a co-occurrence or near-dup pair graph (a node whose
+    * neighborhood closes many triangles sits in a dense dup community;
+    * one that closes none is a chain artifact).
+    *
+    * Scale shape: the classic degree-ordered wedge join. Every edge is
+    * oriented from its lower-(degree, id) endpoint to the higher one, so
+    * each node's OUT-degree is O(sqrt(m)) amortized — the wedge fan-out
+    * a plain id-orientation would let a low-id hub explode stays
+    * bounded; wedges then semi-join their closing edge. Three shuffles
+    * (degree agg, wedge join, closing semi-join), no windows, no driver
+    * state.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("a").as("v"))
+      .unionAll(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val oriented = edges
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("src"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("dst"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"),
+        col("e2.dst").as("w"))
+    val closed = wedges.join(edges,
+      least(col("v"), col("w")) === col("a") &&
+        greatest(col("v"), col("w")) === col("b"),
+      "left_semi")
+    closed
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+      .join(deg.select(col("v").as("node"), col("deg").as("degree")),
+        Seq("node"), "right")
+      .na.fill(0L, Seq("triangles"))
+      .select(col("node"), col("degree"), col("triangles"))
+  }
 }

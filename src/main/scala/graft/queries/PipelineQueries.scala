@@ -2495,6 +2495,90 @@ object PipelineQueries {
     graft.operators.Curation.weightedSample(Tables.documents(s, d), k = 25)
       .orderBy("lang", "rank")
   }
+
+  /** Span-masking decontamination (q123): the PaLM-style variant of q66
+    * — benchmark 3-gram hits mask the covered tokens instead of
+    * dropping the document. Bench set = the q66 slice (doc_id % 37).
+    * The oracle replays the identical gram/coverage window algebra in
+    * DuckDB over the same slice.
+    */
+  val q123 = Q.checked(
+    "q123_decontaminate_mask_spans",
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                  FROM documents),
+       tok0 AS (SELECT doc_id, toks,
+                       unnest(generate_series(1, CAST(len(toks) AS BIGINT)))
+                         AS i
+                FROM t),
+       tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS word
+               FROM tok0 WHERE toks[i] <> ''),
+       g AS (SELECT doc_id, pos, word,
+                    CASE WHEN lead(word, 2) OVER w IS NOT NULL
+                         THEN word || ' ' || (lead(word, 1) OVER w) || ' '
+                              || (lead(word, 2) OVER w)
+                    END AS gram
+             FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       bg AS (SELECT DISTINCT gram FROM g
+              WHERE doc_id % 37 = 0 AND gram IS NOT NULL),
+       f AS (SELECT doc_id, pos, word,
+                    CASE WHEN gram IS NOT NULL AND
+                              gram IN (SELECT gram FROM bg)
+                         THEN 1 ELSE 0 END AS contaminated
+             FROM g),
+       c AS (SELECT doc_id, pos, word,
+                    max(contaminated) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS covered
+             FROM f)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(sum(covered) AS BIGINT) AS n_masked,
+              string_agg(CASE WHEN covered = 1 THEN '<extra_id_0>'
+                              ELSE word END, ' ' ORDER BY pos) AS masked_text
+       FROM c GROUP BY doc_id
+       ORDER BY doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    graft.operators.Decontamination
+      .maskContaminatedSpans(docs, docs.filter(col("doc_id") % 37 === 0),
+        n = 3)
+      .orderBy("doc_id")
+  }
+
+  /** Incremental aggregate maintenance (q125): fold the post-cutoff
+    * order rows into the pre-cutoff per-customer (cnt, total) snapshot.
+    * The ORACLE is the full recompute over all orders — the refresh
+    * invariant that makes incremental maintenance trustworthy — and the
+    * in-query require checks the same equivalence distributed (1e-6 on
+    * the float totals: a two-term merged sum may differ from the
+    * one-pass sum in the last ulp).
+    */
+  val q125 = Q.checked(
+    "q125_incremental_agg_merge",
+    """SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS cnt,
+              round(sum(o_totalprice), 2) AS total
+       FROM orders GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val orders = Tables.orders(s, d)
+    val cutoff = "1997-01-01"
+    val snap = orders.filter(col("o_orderdate") < lit(cutoff))
+      .groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("total"))
+    val delta = orders.filter(col("o_orderdate") >= lit(cutoff))
+      .select(col("o_custkey").as("k"), col("o_totalprice"))
+    val merged = graft.operators.Cdc
+      .mergeAggDelta(snap, delta, "k", "o_totalprice").persist()
+    val full = orders.groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("total"))
+    val bad = merged.alias("m")
+      .join(full.alias("f"), Seq("k"), "full_outer")
+      .filter(col("m.cnt").isNull || col("f.cnt").isNull ||
+        col("m.cnt") =!= col("f.cnt") ||
+        abs(col("m.total") - col("f.total")) > 1e-6)
+      .count()
+    require(bad == 0,
+      s"incremental merge diverges from full recompute on $bad keys")
+    graft.util.CacheRelease.afterFirstAction(
+      merged.select(col("k"), col("cnt"),
+        round(col("total"), 2).as("total")).orderBy("k"),
+      Seq(merged))
+  }
 }
 
 /** Planted biarc corpus for the self-verifying q40: 100 verb groups,

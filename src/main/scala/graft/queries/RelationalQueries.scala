@@ -1050,4 +1050,45 @@ object RelationalQueries {
       .select("event_id", "ts", "user_id", "event_type", "value")
       .orderBy("event_id")
   }
+
+  /** Per-node triangle counts (q124) over the parts-co-ordered-together
+    * graph (edges = distinct part pairs sharing an order): the
+    * degree-ordered wedge join that bounds fan-out at O(sqrt(m)) per
+    * node. The oracle counts the same triangles with canonical-order
+    * wedge+closure joins in DuckDB.
+    */
+  val q124 = Q.checked(
+    "q124_graph_triangles",
+    """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                      FROM lineitem),
+       e AS (SELECT DISTINCT i1.pk AS a, i2.pk AS b
+             FROM items i1 JOIN items i2
+               ON i1.ok = i2.ok AND i1.pk < i2.pk),
+       deg AS (SELECT v, CAST(count(*) AS BIGINT) AS degree
+               FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+               GROUP BY v),
+       tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+               FROM e e1
+               JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+               JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+       n AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+             FROM (SELECT x AS node FROM tri
+                   UNION ALL SELECT y FROM tri
+                   UNION ALL SELECT z FROM tri)
+             GROUP BY node)
+       SELECT deg.v AS node, deg.degree,
+              COALESCE(n.triangles, 0) AS triangles
+       FROM deg LEFT JOIN n ON n.node = deg.v
+       ORDER BY node""") { (s, d) =>
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = items.alias("i1")
+      .join(items.alias("i2"),
+        col("i1.ok") === col("i2.ok") && col("i1.pk") < col("i2.pk"))
+      .select(col("i1.pk").as("a"), col("i2.pk").as("b"))
+      .distinct()
+    graft.operators.DupGraph.triangleCounts(edges)
+      .orderBy("node")
+  }
 }
