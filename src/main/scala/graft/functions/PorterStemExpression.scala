@@ -56,6 +56,9 @@ object GraftFunctions {
   def cosineSim(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("cosine_sim", a, b)
 
+  def nfcNormalize(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("nfc_normalize", c)
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "porter_stem",
@@ -64,6 +67,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       exprs => CosineSimExpression(exprs(0), exprs(1)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize",
+      exprs => NfcNormalizeExpression(exprs.head),
       "scala_udf")
   }
 }
@@ -82,5 +89,9 @@ class GraftExtensions
       new org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
       CosineSimExpression.info,
       (exprs: Seq[Expression]) => CosineSimExpression(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
+      NfcNormalizeExpression.info,
+      (exprs: Seq[Expression]) => NfcNormalizeExpression(exprs.head)))
   }
 }

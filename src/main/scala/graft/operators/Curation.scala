@@ -204,6 +204,46 @@ object Curation {
         sum("n_tokens").as("sum_tokens"))
   }
 
+  /** Concat-then-split sequence packing: the GPT-style training layout
+    * where a shard's token stream is concatenated in doc_id order and
+    * cut into fixed `seqLen` windows, so documents may straddle two (or
+    * more) sequences. Emits one row per (sequence, document) span with
+    * the span's offset inside the sequence, the doc-relative position id
+    * of its first token (what a reset-at-doc-boundary position encoding
+    * needs to resume a straddling doc), and the span token count.
+    *
+    * Scale shape: identical to [[packBins]] — the only window is the
+    * per-shard running sum keyed by the deterministic content-hash
+    * shard, so parallelism is nShards and no global ordering exists
+    * (size nShards to the cluster, not 8, at 100 TB). The explode
+    * fan-out per doc is at most ceil(n_toks/seqLen)+1 spans — linear in
+    * input tokens.
+    */
+  def packSequences(docs: DataFrame, seqLen: Int = 512, nShards: Int = 8,
+      salt: String = "graft", textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(seqLen > 0 && nShards > 0, "seqLen and nShards must be positive")
+    val nTok = size(split(trim(col(textCol)), "\\s+")).cast("long")
+    val w = Window.partitionBy("shard").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val L = lit(seqLen.toLong)
+    docs
+      .select(col(idCol),
+        (hashBucket(col(textCol), salt) % nShards).as("shard"),
+        nTok.as("n_toks"))
+      .withColumn("g_start", coalesce(sum("n_toks").over(w), lit(0L)))
+      .withColumn("seq_id", explode(sequence(
+        floor(col("g_start") / L).cast("long"),
+        floor((col("g_start") + col("n_toks") - lit(1L)) / L).cast("long"))))
+      .select(col("shard"), col("seq_id"), col(idCol),
+        (greatest(col("g_start"), col("seq_id") * L) - col("seq_id") * L)
+          .as("seq_off"),
+        (greatest(col("g_start"), col("seq_id") * L) - col("g_start"))
+          .as("pos_start"),
+        (least(col("g_start") + col("n_toks"), (col("seq_id") + 1) * L) -
+          greatest(col("g_start"), col("seq_id") * L)).as("span_toks"))
+  }
+
   // ------------------------------------------------------------- PII scrub
 
   /** Regexes shared by the operator and its SQL oracle. Deliberately

@@ -538,6 +538,34 @@ object TextAnalysis {
       .select(col(idCol), col("n_before"), col("n_after"), col("clean_text"))
   }
 
+  /** C0/C1-ish control characters stripped by [[normalizeText]]. The
+    * class is written with syntax whose semantics match between Java
+    * regex and RE2-family engines so the oracle runs the same pattern.
+    */
+  val ControlCharClass = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** Unicode text normalization: NFC canonical composition (native
+    * codegen Expression, [[graft.functions.NfcNormalizeExpression]]),
+    * control-character stripping, then whitespace collapse + trim — in
+    * that order, so the \x0B the control strip removes never reaches the
+    * whitespace class (the one code point where Java's `\s` and RE2's
+    * `\s` disagree). `removed_chars` counts the character-length delta
+    * (control chars + collapsed whitespace + NFC composition shrink).
+    *
+    * Map-only and fully codegen'd — the 100 TB shape is a projected
+    * parquet scan, no shuffle. Requires `GraftFunctions.register` (or
+    * the extensions config) for the nfc_normalize expression.
+    */
+  def normalizeText(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val nfc = graft.functions.GraftFunctions.nfcNormalize(col(textCol))
+    val stripped = regexp_replace(nfc, ControlCharClass, "")
+    val collapsed = trim(regexp_replace(stripped, "\\s+", " "))
+    docs.select(col(idCol), collapsed.as("norm_text"),
+      (length(col(textCol)) - length(collapsed)).cast("long")
+        .as("removed_chars"))
+  }
+
   /** Full per-document text-analysis projection over a corpus table. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -2579,6 +2579,84 @@ object PipelineQueries {
         round(col("total"), 2).as("total")).orderBy("k"),
       Seq(merged))
   }
+
+  /** Sequence packing with position ids (q126): concat-then-split to
+    * seqLen=128 over 8 content-hash shards, documents straddling
+    * sequence boundaries. The oracle replays the prefix-sum +
+    * generate_series algebra in DuckDB; in-query require: every
+    * sequence but each shard's last holds exactly 128 tokens (the
+    * packing invariant).
+    */
+  val q126 = Q.checked(
+    "q126_pack_sequences",
+    """WITH d AS (SELECT doc_id,
+                    ('0x' || substr(md5('graft' || text), 1, 8))::BIGINT
+                      % 10000 % 8 AS shard,
+                    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                      AS BIGINT) AS n_toks
+              FROM documents),
+       s AS (SELECT doc_id, shard, n_toks,
+                    CAST(COALESCE(sum(n_toks) OVER (PARTITION BY shard
+                      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS BIGINT) AS g_start
+             FROM d),
+       sp AS (SELECT shard, doc_id, g_start, n_toks,
+                     unnest(generate_series(g_start // 128,
+                       (g_start + n_toks - 1) // 128)) AS seq_id
+              FROM s)
+       SELECT shard, seq_id, doc_id,
+              greatest(g_start, seq_id * 128) - seq_id * 128 AS seq_off,
+              greatest(g_start, seq_id * 128) - g_start AS pos_start,
+              least(g_start + n_toks, (seq_id + 1) * 128)
+                - greatest(g_start, seq_id * 128) AS span_toks
+       FROM sp ORDER BY shard, seq_id, seq_off""") { (s, d) =>
+    val packed = graft.operators.Curation
+      .packSequences(Tables.documents(s, d), seqLen = 128, nShards = 8)
+      .persist()
+    val lastSeq = packed.groupBy("shard").agg(max("seq_id").as("last_seq"))
+    val notFull = packed.groupBy("shard", "seq_id")
+      .agg(sum("span_toks").as("toks"))
+      .join(lastSeq, Seq("shard"))
+      .filter(col("seq_id") < col("last_seq") && col("toks") =!= 128)
+      .count()
+    require(notFull == 0, s"$notFull non-final sequences not exactly full")
+    graft.util.CacheRelease.afterFirstAction(
+      packed.orderBy("shard", "seq_id", "seq_off"), Seq(packed))
+  }
+
+  /** Unicode normalization (q128): NFC composition (native codegen
+    * Expression) + control strip + whitespace collapse, against
+    * DuckDB's nfc_normalize + the same RE2-portable regexes. A
+    * decomposed-é suffix and a BEL control are planted on every doc so
+    * the composition provably fires at every row (the fixture corpus is
+    * ASCII); the in-query require checks every normalized text ends
+    * with the PRECOMPOSED form.
+    */
+  val q128 = Q.checked(
+    "q128_text_nfc_normalize",
+    """SELECT doc_id,
+              trim(regexp_replace(regexp_replace(
+                nfc_normalize(text || ' caf' || chr(101) || chr(769)
+                  || ' ' || chr(7)),
+                '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                '\s+', ' ', 'g')) AS norm_text,
+              CAST(length(text || ' caf' || chr(101) || chr(769) || ' '
+                  || chr(7))
+                - length(trim(regexp_replace(regexp_replace(
+                    nfc_normalize(text || ' caf' || chr(101) || chr(769)
+                      || ' ' || chr(7)),
+                    '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                    '\s+', ' ', 'g'))) AS BIGINT) AS removed_chars
+       FROM documents ORDER BY doc_id""") { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val planted = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"), lit(" caf"), lit("e\u0301"), lit(" \u0007"))
+        .as("text"))
+    val out = graft.operators.TextAnalysis.normalizeText(planted).persist()
+    val bad = out.filter(!col("norm_text").endsWith(" caf\u00e9")).count()
+    require(bad == 0, s"$bad rows missing the composed café suffix")
+    graft.util.CacheRelease.afterFirstAction(out.orderBy("doc_id"), Seq(out))
+  }
 }
 
 /** Planted biarc corpus for the self-verifying q40: 100 verb groups,

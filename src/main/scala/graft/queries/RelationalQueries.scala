@@ -1091,4 +1091,27 @@ object RelationalQueries {
     graft.operators.DupGraph.triangleCounts(edges)
       .orderBy("node")
   }
+
+  /** Salted skew join (q127): orders⋈customer through
+    * SkewJoin.saltedJoin with a merge-join hint so the (key, salt)
+    * shuffle actually runs instead of a broadcast. The oracle is the
+    * plain inner join — the salt must be invisible in the result.
+    */
+  val q127 = Q.checked(
+    "q127_salted_skew_join",
+    """SELECT o_orderkey, c_custkey, c_nationkey,
+              round(o_totalprice, 2) AS price
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       ORDER BY o_orderkey""") { (s, d) =>
+    graft.operators.SkewJoin.saltedJoin(
+        Tables.orders(s, d).hint("merge"),
+        Tables.customer(s, d).select(col("c_custkey").as("o_custkey"),
+          col("c_nationkey")),
+        keys = Seq("o_custkey"), saltFactor = 8,
+        uniquifier = Some("o_orderkey"))
+      .select(col("o_orderkey"),
+        col("o_custkey").as("c_custkey"), col("c_nationkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy("o_orderkey")
+  }
 }
