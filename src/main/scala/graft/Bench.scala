@@ -131,7 +131,14 @@ object Bench {
     "q52_multimodal_image_decode",
     "q53_dedup_ngram_jaccard", "q68_dedup_components",
     "q69_dedup_drop_clusters", "q78_curate_corpus_pipeline",
-    "q83_dedup_pagerank")
+    "q83_dedup_pagerank", "q130_dedup_keep_best")
+
+  /** Heavy-phase execution order: q68 must run before the entries that
+    * ride its shared pair graph (q69/q83/q130) — plain sorted-name
+    * order would put q130 first and force a second full graph build.
+    */
+  val heavyOrder: Map[String, Int] =
+    Map("q68_dedup_components" -> 0).withDefaultValue(1)
 
   private def rmrf(dir: String): Unit = {
     val p = java.nio.file.Paths.get(dir)
@@ -325,6 +332,18 @@ object Bench {
             scale = graft.queries.PipelineQueries.PrScale)
           .count()
         ()
+      }),
+      "q130_dedup_keep_best" -> (() => {
+        // same composed shape as q69: time ONLY the keeper selection +
+        // anti-join over the shared component labels
+        val labels =
+          if (comps != null) comps
+          else graft.operators.DupGraph.components(freshPairs())
+        graft.operators.DupGraph
+          .dropNearDupsKeepBest(Tables.documents(spark, sfDir), labels,
+            scoreCol = "n_chars", idCol = "doc_id")
+          .select("doc_id").count()
+        ()
       }))
   }
 
@@ -384,7 +403,7 @@ object Bench {
       time(name) { fn(spark, sfDir).count() }
     }
     val overrides = componentRunners(spark, sfDir)
-    heavy.foreach { case (name, fn) =>
+    heavy.sortBy(q => (heavyOrder(q._1), q._1)).foreach { case (name, fn) =>
       System.gc() // fence: a heavy entry starts from a settled heap
       time(name) {
         overrides.get(name) match {

@@ -243,6 +243,29 @@ object DupGraph {
     docs.join(losers, Ids.longId(idCol) === losers("id"), "left_anti")
   }
 
+  /** Keeper-drop that keeps each component's BEST-scoring member (keep
+    * the longest / highest-quality copy of a near-dup cluster, not the
+    * arbitrary min id); singletons, absent from the component map, are
+    * always kept. Keeper per component = argmax(score, ties to the
+    * lower id) via one partial-aggregated `max(struct)` — window-free,
+    * so a viral cluster ships one candidate per map task, the q31/q116
+    * shape. Losers anti-join the corpus exactly like
+    * [[dropNearDupsByComponents]].
+    */
+  def dropNearDupsKeepBest(docs: DataFrame, comps: DataFrame,
+      scoreCol: String, idCol: String = "doc_id"): DataFrame = {
+    val members = comps.join(
+      docs.select(Ids.longId(idCol).as("id"), col(scoreCol).as("__s")),
+      Seq("id"))
+    val keepers = members.groupBy("component")
+      .agg(max(struct(col("__s").as("s"), (-col("id")).as("nid"))).as("b"))
+      .select(col("component"), (-col("b.nid")).as("keeper"))
+    val losers = members.join(keepers, Seq("component"))
+      .where(col("id") =!= col("keeper"))
+      .select(col("id"))
+    docs.join(losers, Ids.longId(idCol) === losers("id"), "left_anti")
+  }
+
   /** Per-node triangle counts over an undirected simple graph given as
     * canonical edges (`a < b`, distinct) — the local-clustering signal
     * over a co-occurrence or near-dup pair graph (a node whose

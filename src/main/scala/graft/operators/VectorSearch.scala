@@ -150,6 +150,38 @@ object VectorSearch {
       vecCol: String = "embedding"): DataFrame =
     topKPerQuery(cosineScores(embeddings, queryIds, idCol, vecCol), k)
 
+  /** Hard-negative mining for contrastive training: per query, the
+    * top-k most-cosine-similar corpus vectors with a DIFFERENT label —
+    * the negatives closest to the decision boundary, which contrastive
+    * and reranker training sample preferentially. Same broadcast
+    * query-set + bounded two-phase top-k shape as [[cosineTopK]]; the
+    * label inequality rides the broadcast join condition, so same-label
+    * vectors (including the query itself) are never scored.
+    */
+  def hardNegatives(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val queries = embeddings
+      .filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        col(labelCol).as("qlabel"))
+    val scored = embeddings
+      .join(broadcast(queries), col(labelCol) =!= col("qlabel"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col(vecCol), col("qvec"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .flatMap { case (q, n, v, qv) =>
+        finiteRoundedCosine(v, qv).map(c => (q, n, c)) }
+      .toDF("query_id", "neighbor_id", "cos_sim")
+    topKPerQuery(scored, k)
+  }
+
   /** Deterministic random hyperplanes for signed-random-projection LSH. */
   def hyperplanes(nBits: Int, dim: Int, seed: Long = 0x9e3779b9L): Array[Array[Double]] = {
     val rnd = new java.util.Random(seed)

@@ -2657,6 +2657,68 @@ object PipelineQueries {
     require(bad == 0, s"$bad rows missing the composed café suffix")
     graft.util.CacheRelease.afterFirstAction(out.orderBy("doc_id"), Seq(out))
   }
+
+  /** Hard-negative mining (q129): per query vector, the exact top-5
+    * most-cosine-similar vectors with a DIFFERENT label — the
+    * contrastive-training sampling step. The oracle is the q35
+    * formulation plus the label inequality, so the label filter and the
+    * ranking are both hash-checked.
+    */
+  val q129 = Q.checked(
+    "q129_hard_negatives",
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec,
+                         label AS qlabel
+                  FROM embeddings WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9)),
+       scored AS (
+         SELECT q.query_id, e.vec_id AS neighbor_id,
+                round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(q.qvec AS DOUBLE[])), 6)
+                  AS cos_sim
+         FROM embeddings e JOIN q ON e.label <> q.qlabel)
+       SELECT query_id, neighbor_id, cos_sim, rank FROM (
+         SELECT query_id, neighbor_id, cos_sim,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+         FROM scored)
+       WHERE rank <= 5
+       ORDER BY query_id, neighbor_id""") { (s, d) =>
+    VectorSearch.hardNegatives(Tables.embeddings(s, d), queryIds = 0L to 9L,
+        k = 5)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  /** Quality-keeper transitive dedup (q130): the q69 cluster drop, but
+    * keeping each near-dup cluster's LONGEST member (n_chars, ties to
+    * the lower id) instead of the arbitrary min id — "keep the fullest
+    * copy", the curation-grade keeper rule. Shares the q68/q69
+    * recursive-closure oracle prefix.
+    */
+  val q130 = Q.checked(
+    "q130_dedup_keep_best",
+    s"""$dupGraphCtes,
+       scored AS (SELECT comp.id, comp.component, d.n_chars
+                  FROM comp JOIN documents d ON d.doc_id = comp.id),
+       keepers AS (SELECT component, id AS keeper FROM (
+                     SELECT component, id,
+                            row_number() OVER (PARTITION BY component
+                              ORDER BY n_chars DESC, id) AS rn
+                     FROM scored)
+                   WHERE rn = 1),
+       losers AS (SELECT s.id FROM scored s
+                  JOIN keepers k ON k.component = s.component
+                  WHERE s.id <> k.keeper)
+       SELECT d.doc_id FROM documents d
+       WHERE NOT EXISTS (SELECT 1 FROM losers WHERE losers.id = d.doc_id)
+       ORDER BY d.doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val comps = graft.operators.DupGraph
+      .components(Dedup.jaccardPairs(docs, threshold = 0.5))
+    graft.operators.DupGraph
+      .dropNearDupsKeepBest(docs, comps, scoreCol = "n_chars")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
 }
 
 /** Planted biarc corpus for the self-verifying q40: 100 verb groups,
