@@ -85,7 +85,8 @@ object SparkEntry {
     PipelineQueries.q119, PipelineQueries.q120, PipelineQueries.q121,
     PipelineQueries.q122, PipelineQueries.q123, RelationalQueries.q124,
     PipelineQueries.q125, PipelineQueries.q126, RelationalQueries.q127,
-    PipelineQueries.q128, PipelineQueries.q129, PipelineQueries.q130)
+    PipelineQueries.q128, PipelineQueries.q129, PipelineQueries.q130,
+    RelationalQueries.q131)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

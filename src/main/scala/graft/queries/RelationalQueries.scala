@@ -1114,4 +1114,36 @@ object RelationalQueries {
         round(col("o_totalprice"), 2).as("price"))
       .orderBy("o_orderkey")
   }
+
+  /** Bloom-prefiltered fact⋈dim join (q131): lineitem joined to URGENT
+    * orders through [[graft.operators.BloomJoin]] — the probe side is
+    * filtered by a broadcast Bloom of the ~18% matching order keys
+    * before it reaches the shuffle (semi-join reduction, the 100 TB
+    * fact-table shape). Blooms have no false negatives, so the oracle
+    * is the PLAIN join; the require asserts the filter genuinely
+    * reduced the probe side, so a degraded (fpp→1) filter fails loudly
+    * instead of silently running the unreduced join.
+    */
+  val q131 = Q.checked(
+    "q131_bloom_prefilter_join",
+    """SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority,
+              round(l.l_extendedprice, 2) AS price
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       WHERE o.o_orderpriority = '1-URGENT'
+       ORDER BY l.l_orderkey, l.l_linenumber, price""") { (s, d) =>
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_orderpriority")
+    val li = Tables.lineitem(s, d)
+    val pre = graft.operators.BloomJoin.prefilterProbe(
+      li, urgent, probeKey = "l_orderkey", buildKey = "o_orderkey")
+    val kept = pre.count()
+    val total = li.count()
+    require(kept < total,
+      s"bloom prefilter kept $kept of $total probe rows — no reduction")
+    pre.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_orderpriority"),
+        round(col("l_extendedprice"), 2).as("price"))
+      .orderBy("l_orderkey", "l_linenumber", "price")
+  }
 }
