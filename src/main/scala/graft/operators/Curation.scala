@@ -464,4 +464,61 @@ object Curation {
       }
       .toDF(groupCol, idCol, "rank")
   }
+
+  /** Per-group adaptive quality threshold: keep rows whose `valueCol` is
+    * at or above the group's `q`-quantile (exact, linear interpolation —
+    * Spark `percentile` == DuckDB `quantile_cont`). The per-language
+    * "keep the top X% by quality" curation rule, with the threshold
+    * derived from each group's own distribution instead of one global
+    * constant that over-prunes low-resource languages.
+    *
+    * 100 TB shape: a `percent_rank` window would sort every group's
+    * rows through that group's partitions (skew-prone when one language
+    * dominates). This is instead a partial-agg'd percentile per group
+    * plus a BROADCAST join of |groups| threshold rows back onto the
+    * corpus — map-only after one bounded agg. NULL group keys pass
+    * through UNKEPT (no bounds row can match them) by explicit filter,
+    * not by silent join-drop (the winsorize ADVICE lesson).
+    */
+  def quantileKeep(df: DataFrame, valueCol: String, groupCol: String,
+      q: Double): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"quantile must be in (0,1): $q")
+    val thr = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, $q)").as("thr"))
+    df.join(broadcast(thr), Seq(groupCol))
+      .filter(col(valueCol) >= col("thr"))
+  }
+
+  /** Nucleus (top-p) source truncation: rank sources by total weight and
+    * keep the smallest prefix whose cumulative weight covers at least
+    * `p` permille of the total — head-truncation of a domain/source
+    * distribution (drop the long tail of scraped domains that together
+    * contribute <(1-p) of the tokens). Entirely integer arithmetic
+    * (permille threshold with ceil division), so any SQL engine replays
+    * the identical cut.
+    *
+    * 100 TB shape: the window runs over the AGGREGATED per-source rows
+    * — |sources| is bounded by contract (domains, registries), the
+    * corpus itself is touched by one partial-agg'd groupBy only.
+    */
+  def topPSources(docs: DataFrame, pPermille: Int,
+      groupCol: String = "source", weightCol: String = "n_chars"): DataFrame = {
+    require(pPermille > 0 && pPermille <= 1000,
+      s"pPermille must be in (0,1000]: $pPermille")
+    val w = Window.orderBy(col("weight").desc, col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val weights = docs.groupBy(col(groupCol))
+      .agg(sum(col(weightCol)).cast("long").as("weight"))
+    val total = weights.agg(sum(col("weight")).cast("long").as("total"))
+    weights
+      .crossJoin(broadcast(total))
+      .withColumn("cum_weight", sum(col("weight")).over(w).cast("long"))
+      // keep while the PREVIOUS cumulative weight is still short of
+      // ceil(p/1000 * total): the source that crosses the line is kept,
+      // everything after it is cut
+      .filter(col("cum_weight") - col("weight") <
+        expr(s"(total * $pPermille + 999) DIV 1000"))
+      .select(col(groupCol), col("weight"), col("cum_weight"))
+  }
 }

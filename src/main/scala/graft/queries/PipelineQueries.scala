@@ -2719,6 +2719,52 @@ object PipelineQueries {
       .select("doc_id")
       .orderBy("doc_id")
   }
+
+  /** Per-group adaptive quality threshold (q132): keep each language's
+    * top-25%-longest docs — threshold from the group's OWN p75, exact
+    * percentile with linear interpolation on both engines (Spark
+    * `percentile` == DuckDB `quantile_cont`), agg + broadcast join
+    * instead of a skew-prone percent_rank window.
+    */
+  val q132 = Q.checked(
+    "q132_quantile_keep",
+    """WITH thr AS (SELECT lang, quantile_cont(n_chars, 0.75) AS thr
+                    FROM documents WHERE lang IS NOT NULL GROUP BY lang)
+       SELECT d.doc_id, d.lang, d.n_chars, round(t.thr, 6) AS thr
+       FROM documents d JOIN thr t ON d.lang = t.lang
+       WHERE d.n_chars >= t.thr
+       ORDER BY d.doc_id""") { (s, d) =>
+    graft.operators.Curation
+      .quantileKeep(Tables.documents(s, d), valueCol = "n_chars",
+        groupCol = "lang", q = 0.75)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(col("thr"), 6).as("thr"))
+      .orderBy("doc_id")
+  }
+
+  /** Top-p (nucleus) source truncation (q133): order sources by total
+    * char weight, keep the smallest prefix covering >= 800‰ of the
+    * corpus — all-integer (permille + ceil division), so the DuckDB
+    * twin replays the identical cut.
+    */
+  val q133 = Q.checked(
+    "q133_top_p_sources",
+    """WITH w AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS weight
+                  FROM documents GROUP BY source),
+       t AS (SELECT CAST(sum(weight) AS BIGINT) AS total FROM w),
+       c AS (SELECT source, weight,
+                    CAST(sum(weight) OVER (ORDER BY weight DESC, source
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum_weight,
+                    total
+             FROM w, t)
+       SELECT source, weight, cum_weight FROM c
+       WHERE cum_weight - weight < (total * 800 + 999) // 1000
+       ORDER BY source""") { (s, d) =>
+    graft.operators.Curation
+      .topPSources(Tables.documents(s, d), pPermille = 800)
+      .orderBy("source")
+  }
 }
 
 /** Planted biarc corpus for the self-verifying q40: 100 verb groups,
