@@ -1146,4 +1146,46 @@ object RelationalQueries {
         round(col("l_extendedprice"), 2).as("price"))
       .orderBy("l_orderkey", "l_linenumber", "price")
   }
+
+  /** Histogram-sketch quantiles (q134): l_extendedprice percentiles from
+    * a 1,100-bin width-100 histogram — the mergeable, cross-engine-exact
+    * alternative to a global sort (or an engine-specific GK/t-digest
+    * sketch) at 100 TB. The DuckDB twin replays the identical binning and
+    * integer quantile pick; the require checks the sketch's declared
+    * value-error bound (one bin width) against the exact percentile.
+    */
+  val q134 = Q.checked(
+    "q134_histogram_quantiles",
+    """WITH b AS (SELECT CAST(least(greatest(floor(l_extendedprice / 100.0),
+                                             0), 1099) AS BIGINT) AS bin
+                  FROM lineitem),
+       h AS (SELECT bin, count(*) AS n FROM b GROUP BY bin),
+       t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM h),
+       c AS (SELECT bin, CAST(sum(n) OVER (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum, total
+             FROM h, t),
+       q AS (SELECT * FROM (VALUES (250), (500), (900), (990))
+             AS v(q_permille))
+       SELECT q.q_permille, min(c.bin) AS bin,
+              round(min(c.bin) * 100.0, 6) AS est
+       FROM q JOIN c ON c.cum >= (c.total * q.q_permille + 999) // 1000
+       GROUP BY q.q_permille
+       ORDER BY q.q_permille""") { (s, d) =>
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val out = graft.operators.HistogramSketch.quantiles(
+        li, valueCol = "l_extendedprice", lo = 0.0, hi = 110000.0,
+        nBins = 1100, qsPermille = Seq(250, 500, 900, 990))
+      .orderBy("q_permille")
+    // declared guarantee: each estimate (bin lower edge) sits within one
+    // bin width of the exact percentile
+    val exact = li.agg(
+        expr("percentile(l_extendedprice, array(0.25, 0.5, 0.9, 0.99))"))
+      .as[Seq[Double]].head()
+    val ests = out.select("est").as[Double].collect()
+    val bad = ests.zip(exact).filter { case (e, x) => math.abs(e - x) > 100.0 }
+    require(bad.isEmpty, s"sketch outside one-bin bound: ${bad.toSeq}")
+    out
+  }
 }
