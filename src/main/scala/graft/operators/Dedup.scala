@@ -396,14 +396,18 @@ object Dedup {
     * within a bucket, and verification re-reads only candidate ids via a
     * join back to the corpus (no N^2 stage anywhere).
     */
-  def minhashPairs(
+  /** (id, band, bucket) LSH bucket keys for every doc: the banded MinHash
+    * signature reduced to one hash per band. Shared by the self-join
+    * ([[minhashPairs]]) and the batch-vs-base probe
+    * ([[minhashPairsAgainst]]) so both populate identical buckets.
+    */
+  private def bandedBuckets(
       docs: DataFrame,
-      threshold: Double = 0.7,
-      bands: Int = 16,
-      rowsPerBand: Int = 4,
-      shingleK: Int = 5,
-      textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      bands: Int,
+      rowsPerBand: Int,
+      shingleK: Int,
+      textCol: String,
+      idCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val numPerm = bands * rowsPerBand
@@ -420,13 +424,26 @@ object Dedup {
       }
       .toDF("id", "sig")
 
-    // Band hash: one bucket key per (band, hash of the band's rows).
-    val banded = sigs
-      .select(col("id"), posexplode(
-        array((0 until bands).map { b =>
-          hash(lit(b) +: (0 until rowsPerBand)
-            .map(r => col("sig").getItem(b * rowsPerBand + r)): _*)
-        }: _*)).as(Seq("band", "bucket")))
+    sigs.select(col("id"), posexplode(
+      array((0 until bands).map { b =>
+        hash(lit(b) +: (0 until rowsPerBand)
+          .map(r => col("sig").getItem(b * rowsPerBand + r)): _*)
+      }: _*)).as(Seq("band", "bucket")))
+  }
+
+  def minhashPairs(
+      docs: DataFrame,
+      threshold: Double = 0.7,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      shingleK: Int = 5,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val banded = bandedBuckets(docs, bands, rowsPerBand, shingleK,
+      textCol, idCol)
 
     val l = banded.select(col("band"), col("bucket"), col("id").as("id1"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("id2"))
@@ -457,6 +474,116 @@ object Dedup {
       }
       .toDF("id1", "id2", "jaccard")
       .filter(col("jaccard") >= threshold)
+  }
+
+  // ----------------------------------------------- incremental dedup
+
+  /** Banded-MinHash probe of a NEW batch against an existing base corpus:
+    * candidate (batch, base) pairs from shared LSH buckets, verified with
+    * exact shingle Jaccard >= `threshold`. Neither side is paired with
+    * itself — the rolling-crawl shape, where the base's buckets are
+    * conceptually precomputed once and each incoming batch only probes
+    * them (cost per batch: |batch| signatures + a bucket equi-join,
+    * independent of |base| pair structure).
+    */
+  def minhashPairsAgainst(
+      base: DataFrame,
+      batch: DataFrame,
+      threshold: Double = 0.7,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      shingleK: Int = 5,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+
+    val baseBuckets = bandedBuckets(base, bands, rowsPerBand, shingleK,
+        textCol, idCol)
+      .select(col("band"), col("bucket"), col("id").as("base_id"))
+    val batchBuckets = bandedBuckets(batch, bands, rowsPerBand, shingleK,
+        textCol, idCol)
+      .select(col("band"), col("bucket"), col("id").as("batch_id"))
+
+    val candidates = batchBuckets
+      .join(baseBuckets, Seq("band", "bucket"))
+      .select("batch_id", "base_id")
+      .distinct()
+
+    val batchTexts = batch.select(col(idCol).cast("long").as("batch_id"),
+      col(textCol).as("t1"))
+    val baseTexts = base.select(col(idCol).cast("long").as("base_id"),
+      col(textCol).as("t2"))
+    candidates
+      .join(batchTexts, "batch_id")
+      .join(baseTexts, "base_id")
+      // explicit select: using-column joins put the key first and the
+      // tuple encoder binds by ordinal
+      .select(col("batch_id"), col("base_id"), col("t1"), col("t2"))
+      .as[(Long, Long, String, String)]
+      .map { case (batchId, baseId, t1, t2) =>
+        val s1 = shingles(t1, shingleK)
+        val s2 = shingles(t2, shingleK)
+        val inter = s1.intersect(s2).size
+        val jac =
+          if (s1.isEmpty && s2.isEmpty) 1.0
+          else inter.toDouble / (s1.size + s2.size - inter)
+        (batchId, baseId, math.rint(jac * 1e6) / 1e6)
+      }
+      .toDF("batch_id", "base_id", "jaccard")
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact-hash incremental check of a NEW batch against the base corpus:
+    * each batch doc with the lowest-id base doc sharing its md5 digest
+    * (`dup_of` NULL = content unseen). One digest map over each side and
+    * one join on digest — the base is never re-paired with itself.
+    */
+  def incrementalExact(base: DataFrame, batch: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val digests = base
+      .select(md5(col(textCol)).as("digest"),
+        col(idCol).cast("long").as("base_id"))
+      .groupBy("digest")
+      .agg(min("base_id").as("dup_of"))
+    batch
+      .select(col(idCol).cast("long").as(idCol), md5(col(textCol)).as("digest"))
+      .join(digests, Seq("digest"), "left")
+      .select(col(idCol), col("digest"), col("dup_of"),
+        col("dup_of").isNotNull.as("is_dup"))
+  }
+
+  /** Full incremental-ingest classification of a batch against the base:
+    * `exact_dup` (identical content exists) beats `near_dup` (a verified
+    * MinHash neighbor at `threshold` exists) beats `new`. `dup_of` is the
+    * matched base doc (exact match's keeper, else the lowest-id verified
+    * neighbor). The production rolling-crawl gate: only `new` rows enter
+    * the corpus, so the base never needs re-deduplication.
+    */
+  def incrementalLabel(base: DataFrame, batch: DataFrame,
+      threshold: Double = 0.7,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      shingleK: Int = 5,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val exact = incrementalExact(base, batch, textCol, idCol)
+      .select(col(idCol), col("dup_of").as("exact_of"))
+    val near = minhashPairsAgainst(base, batch, threshold, bands,
+        rowsPerBand, shingleK, textCol, idCol)
+      .groupBy("batch_id")
+      .agg(min("base_id").as("near_of"))
+      .withColumnRenamed("batch_id", idCol)
+    batch
+      .select(col(idCol).cast("long").as(idCol))
+      .join(exact, Seq(idCol), "left")
+      .join(near, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        when(col("exact_of").isNotNull, lit("exact_dup"))
+          .when(col("near_of").isNotNull, lit("near_dup"))
+          .otherwise(lit("new")).as("label"),
+        coalesce(col("exact_of"), col("near_of")).as("dup_of"))
   }
 
   // ------------------------------------------- embedding-cosine near-dup

@@ -2765,6 +2765,90 @@ object PipelineQueries {
       .topPSources(Tables.documents(s, d), pPermille = 800)
       .orderBy("source")
   }
+
+  // -------------------------------------------------- incremental ingest
+
+  /** Synthetic incoming batch for the incremental-dedup queries, derived
+    * from the fixture: exact copies (+1e6 ids), tail-appended near-dups
+    * (+2e6, restricted to n_chars >= 200 so shingle Jaccard stays well
+    * above threshold), and reversed texts (+3e6 — shingle-disjoint from
+    * every base doc, i.e. genuinely new content).
+    */
+  private val IncrTail = " incremental probe tail"
+
+  def incrBatch(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+      .unionByName(
+        docs.filter(col("doc_id") % 10 === 1 && col("n_chars") >= 200)
+          .withColumn("doc_id", col("doc_id") + 2000000)
+          .withColumn("text", concat(col("text"), lit(IncrTail))))
+      .unionByName(
+        docs.filter(col("doc_id") % 10 === 2)
+          .withColumn("doc_id", col("doc_id") + 3000000)
+          .withColumn("text", reverse(col("text"))))
+      .select("doc_id", "text")
+  }
+
+  private val incrBatchSql =
+    s"""(SELECT doc_id + 1000000 AS doc_id, text
+         FROM documents WHERE doc_id % 10 = 0
+         UNION ALL
+         SELECT doc_id + 2000000 AS doc_id,
+                text || '$IncrTail' AS text
+         FROM documents WHERE doc_id % 10 = 1 AND n_chars >= 200
+         UNION ALL
+         SELECT doc_id + 3000000 AS doc_id, reverse(text) AS text
+         FROM documents WHERE doc_id % 10 = 2)"""
+
+  /** Incremental exact-hash dedup (q135): the new batch left-joined to
+    * the base corpus's digest→keeper table — the rolling-crawl gate's
+    * first stage, with the base never re-paired against itself.
+    */
+  val q135 = Q.checked(
+    "q135_incremental_exact",
+    s"""WITH batch AS (SELECT * FROM $incrBatchSql AS b),
+       digests AS (SELECT md5(text) AS digest, min(doc_id) AS dup_of
+                   FROM documents GROUP BY 1)
+       SELECT batch.doc_id, md5(batch.text) AS digest,
+              digests.dup_of, digests.dup_of IS NOT NULL AS is_dup
+       FROM batch LEFT JOIN digests ON md5(batch.text) = digests.digest
+       ORDER BY batch.doc_id""") { (s, d) =>
+    Dedup.incrementalExact(Tables.documents(s, d), incrBatch(s, d))
+      .orderBy("doc_id")
+  }
+
+  /** Incremental ingest classification (q136): exact → near (banded
+    * MinHash probe batch→base, Jaccard-verified) → new. Hash-seeded LSH
+    * has no SQL twin, so the gate is the planted construction itself:
+    * every +1e6 row must come back `exact_dup` pointing at its origin,
+    * every +2e6 tail-append `near_dup`, every +3e6 reversal `new` —
+    * all deterministic (fixed MinHash seed).
+    */
+  val q136 = Q.rowsOnly("q136_incremental_ingest") { (s, d) =>
+    val out = Dedup.incrementalLabel(
+      Tables.documents(s, d), incrBatch(s, d), threshold = 0.7).persist()
+    val wrongExact = out
+      .filter(col("doc_id").between(1000000L, 1999999L) &&
+        (col("label") =!= "exact_dup" ||
+          col("dup_of") =!= col("doc_id") - 1000000L))
+      .count()
+    require(wrongExact == 0,
+      s"$wrongExact planted exact copies not labeled exact_dup@origin")
+    val wrongNear = out
+      .filter(col("doc_id").between(2000000L, 2999999L) &&
+        col("label") =!= "near_dup")
+      .count()
+    require(wrongNear == 0,
+      s"$wrongNear planted tail-appended docs not labeled near_dup")
+    val wrongNew = out
+      .filter(col("doc_id") >= 3000000L && col("label") =!= "new")
+      .count()
+    require(wrongNew == 0,
+      s"$wrongNew reversed docs not labeled new")
+    graft.util.CacheRelease.afterFirstAction(out.orderBy("doc_id"), Seq(out))
+  }
 }
 
 /** Planted biarc corpus for the self-verifying q40: 100 verb groups,
