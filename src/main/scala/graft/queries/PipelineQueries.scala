@@ -2849,6 +2849,34 @@ object PipelineQueries {
       s"$wrongNew reversed docs not labeled new")
     graft.util.CacheRelease.afterFirstAction(out.orderBy("doc_id"), Seq(out))
   }
+
+  /** Cluster-balanced diversity sampling (q137): an exact per-k-means-cell
+    * quota over the embedding corpus — even semantic-space coverage
+    * instead of the crawl's topical skew. Hash-seeded k-means has no SQL
+    * twin; the in-query gates pin the quota semantics (ranks dense from
+    * 1, never above the quota, one rank per id) and the spec pins exact
+    * per-cell counts against an independent assignment.
+    */
+  val q137 = Q.rowsOnly("q137_cluster_diversity_sample") { (s, d) =>
+    val out = graft.operators.ClusterSample
+      .diversitySample(Tables.embeddings(s, d), nPerCluster = 5,
+        nClusters = 16)
+      .persist()
+    val overQuota = out.groupBy("cell").count()
+      .filter(col("count") > 5).count()
+    require(overQuota == 0, s"$overQuota cells exceed the quota")
+    // ranks are dense 1..k(cell): max rank == cell count, no duplicates
+    val badRanks = out.groupBy("cell")
+      .agg(max("rn").as("mx"), count(lit(1)).as("n"),
+        countDistinct("rn").as("nd"))
+      .filter(col("mx") =!= col("n") || col("nd") =!= col("n"))
+      .count()
+    require(badRanks == 0, s"$badRanks cells with non-dense ranks")
+    val cells = out.select("cell").distinct().count()
+    require(cells >= 8, s"only $cells of 16 cells represented")
+    graft.util.CacheRelease.afterFirstAction(
+      out.orderBy("cell", "rn"), Seq(out))
+  }
 }
 
 /** Planted biarc corpus for the self-verifying q40: 100 verb groups,

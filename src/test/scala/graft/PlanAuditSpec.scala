@@ -342,4 +342,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin"), p.take(3000))
     assert(p.contains("__salt"), p.take(3000))
   }
+
+  test("q131: bloom prefilter runs at the probe scan, before the join") {
+    val p = plan("q131_bloom_prefilter_join")
+    // the UDF filter must sit under the join (probe side reduced before
+    // any exchange), and the filtered build side must broadcast
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    val filterIdx = p.indexOf("Filter")
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    assert(filterIdx >= 0 && filterIdx != joinIdx, p.take(3000))
+  }
+
+  test("q132: per-group thresholds broadcast back onto the corpus") {
+    val p = plan("q132_quantile_keep")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("q134: histogram sketch partial-aggregates and prunes the scan") {
+    val p = plan("q134_histogram_quantiles")
+    // the corpus-side bin count is two-phase (the partial agg IS the
+    // sketch merge), and the scan reads only the sketched column
+    assert(p.contains("partial_count"), p.take(4000))
+    assert(p.contains("ReadSchema: struct<l_extendedprice:double>"),
+      p.take(4000))
+  }
 }
