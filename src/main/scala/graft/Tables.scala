@@ -25,11 +25,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** `events.ts` is NANOS-annotated parquet, which Spark 4 rejects by
-    * default; read it as a long and convert to a microsecond timestamp
-    * with integer division (`div` — a double roundtrip would lose
-    * precision on ~1.7e18 ns epoch values). Truncation matches DuckDB's
-    * `CAST(ts AS TIMESTAMP)` ns→µs behavior used by the oracle SQL.
+  /** `events.ts` has shipped in two fixture encodings across rounds:
+    * NANOS-annotated int64 (which Spark 4 rejects by default — read as a
+    * long via the legacy conf and integer-divided to microseconds; a
+    * double roundtrip would lose precision on ~1.7e18 ns epoch values)
+    * and plain `timestamp[us]` (inferred as TIMESTAMP_NTZ). Both
+    * normalize to a session-TZ µs TIMESTAMP here — the session TZ is
+    * pinned UTC everywhere, so the NTZ→TZ cast relabels the same wall
+    * value — and every downstream query/oracle sees one schema
+    * regardless of which fixture generation is on disk. Truncation
+    * matches DuckDB's `CAST(ts AS TIMESTAMP)` ns→µs behavior used by
+    * the oracle SQL.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     // scoped set/restore: the conf is consumed at schema-inference time
@@ -39,9 +45,15 @@ object Tables {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = s.conf.getOption(key)
     s.conf.set(key, "true")
-    try apply(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    finally prev match {
+    try {
+      val df = apply(s, d, "events")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // nanos-as-long fixture
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => // timestamp[us] fixture (NTZ under the UTC session)
+          df.withColumn("ts", col("ts").cast("timestamp"))
+      }
+    } finally prev match {
       case Some(v) => s.conf.set(key, v)
       case None    => s.conf.unset(key)
     }

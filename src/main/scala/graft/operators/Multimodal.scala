@@ -581,4 +581,245 @@ object Multimodal {
       }
       .toDF("doc_id", "frame_offset", "frame_value")
   }
+
+  // ------------------------------------------------------------------
+  // Image resize (thumbnailing for perceptual pipelines)
+  // ------------------------------------------------------------------
+
+  /** Exact integer area-average downscale to `tw`×`th`, re-encoded as
+    * PNG. Every source pixel lands in exactly ONE target cell (cx =
+    * x·tw/w — the same integer binning as [[perceptualHash]]; for tw ≤ w
+    * the mapping is surjective, so no cell is empty), and each RGB
+    * channel is the floor-divided mean over the cell's pixels — integer
+    * end to end, so the result is bit-identical on every JVM (no float
+    * resampling kernel, no rounding-mode drift). Solid-color inputs stay
+    * solid under ANY correct averaging, which is what gives the q138
+    * oracle its closed form.
+    *
+    * Downscale only by contract: None when either target dimension
+    * exceeds the source (an area average with empty cells is undefined),
+    * when the payload is empty, or when no installed codec accepts it.
+    */
+  def resizeImage(bytes: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+    require(tw > 0 && th > 0, s"target dims must be positive: ${tw}x$th")
+    if (bytes == null || bytes.isEmpty) return None
+    val decoded = // same codec-only exception scope as decodeImage
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    decoded.flatMap { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      if (tw > w || th > h) None
+      else {
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        val n = tw * th
+        val rs = new Array[Long](n)
+        val gs = new Array[Long](n)
+        val bs = new Array[Long](n)
+        val cnt = new Array[Long](n)
+        var y = 0
+        while (y < h) {
+          val cy = math.min(th - 1, y * th / h)
+          var x = 0
+          while (x < w) {
+            val cx = math.min(tw - 1, x * tw / w)
+            val i = cy * tw + cx
+            val rgb = px(y * w + x)
+            rs(i) += (rgb >> 16) & 0xff
+            gs(i) += (rgb >> 8) & 0xff
+            bs(i) += rgb & 0xff
+            cnt(i) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.awt.image.BufferedImage(
+          tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val opx = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val c = cnt(i) // never 0: the binning is surjective for tw <= w
+          opx(i) = (((rs(i) / c).toInt) << 16) |
+            (((gs(i) / c).toInt) << 8) | (bs(i) / c).toInt
+          i += 1
+        }
+        out.setRGB(0, 0, tw, th, opx, 0, tw)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    }
+  }
+
+  /** Partition-batched resize over a media table: decode → area-average
+    * → re-encode, one codec context per partition; payloads the codec
+    * rejects (or that are smaller than the target) are dropped rather
+    * than passed through mis-sized. Output keeps the standard media
+    * schema so every downstream operator (feature extraction,
+    * perceptual-hash dedup) composes unchanged on thumbnails.
+    */
+  def resizeImages(media: DataFrame, targetW: Int, targetH: Int,
+      idCol: String = "doc_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        resizeImage(bytes, targetW, targetH).map(id -> _)
+      })
+      .toDF("doc_id", "payload")
+      .select(
+        col("doc_id"),
+        col("payload"),
+        struct(
+          lit("image/png").as("media_type"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("digest")).as("meta"))
+  }
+
+  // ------------------------------------------------------------------
+  // Raw-video container (GRV1) + frame sampling
+  // ------------------------------------------------------------------
+  // The JDK ships no video codec, so video gets a REAL in-repo container
+  // instead of a stub: "GRV1" magic, big-endian int32 width / height /
+  // frame count, then nFrames contiguous width·height 8-bit grayscale
+  // frames. The total length is checked exactly on decode, so truncated
+  // payloads and forged headers are rejected, never mis-sliced.
+
+  case class VideoHeader(width: Int, height: Int, nFrames: Int)
+
+  /** Encode grayscale frames into the GRV1 container. */
+  def encodeRawVideo(width: Int, height: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0, s"dims must be positive: ${width}x$height")
+    require(frames.forall(f => f != null && f.length == width * height),
+      s"every frame must hold exactly ${width * height} gray bytes")
+    val bb = java.nio.ByteBuffer.allocate(
+      16 + frames.length * width * height)
+    bb.put("GRV1".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.putInt(width).putInt(height).putInt(frames.length)
+    frames.foreach(bb.put)
+    bb.array()
+  }
+
+  /** Parse + validate a GRV1 header. None on short payloads, wrong
+    * magic, non-positive dimensions, or a length that disagrees with
+    * width·height·nFrames (truncated/forged containers).
+    */
+  def decodeVideoHeader(bytes: Array[Byte]): Option[VideoHeader] = {
+    if (bytes == null || bytes.length < 16) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val magic = new Array[Byte](4)
+    bb.get(magic)
+    if (!java.util.Arrays.equals(magic,
+        "GRV1".getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+      return None
+    val w = bb.getInt
+    val h = bb.getInt
+    val nf = bb.getInt
+    if (w <= 0 || h <= 0 || nf < 0) return None
+    if (bytes.length.toLong != 16L + w.toLong * h * nf) return None
+    Some(VideoHeader(w, h, nf))
+  }
+
+  /** Whole-clip decode for the generic [[decode]] dispatch: frames =
+    * container frame count, mean_luma = exact integer mean gray over
+    * every pixel of every frame, feature = the 8-bin gray histogram
+    * (bin = gray >> 5, the image path's binning).
+    */
+  def decodeVideo(bytes: Array[Byte]): Option[Decoded] =
+    decodeVideoHeader(bytes).map { hd =>
+      val total = bytes.length - 16
+      val hist = new Array[Float](8)
+      var sum = 0L
+      var i = 16
+      while (i < bytes.length) {
+        val g = bytes(i) & 0xff
+        hist(g >> 5) += 1f
+        sum += g
+        i += 1
+      }
+      val mean = if (total == 0) 0 else (sum / total).toInt
+      var b = 0
+      while (b < 8) { hist(b) /= math.max(1, total); b += 1 }
+      Decoded(hd.width, hd.height, hd.nFrames, mean, hist)
+    }
+
+  /** Deterministic GRV1 media table derived from the fixture docs: per
+    * doc, a clip whose dimensions, frame count and per-frame solid gray
+    * level are closed-form functions of doc_id (w = 16+id%16,
+    * h = 16+id%8, nFrames = 8+id%8, frame f gray = (id+7·f)%256) — the
+    * video twin of [[syntheticPngTable]]/[[syntheticWavTable]], so a SQL
+    * oracle can recompute everything the frame sampler must report.
+    */
+  def syntheticVideoTable(docs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 16 + (id % 16).toInt
+          val h = 16 + (id % 8).toInt
+          val nf = 8 + (id % 8).toInt
+          val frames = (0 until nf).map { f =>
+            val g = ((id + 7L * f) % 256).toByte
+            val a = new Array[Byte](w * h)
+            java.util.Arrays.fill(a, g)
+            a
+          }
+          (id, encodeRawVideo(w, h, frames))
+        }
+      }
+      .toDF("doc_id", "payload")
+      .select(
+        col("doc_id"),
+        col("payload"),
+        struct(
+          lit("video/grv").as("media_type"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("digest")).as("meta"))
+  }
+
+  /** Real video frame sampling: parse the GRV1 container and emit every
+    * `stride`-th frame (indices 0, stride, 2·stride, …) with its exact
+    * integer mean gray — ONE flatMap, fan-out bounded per clip by
+    * nFrames/stride, payloads the header check rejects dropped. This is
+    * the temporal-subsampling step a frame-level perceptual pipeline
+    * (dedup, caption alignment) starts from; downstream per-frame
+    * operators compose on the emitted rows.
+    */
+  def videoFrameSample(media: DataFrame, stride: Int = 3,
+      idCol: String = "doc_id",
+      payloadCol: String = "payload"): DataFrame = {
+    require(stride > 0, s"stride must be positive: $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeVideoHeader(bytes).iterator.flatMap { hd =>
+          val frameLen = hd.width * hd.height
+          (0 until hd.nFrames by stride).iterator.map { f =>
+            val off = 16 + f * frameLen
+            var sum = 0L
+            var i = off
+            while (i < off + frameLen) {
+              sum += bytes(i) & 0xff
+              i += 1
+            }
+            (id, f, hd.width, hd.height, hd.nFrames,
+              (sum / frameLen).toInt)
+          }
+        }
+      })
+      .toDF("doc_id", "frame_idx", "width", "height", "n_frames",
+        "mean_luma")
+  }
 }

@@ -2877,6 +2877,63 @@ object PipelineQueries {
     graft.util.CacheRelease.afterFirstAction(
       out.orderBy("cell", "rn"), Seq(out))
   }
+
+  /** Image resize (q138): exact integer area-average downscale of the
+    * solid-gray [[graft.operators.Multimodal.syntheticPngTable]] to 8×8,
+    * decoded back through the SAME ImageIO codec path the rest of the
+    * image family uses. Solid stays solid under any correct area
+    * average, and the 299/587/114 luma of gray g is exactly g
+    * ((299+587+114)·g / 1000 = g), so the thumbnail's dimensions and
+    * mean are closed-form in doc_id — a full DuckDB hash-match oracle
+    * over a real encode→resize→re-encode→decode round-trip. Patterned
+    * (non-solid) inputs are pinned against an independent sequential
+    * area-average in MultimodalResizeSpec.
+    */
+  val q138 = Q.checked(
+    "q138_multimodal_image_resize",
+    """SELECT doc_id, 8 AS width, 8 AS height,
+       doc_id % 256 AS mean_luma
+       FROM documents ORDER BY doc_id""") { (s, d) =>
+    import s.implicits._
+    graft.operators.Multimodal.resizeImages(
+      graft.operators.Multimodal.syntheticPngTable(Tables.documents(s, d)),
+      targetW = 8, targetH = 8)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, png) =>
+        graft.operators.Multimodal.decodeImage(png).map(dec =>
+          (id, dec.width, dec.height, dec.mean_luma))
+      })
+      .toDF("doc_id", "width", "height", "mean_luma")
+      .orderBy("doc_id")
+  }
+
+  /** Video frame sampling (q139): every 3rd frame of each GRV1 clip in
+    * [[graft.operators.Multimodal.syntheticVideoTable]], with exact
+    * integer per-frame mean gray. The synthetic container makes every
+    * output column closed-form in (doc_id, frame_idx) — dimensions,
+    * frame count, and the solid frame level (doc_id + 7·frame_idx) mod
+    * 256 — so DuckDB recomputes the whole result with generate_series:
+    * a real container parse + temporal subsample under a hash-match
+    * oracle. Truncated/forged-container rejection and non-solid frame
+    * means are pinned in MultimodalResizeSpec.
+    */
+  val q139 = Q.checked(
+    "q139_multimodal_video_frame_sample",
+    """SELECT doc_id, frame_idx,
+       16 + doc_id % 16 AS width,
+       16 + doc_id % 8 AS height,
+       8 + doc_id % 8 AS n_frames,
+       (doc_id + 7 * frame_idx) % 256 AS mean_luma
+       FROM (SELECT doc_id,
+               unnest(generate_series(0, 7 + doc_id % 8, 3)) AS frame_idx
+             FROM documents) t
+       ORDER BY doc_id, frame_idx""") { (s, d) =>
+    graft.operators.Multimodal.videoFrameSample(
+      graft.operators.Multimodal.syntheticVideoTable(Tables.documents(s, d)),
+      stride = 3)
+      .orderBy("doc_id", "frame_idx")
+  }
 }
 
 /** Planted biarc corpus for the self-verifying q40: 100 verb groups,
