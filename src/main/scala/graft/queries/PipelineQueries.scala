@@ -2934,6 +2934,96 @@ object PipelineQueries {
       stride = 3)
       .orderBy("doc_id", "frame_idx")
   }
+
+  /** DSIR-shaped importance selection (q140): top-50 docs whose unigram
+    * profile is closest to the lang='en' target slice, scored by the
+    * integer-quantized probability-ratio sum (`Selection`'s class doc:
+    * the ln-free exact twin of the Xie-et-al log-likelihood ratio, the
+    * same correctly-rounded-arithmetic discipline as q76/q79). Every
+    * output column is a BIGINT — counts, the quantized weight, the
+    * div-quantized mean score, the rank — so the oracle compare never
+    * touches a float anywhere in a two-model pipeline.
+    */
+  val q140 = Q.checked(
+    "q140_dsir_importance_select",
+    """WITH tok AS (SELECT doc_id, lang,
+              unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+            FROM documents),
+       tf AS (SELECT doc_id, term,
+              max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS is_t,
+              CAST(count(*) AS BIGINT) AS tf
+              FROM tok WHERE term <> '' GROUP BY doc_id, term),
+       rq AS (SELECT term,
+              (CAST(sum(tf * is_t) AS BIGINT) + 1) * 1000000
+                // (CAST(sum(tf) AS BIGINT) + 1) AS r_q
+              FROM tf GROUP BY term),
+       w AS (SELECT tf.doc_id,
+             CAST(sum(tf.tf) AS BIGINT) AS n_toks,
+             CAST(sum(tf.tf * rq.r_q) AS BIGINT) AS weight
+             FROM tf JOIN rq USING (term) GROUP BY tf.doc_id),
+       sel AS (SELECT doc_id, n_toks, weight,
+               weight // n_toks AS score_q FROM w)
+       SELECT doc_id, n_toks, weight, score_q,
+              CAST(row_number() OVER (ORDER BY score_q DESC, doc_id)
+                AS BIGINT) AS rank
+       FROM sel ORDER BY score_q DESC, doc_id LIMIT 50""") { (s, d) =>
+    graft.operators.Selection
+      .selectByImportance(Tables.documents(s, d),
+        isTarget = col("lang") === "en", k = 50)
+      .orderBy("rank")
+  }
+
+  /** q141's dictionary (shared with the oracle SQL builder). Every
+    * keyword is border-free (no proper prefix that is also a suffix),
+    * so Aho–Corasick's count-every-end-position semantics coincide with
+    * the oracle's non-overlapping replace() count — the one regime
+    * where both are exactly the same number (`KeywordTag` class doc).
+    */
+  private val TagKeywords =
+    Seq("spark", "join", "stream", "art", "key order", "agg")
+
+  // Multi-keyword tagging (q141): ONE Aho–Corasick pass per doc counts
+  // every dictionary keyword — substring matches ("art" inside "part")
+  // and cross-word phrases ("key order") included — against a per-
+  // keyword replace()-based DuckDB twin built from the same Scala list,
+  // so dictionary drift between engine and oracle is impossible.
+  val q141 = Q.checked(
+    "q141_keyword_tag_ac", {
+      val kwList = TagKeywords.map(k => s"'$k'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, lower(text) AS txt FROM documents),
+         k AS (SELECT unnest([$kwList]) AS kw),
+         m AS (SELECT doc_id, kw,
+                (length(txt) - length(replace(txt, kw, '')))
+                  // length(kw) AS n
+               FROM t CROSS JOIN k)
+         SELECT doc_id, kw AS keyword, CAST(n AS BIGINT) AS n_matches
+         FROM m WHERE n > 0 ORDER BY doc_id, keyword"""
+    }) { (s, d) =>
+    graft.operators.KeywordTag
+      .tag(Tables.documents(s, d), TagKeywords)
+      .orderBy("doc_id", "keyword")
+  }
+
+  // Output manifest (q142): per-(lang, source) order-independent
+  // content fingerprint — exact row count, XOR of each row's 60-bit
+  // md5 content key, min/max key. XOR needs no overflow handling at any
+  // scale, so the identical arithmetic runs in both engines verbatim
+  // (the q77/q91 portable-hash construction, aggregated).
+  val q142 = Q.checked(
+    "q142_output_manifest",
+    """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows,
+       bit_xor(('0x' || substr(md5(doc_id::VARCHAR || chr(0) || text),
+         1, 15))::BIGINT) AS xor_check,
+       min(('0x' || substr(md5(doc_id::VARCHAR || chr(0) || text),
+         1, 15))::BIGINT) AS min_key,
+       max(('0x' || substr(md5(doc_id::VARCHAR || chr(0) || text),
+         1, 15))::BIGINT) AS max_key
+       FROM documents GROUP BY lang, source ORDER BY lang, source""") { (s, d) =>
+    graft.operators.Manifest
+      .fingerprint(Tables.documents(s, d),
+        keyCols = Seq("lang", "source"), hashCols = Seq("doc_id", "text"))
+      .orderBy("lang", "source")
+  }
 }
 
 /** Planted biarc corpus for the self-verifying q40: 100 verb groups,
