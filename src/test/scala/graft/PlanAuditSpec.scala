@@ -367,4 +367,53 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<l_extendedprice:double>"),
       p.take(4000))
   }
+
+  test("q138/q139: multimodal synth+process prunes the scan to doc_id") {
+    // both pipelines derive their media from the fixture docs table and
+    // must read ONLY doc_id from it — a scan that drags text/lang along
+    // under binary payloads is the wrong plan at any scale; and neither
+    // may plan a window or cartesian anywhere
+    Seq("q138_multimodal_image_resize", "q139_multimodal_video_frame_sample")
+      .foreach { q =>
+        val p = plan(q)
+        assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p.take(3000))
+        assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+          p.take(3000))
+      }
+  }
+
+  test("q140: importance top-k plans bounded heaps, not a global sort") {
+    // the corpus-wide cut must be TakeOrderedAndProject (per-partition
+    // heaps); the only Window tolerated is the rank assignment OVER the
+    // <= k surviving rows (it sits above the top-k in the plan); both
+    // aggregations (term counts, doc weights) must be two-phase
+    val p = plan("q140_dsir_importance_select")
+    assert(p.contains("TakeOrderedAndProject"), p.take(4000))
+    assert(p.contains("partial_sum"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>"),
+      p.take(4000))
+  }
+
+  test("q141: automaton tagging is map-only — no join, no aggregate") {
+    // ONE broadcast automaton pass per doc: the only exchange allowed is
+    // the final presentation sort; any Join/Aggregate/Window means the
+    // dictionary stopped riding the closure and started shuffling
+    val p = plan("q141_keyword_tag_ac")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      p.take(3000))
+    assert(!p.contains("Join") && !p.contains("Window") &&
+      !p.contains("HashAggregate"), p.take(3000))
+  }
+
+  test("q142: manifest fingerprint partial-aggregates the XOR") {
+    // count/xor/min/max must all merge map-side (the whole point of an
+    // order-independent checksum: partials combine anywhere)
+    val p = plan("q142_output_manifest")
+    assert(p.contains("partial_count"), p.take(4000))
+    assert(p.toLowerCase.contains("partial_bit_xor") ||
+      p.contains("partial_xor") || p.contains("bit_xor"), p.take(4000))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      p.take(4000))
+  }
 }
