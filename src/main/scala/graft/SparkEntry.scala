@@ -89,7 +89,8 @@ object SparkEntry {
     RelationalQueries.q131, PipelineQueries.q132, PipelineQueries.q133,
     RelationalQueries.q134, PipelineQueries.q135, PipelineQueries.q136,
     PipelineQueries.q137, PipelineQueries.q138, PipelineQueries.q139,
-    PipelineQueries.q140, PipelineQueries.q141, PipelineQueries.q142)
+    PipelineQueries.q140, PipelineQueries.q141, PipelineQueries.q142,
+    PipelineQueries.q143, PipelineQueries.q144)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

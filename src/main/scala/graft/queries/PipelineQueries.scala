@@ -3004,6 +3004,79 @@ object PipelineQueries {
       .orderBy("doc_id", "keyword")
   }
 
+  // Snapshot diff (q143): row-level reconciliation between two keyed
+  // table versions — the `next` snapshot is constructed in-query from
+  // the fixture by three deterministic doc_id rules (drop %10==7 →
+  // removed, append ' v2' to %10==3 → changed, re-id docs <25 → added),
+  // so the oracle rebuilds the identical snapshot and replays the same
+  // full-outer classification. Composes with q142: the manifest says
+  // WHICH partition drifted, this says WHAT changed.
+  val q143 = Q.checked(
+    "q143_snapshot_diff",
+    """WITH nxt AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 10 = 3 THEN text || ' v2'
+                     ELSE text END AS text
+         FROM documents WHERE doc_id % 10 <> 7
+         UNION ALL
+         SELECT doc_id + 1000000 AS doc_id, text
+         FROM documents WHERE doc_id < 25),
+       d AS (SELECT coalesce(p.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN p.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN p.text IS DISTINCT FROM n.text THEN 'changed'
+               END AS change
+             FROM documents p FULL OUTER JOIN nxt n
+               ON p.doc_id = n.doc_id)
+       SELECT doc_id, change FROM d WHERE change IS NOT NULL
+       ORDER BY doc_id""") { (s, d) =>
+    val prev = Tables.documents(s, d)
+    val next = prev
+      .filter(col("doc_id") % 10 =!= 7)
+      .withColumn("text",
+        when(col("doc_id") % 10 === 3, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .unionByName(prev.filter(col("doc_id") < 25)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    graft.operators.Snapshot
+      .diff(prev, next, keyCols = Seq("doc_id"), compareCols = Seq("text"))
+      .orderBy("doc_id")
+  }
+
+  // PMI collocation mining (q144): top-50 adjacent bigrams by the
+  // integer-quantized pointwise mutual information (the reference's MI
+  // statistic lifted from dependency slots to surface bigrams; ln-free
+  // per the q140/q79 discipline, so every output column is BIGINT or
+  // string). The oracle forms bigrams by zipping the two shifted list
+  // slices — structurally different from the engine's array transform,
+  // same adjacency pairs.
+  val q144 = Q.checked(
+    "q144_pmi_collocations",
+    """WITH d AS (SELECT list_filter(
+              regexp_split_to_array(trim(lower(text)), '\s+'),
+              t -> t <> '') AS toks FROM documents),
+       uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT unnest(toks) AS w FROM d) GROUP BY w),
+       big AS (SELECT unnest(toks[1:len(toks)-1]) AS w1,
+                      unnest(toks[2:len(toks)]) AS w2
+               FROM d WHERE len(toks) >= 2),
+       bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+              FROM big GROUP BY w1, w2),
+       tot AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uc) AS n_u,
+                      (SELECT CAST(sum(c_xy) AS BIGINT) FROM bc) AS n_b),
+       sel AS (SELECT bc.w1, bc.w2, bc.c_xy, x.c AS c_x, y.c AS c_y,
+                 bc.c_xy * tot.n_u * tot.n_u * 1000
+                   // (x.c * y.c * tot.n_b) AS pmi_q
+               FROM bc JOIN uc x ON bc.w1 = x.w
+                 JOIN uc y ON bc.w2 = y.w CROSS JOIN tot
+               WHERE bc.c_xy >= 5)
+       SELECT w1, w2, c_xy, c_x, c_y, pmi_q FROM sel
+       ORDER BY pmi_q DESC, w1, w2 LIMIT 50""") { (s, d) =>
+    graft.operators.Collocations
+      .topBigramsByPmi(Tables.documents(s, d), k = 50, minCount = 5L,
+        scale = 1000L)
+  }
+
   // Output manifest (q142): per-(lang, source) order-independent
   // content fingerprint — exact row count, XOR of each row's 60-bit
   // md5 content key, min/max key. XOR needs no overflow handling at any

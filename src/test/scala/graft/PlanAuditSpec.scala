@@ -416,4 +416,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"),
       p.take(4000))
   }
+
+  test("q143: snapshot diff is one equi-join, never nested-loop") {
+    // the full-outer classification must key on doc_id (SMJ/shuffled
+    // hash — broadcast cannot do full outer); a BNL or cartesian means
+    // the null-safe key compare stopped being an equi-condition
+    val p = plan("q143_snapshot_diff")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct") && !p.contains("Window"),
+      p.take(4000))
+  }
+
+  test("q144: bigrams come from the array, not a positional self-join") {
+    // adjacency is array structure: exactly the two unigram-count joins
+    // plus the broadcast totals may appear — a third shuffle join means
+    // bigram formation regressed to the exploded positional self-join;
+    // top-k must be bounded heaps, aggs two-phase
+    val p = plan("q144_pmi_collocations")
+    val shuffleJoins =
+      "SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size
+    assert(shuffleJoins <= 2, s"$shuffleJoins shuffle joins\n${p.take(4000)}")
+    assert(p.contains("TakeOrderedAndProject"), p.take(4000))
+    assert(p.contains("partial_count"), p.take(4000))
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      p.take(4000))
+  }
 }
