@@ -28,10 +28,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: bigrams come from ONE transform over the token array
   * (no positional self-join — adjacency is array structure, not a
-  * shuffle); unigram/bigram counts are two-phase partial aggs; the
-  * bigram⋈unigram joins key on the Zipf-skewed words (AQE skew
-  * territory, the TfIdf shape); scalars N_u/N_b ride a broadcast 1-row
-  * aggregate (the lazy-N rule). Top-k is a bounded
+  * shuffle); unigram/bigram counts are two-phase partial aggs,
+  * persisted ONCE because both the totals normalizer and the scoring
+  * join consume them (uncached, each consumer re-scans the corpus —
+  * plan-audited to two parquet scans) and released after the caller's
+  * first action; the bigram⋈unigram joins key on the Zipf-skewed words
+  * (AQE skew territory, the TfIdf shape); scalars N_u/N_b ride a
+  * broadcast 1-row aggregate (the lazy-N rule). Top-k is a bounded
   * TakeOrderedAndProject.
   */
 object Collocations {
@@ -40,16 +43,21 @@ object Collocations {
     * (w1, w2) for a total order. Output columns are all BIGINT/string.
     */
   def topBigramsByPmi(docs: DataFrame, k: Int, minCount: Long = 5L,
-      scale: Long = 1000L, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      scale: Long = 1000L, textCol: String = "text"): DataFrame = {
     require(k > 0 && minCount > 0 && scale > 0,
       s"positive k/minCount/scale required: $k/$minCount/$scale")
     val toks = split(trim(lower(col(textCol))), "\\s+")
     val tokenized = docs
       .select(filter(toks, t => t =!= "").as("toks"))
+    // persist-once: both count tables are consumed twice (the totals
+    // normalizer AND the scoring join); uncached, every consumer
+    // re-scans and re-tokenizes the corpus — plan-audited down to two
+    // parquet scans (one per count table), released after the caller's
+    // first action (CacheRelease)
     val unigrams = tokenized
       .select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+      .persist()
     val bigramCounts = tokenized
       // guard: sequence(a, b) DESCENDS when b < a, so a 0/1-token doc
       // would fabricate negative indices (null bigrams) without it
@@ -59,11 +67,12 @@ object Collocations {
           "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("b"))
       .select(col("b.w1"), col("b.w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .persist()
     // N_b totals ALL bigrams — the probability normalizer — while the
     // minCount cut only bounds which bigrams are REPORTED
     val totals = unigrams.agg(sum("c").as("n_u"))
       .crossJoin(bigramCounts.agg(sum("c_xy").as("n_b")))
-    bigramCounts
+    val out = bigramCounts
       .filter(col("c_xy") >= minCount)
       .join(unigrams.select(col("w").as("w1"), col("c").as("c_x")), "w1")
       .join(unigrams.select(col("w").as("w2"), col("c").as("c_y")), "w2")
@@ -73,5 +82,6 @@ object Collocations {
           .as("pmi_q"))
       .orderBy(col("pmi_q").desc, col("w1"), col("w2"))
       .limit(k)
+    graft.util.CacheRelease.afterFirstAction(out, Seq(unigrams, bigramCounts))
   }
 }

@@ -123,8 +123,10 @@ object KeywordTag {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // distinct AFTER case-folding: "Art" and "art" are one dictionary
+    // entry under the lowercased-match contract, not a build-time crash
     val ac = spark.sparkContext.broadcast(
-      Automaton.build(keywords.map(_.toLowerCase)))
+      Automaton.build(keywords.map(_.toLowerCase).distinct))
     docs
       .select(col(idCol).cast("long"), lower(col(textCol)))
       .as[(Long, String)]

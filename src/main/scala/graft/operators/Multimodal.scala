@@ -13,9 +13,11 @@ import org.apache.spark.sql.types._
   * dependency): width/height, exact integer mean luminance, and an 8-bin
   * luminance histogram feature. Audio payloads are decoded for real via
   * `javax.sound.sampled` (WAV/AIFF/AU PCM): sample rate, channels, frame
-  * count, integer RMS. Video — the one media family the JVM has no codec
-  * for — falls back to the clearly-marked deterministic `stubDecode`, as
-  * does any payload its codec rejects.
+  * count, integer RMS. Video is decoded for real when it is the in-repo
+  * GRV1 container (`decodeVideo` — the JVM ships no codec for standard
+  * containers, so GRV1 is the honest parseable stand-in); any other
+  * video type, and any payload a codec rejects, falls back to the
+  * clearly-marked deterministic `stubDecode`.
   *
   * Scale notes: `mapPartitions` keeps per-batch codec state (decoder
   * initialized once per partition, not per row); the payload column stays
@@ -274,10 +276,12 @@ object Multimodal {
   }
 
   /** Decode dispatch: image payloads go through the real [[decodeImage]]
-    * codec path and audio payloads through the real [[decodeAudio]] path
-    * (stub fallback only if the codec rejects the bytes); video — the
-    * one media family the JDK has no codec for — takes [[stubDecode]]
-    * with the mean unsigned byte standing in for mean luminance.
+    * codec path, audio through the real [[decodeAudio]] path, and
+    * `video/grv` through the real [[decodeVideo]] container parse (stub
+    * fallback only if the codec rejects the bytes); any OTHER video
+    * container — the media family the JDK has no codec for — takes
+    * [[stubDecode]] with the mean unsigned byte standing in for mean
+    * luminance.
     *
     * Audio stats map onto the generic [[Decoded]] struct as: width →
     * sample rate, height → channel count, frames → sample frames,
@@ -305,6 +309,7 @@ object Multimodal {
           math.min(a.nSamples, Int.MaxValue.toLong).toInt,
           math.min(a.rms, Int.MaxValue.toLong).toInt, a.feature))
         .getOrElse(stub)
+    else if (mediaType == "video/grv") decodeVideo(bytes).getOrElse(stub)
     else stub
   }
 
@@ -695,10 +700,15 @@ object Multimodal {
   def encodeRawVideo(width: Int, height: Int,
       frames: Seq[Array[Byte]]): Array[Byte] = {
     require(width > 0 && height > 0, s"dims must be positive: ${width}x$height")
-    require(frames.forall(f => f != null && f.length == width * height),
-      s"every frame must hold exactly ${width * height} gray bytes")
-    val bb = java.nio.ByteBuffer.allocate(
-      16 + frames.length * width * height)
+    // Long arithmetic throughout: w·h for large frames overflows Int,
+    // which would corrupt BOTH the per-frame check and the allocation
+    val frameLen = width.toLong * height
+    val total = 16L + frames.length.toLong * frameLen
+    require(total <= Int.MaxValue,
+      s"container too large for one payload: $total bytes")
+    require(frames.forall(f => f != null && f.length.toLong == frameLen),
+      s"every frame must hold exactly $frameLen gray bytes")
+    val bb = java.nio.ByteBuffer.allocate(total.toInt)
     bb.put("GRV1".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
     bb.putInt(width).putInt(height).putInt(frames.length)
     frames.foreach(bb.put)

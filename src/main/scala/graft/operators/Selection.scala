@@ -48,22 +48,32 @@ object Selection {
       idCol: String = "doc_id"): DataFrame = {
     require(scale > 0, s"scale must be positive: $scale")
     val tf = docs
-      .select(col(idCol).as("doc_id"), isTarget.cast("long").as("is_t"),
+      // a NULL predicate value (e.g. NULL lang) means "not target", not
+      // "poison every count it touches": without the coalesce, NULL
+      // would ride sum(tf·is_t) into r_q and nullify doc weights
+      .select(col(idCol).as("doc_id"),
+        coalesce(isTarget.cast("long"), lit(0L)).as("is_t"),
         explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
       .filter(col("term") =!= "")
       .groupBy("doc_id", "term", "is_t")
       .agg(count(lit(1)).as("tf"))
+      // persist-once: BOTH the ratio model and the scoring join consume
+      // tf — without the cache each branch re-scans and re-tokenizes the
+      // corpus (plan-audited: one parquet scan in q140, not four);
+      // released after the caller's first action (CacheRelease)
+      .persist()
     val ratios = tf
       .groupBy("term")
       .agg(sum(col("tf") * col("is_t")).as("ct"), sum("tf").as("cs"))
       .select(col("term"),
         expr(s"(ct + 1L) * ${scale}L div (cs + 1L)").as("r_q"))
-    tf.join(ratios, "term")
+    val out = tf.join(ratios, "term")
       .groupBy("doc_id")
       .agg(sum(col("tf") * col("r_q")).as("weight"),
         sum("tf").as("n_toks"))
       .select(col("doc_id"), col("n_toks"), col("weight"),
         expr("weight div n_toks").as("score_q"))
+    graft.util.CacheRelease.afterFirstAction(out, Seq(tf))
   }
 
   /** Top-k selection by quantized importance (score_q desc, doc_id) —

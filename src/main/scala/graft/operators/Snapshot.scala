@@ -30,6 +30,10 @@ object Snapshot {
       compareCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
     require(compareCols.nonEmpty, "need at least one compared column")
+    // the presence markers are internal; a user column with either name
+    // would be silently clobbered and its drift never reported
+    require(!(keyCols ++ compareCols).exists(Set("_p", "_n")),
+      "column names _p and _n are reserved by Snapshot.diff")
     val p = prev.select((keyCols ++ compareCols).map(col): _*)
       .withColumn("_p", lit(1))
     val n = next.select((keyCols ++ compareCols).map(col): _*)

@@ -393,6 +393,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(4000))
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>"),
       p.take(4000))
+    // tf is persisted (ratio model + scoring join share ONE corpus
+    // tokenize at runtime; explain prints the build subtree per
+    // reference, so assert the cache, not the textual scan count)
+    assert(p.contains("InMemoryRelation") || p.contains("InMemoryTableScan"),
+      p.take(4000))
   }
 
   test("q141: automaton tagging is map-only — no join, no aggregate") {
@@ -441,6 +446,10 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(4000))
     assert(p.contains("partial_count"), p.take(4000))
     assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      p.take(4000))
+    // both count tables are persisted (totals normalizer + scoring join
+    // share one corpus tokenize per table at runtime)
+    assert(p.contains("InMemoryRelation") || p.contains("InMemoryTableScan"),
       p.take(4000))
   }
 }

@@ -63,6 +63,15 @@ class KeywordTagSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, "art", 1L), (1L, "spark", 1L)))
   }
 
+  test("tag: case-distinct keywords fold to one dictionary entry") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq((1L, "art ART Art")).toDF("doc_id", "text")
+    val got = KeywordTag.tag(docs, Seq("Art", "art"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "art", 3L)))
+  }
+
   test("dictionary hygiene: empty/duplicate keywords rejected") {
     intercept[IllegalArgumentException](KeywordTag.Automaton.build(Nil))
     intercept[IllegalArgumentException](

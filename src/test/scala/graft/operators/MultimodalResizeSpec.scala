@@ -142,6 +142,31 @@ class MultimodalResizeSpec extends AnyFunSuite {
       (9L, 0, 3, 2, 7, 2), (9L, 3, 3, 2, 7, 5), (9L, 6, 3, 2, 7, 8)))
   }
 
+  test("decode dispatch routes video/grv through the real container parse") {
+    val clip = Multimodal.encodeRawVideo(4, 2,
+      Seq(Array.fill(8)(10.toByte), Array.fill(8)(200.toByte)))
+    val d = Multimodal.decode("video/grv", clip)
+    assert(d.width == 4 && d.height == 2 && d.frames == 2) // not stub dims
+    assert(d.mean_luma == (8 * 10 + 8 * 200) / 16)
+    // feature columns flow through extractFeatures with the REAL stats
+    import spark.implicits._
+    val docs = Seq(3L).toDF("doc_id")
+    val feats = Multimodal
+      .extractFeatures(Multimodal.syntheticVideoTable(docs))
+      .collect()
+    assert(feats.head.frames == 8 + 3) // container frame count, not 1
+    assert(feats.head.width == 16 + 3 && feats.head.height == 16 + 3)
+    // a forged/unknown video container still stubs instead of crashing
+    val stub = Multimodal.decode("video/mp4", Array[Byte](1, 2, 3))
+    assert(stub.frames == 1)
+  }
+
+  test("oversized container is rejected by the Long-math size check") {
+    val e = intercept[IllegalArgumentException](
+      Multimodal.encodeRawVideo(65536, 65536, Seq(Array[Byte](1))))
+    assert(e.getMessage.contains("too large"))
+  }
+
   test("syntheticVideoTable is closed-form in doc_id") {
     import spark.implicits._
     val docs = Seq(5L, 12L).toDF("doc_id")

@@ -44,6 +44,18 @@ class SelectionSpec extends AnyFunSuite {
     assert(top.toSeq == Seq((1L, 1L), (3L, 2L)))
   }
 
+  test("NULL target-predicate values mean non-target, not NULL weights") {
+    // same corpus as the hand-computed test, but B's lang is NULL: the
+    // predicate lang === "en" is NULL for B, which must count as 0
+    // (source-only) — identical numbers to the lang="de" variant
+    val docs = Seq((1L, "x x y", "en"), (2L, "y z", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "lang")
+    val got = Selection
+      .importanceWeights(docs, col("lang") === "en", scale = 1000L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 3L, 2666L, 888L), (2L, 2L, 1166L, 583L)))
+  }
+
   test("tokenless docs are absent; whitespace-only text too") {
     val docs = Seq((1L, "x", "en"), (2L, "", "en"), (3L, "   ", "de"))
       .toDF("doc_id", "text", "lang")

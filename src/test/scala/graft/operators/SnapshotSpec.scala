@@ -45,6 +45,15 @@ class SnapshotSpec extends AnyFunSuite {
     assert(got == Seq(("a", 1L, "changed"))) // v2 differs, v1 does not
   }
 
+  test("reserved marker column names are rejected, not clobbered") {
+    val t = Seq((1L, "a")).toDF("_p", "v")
+    intercept[IllegalArgumentException](
+      Snapshot.diff(t, t, Seq("_p"), Seq("v")))
+    val u = Seq((1L, "a")).toDF("id", "_n")
+    intercept[IllegalArgumentException](
+      Snapshot.diff(u, u, Seq("id"), Seq("_n")))
+  }
+
   test("diff of a table against itself is empty") {
     val t = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     assert(Snapshot.diff(t, t, Seq("id"), Seq("v")).count() == 0L)
