@@ -126,7 +126,8 @@ object KeywordTag {
     // distinct AFTER case-folding: "Art" and "art" are one dictionary
     // entry under the lowercased-match contract, not a build-time crash
     val ac = spark.sparkContext.broadcast(
-      Automaton.build(keywords.map(_.toLowerCase).distinct))
+      Automaton.build(
+        keywords.map(_.toLowerCase(java.util.Locale.ROOT)).distinct))
     docs
       .select(col(idCol).cast("long"), lower(col(textCol)))
       .as[(Long, String)]

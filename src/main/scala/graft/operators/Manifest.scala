@@ -21,10 +21,15 @@ import org.apache.spark.sql.functions._
   * times leaves the checksum unchanged — that is what `n_rows` (exact
   * cardinality) and min/max are in the manifest for; the three fields
   * together make even-multiplicity tampering visible unless it also
-  * preserves count and extremes. NULL hashed columns fingerprint as the
-  * empty string via concat_ws — a NULL→'' flip is invisible to the
-  * checksum by design (document fields are non-null by schema here);
-  * add an explicit null-marker column if that distinction matters.
+  * preserves count and extremes. NULL hashed columns are pinned to the
+  * empty string via an explicit per-column coalesce BEFORE the NUL
+  * join — never bare concat_ws, which silently skips NULL operands and
+  * collapses the separator layout (("a",NULL,"b") would collide with
+  * ("a","b",NULL)) while SQL `||` in the oracle engine propagates NULL
+  * and drops the row from bit_xor entirely. With the coalesce both
+  * engines compute the identical key for nullable columns; a NULL→''
+  * flip is still invisible to the checksum — add an explicit
+  * null-marker column if that distinction matters.
   *
   * Scale shape: one partial-aggregated groupBy — map-side XOR/count,
   * vocabulary-of-keys-sized shuffle, nothing collected.
@@ -36,7 +41,9 @@ object Manifest {
     require(keyCols.nonEmpty, "need at least one partition-key column")
     require(hashCols.nonEmpty, "need at least one hashed column")
     val rowKey = conv(
-      substring(md5(concat_ws("\u0000", hashCols.map(col): _*)), 1, 15),
+      substring(md5(concat_ws("\u0000",
+        hashCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)),
+        1, 15),
       16, 10).cast("long")
     df.groupBy(keyCols.map(col): _*)
       .agg(

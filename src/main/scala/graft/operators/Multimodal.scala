@@ -625,10 +625,10 @@ object Multimodal {
         val cnt = new Array[Long](n)
         var y = 0
         while (y < h) {
-          val cy = math.min(th - 1, y * th / h)
+          val cy = math.min(th - 1, (y.toLong * th / h).toInt)
           var x = 0
           while (x < w) {
-            val cx = math.min(tw - 1, x * tw / w)
+            val cx = math.min(tw - 1, (x.toLong * tw / w).toInt)
             val i = cy * tw + cx
             val rgb = px(y * w + x)
             rs(i) += (rgb >> 16) & 0xff

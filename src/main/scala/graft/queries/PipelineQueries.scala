@@ -3085,12 +3085,12 @@ object PipelineQueries {
   val q142 = Q.checked(
     "q142_output_manifest",
     """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows,
-       bit_xor(('0x' || substr(md5(doc_id::VARCHAR || chr(0) || text),
-         1, 15))::BIGINT) AS xor_check,
-       min(('0x' || substr(md5(doc_id::VARCHAR || chr(0) || text),
-         1, 15))::BIGINT) AS min_key,
-       max(('0x' || substr(md5(doc_id::VARCHAR || chr(0) || text),
-         1, 15))::BIGINT) AS max_key
+       bit_xor(('0x' || substr(md5(coalesce(doc_id::VARCHAR, '') || chr(0)
+         || coalesce(text, '')), 1, 15))::BIGINT) AS xor_check,
+       min(('0x' || substr(md5(coalesce(doc_id::VARCHAR, '') || chr(0)
+         || coalesce(text, '')), 1, 15))::BIGINT) AS min_key,
+       max(('0x' || substr(md5(coalesce(doc_id::VARCHAR, '') || chr(0)
+         || coalesce(text, '')), 1, 15))::BIGINT) AS max_key
        FROM documents GROUP BY lang, source ORDER BY lang, source""") { (s, d) =>
     graft.operators.Manifest
       .fingerprint(Tables.documents(s, d),

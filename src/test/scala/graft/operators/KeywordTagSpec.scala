@@ -72,6 +72,22 @@ class KeywordTagSpec extends AnyFunSuite {
     assert(got == Seq((1L, "art", 3L)))
   }
 
+  test("dictionary fold is locale-independent (Turkish-I regression)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val prev = java.util.Locale.getDefault
+    java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+    try {
+      // under tr_TR, "TITLE".toLowerCase == "tıtle" (dotless ı) and
+      // would never match Spark's locale-independent lower(); the
+      // Locale.ROOT fold must keep the dictionary aligned
+      val docs = Seq((1L, "the title row")).toDF("doc_id", "text")
+      val got = KeywordTag.tag(docs, Seq("TITLE"))
+        .as[(Long, String, Long)].collect().toSeq
+      assert(got == Seq((1L, "title", 1L)))
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("dictionary hygiene: empty/duplicate keywords rejected") {
     intercept[IllegalArgumentException](KeywordTag.Automaton.build(Nil))
     intercept[IllegalArgumentException](

@@ -73,6 +73,24 @@ class MultimodalResizeSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage(resized).get.mean_luma == 0x6f)
   }
 
+  test("very wide image: x*tw product past Int.MaxValue bins correctly") {
+    // w=70000, tw=40000: x=69999 gives x*tw = 2.8e9 > 2^31 — Int math
+    // would wrap negative and index out of bounds; the operator must
+    // use Long math. Two-tone input so the binning is also observable.
+    val w = 70000
+    val src = (x: Int, _: Int) => if (x < w / 2) 0x000000 else 0xffffff
+    val resized = Multimodal.resizeImage(png(w, 1)(src), 40000, 1).get
+    val (rw, rh, pxs) = decodePixels(resized)
+    assert(rw == 40000 && rh == 1)
+    // source midpoint x=35000 lands at cell 35000*4/7 = 20000: cells
+    // left of it solid black, right (inclusive) solid white
+    val mid = 20000
+    assert((pxs(0) & 0xffffff) == 0x000000)
+    assert((pxs(mid - 1) & 0xffffff) == 0x000000)
+    assert((pxs(mid) & 0xffffff) == 0xffffff)
+    assert((pxs(39999) & 0xffffff) == 0xffffff)
+  }
+
   test("upscale, empty, and undecodable payloads are None") {
     val small = png(4, 4)((_, _) => 0x808080)
     assert(Multimodal.resizeImage(small, 8, 2).isEmpty) // tw > w
