@@ -20,6 +20,21 @@ import java.nio.file.{Files, Paths}
   * self-regression guard compares medians against the PINNED committed
   * `bench_baseline.json` (updated only in deliberate re-baseline
   * commits), never against the previous run's own moving output.
+  *
+  * Sub-floor entries are batch-amortized (round 10): a first calibration
+  * execution sizes k = ceil(floor / single) (floor =
+  * `SPARK_GRAFT_BENCH_FLOOR`, default 2 s), and each timed region then
+  * runs the query k times end-to-end, reporting elapsed/k — the
+  * per-EXECUTION cost, directly comparable with the k = 1 pins. Local
+  * scheduler/GC noise is additive per region (observed 0.2–1.1 s
+  * absolute on an sbt-warmed machine), so on a 0.15 s denominator it
+  * reads as a 3–8× "regression" while on a ≥2 s region it is bounded by
+  * ~1.5× — this is what finally makes the 2× gate falsifiable for the
+  * 121 sub-2 s entries. Amortized entries report the MIN of two regions
+  * (contention only ever inflates a region, so min-of-amortized is the
+  * clean-machine estimate); k = 1 entries keep the median-of-reps
+  * estimator their pins were made with. Per-entry k is published in the
+  * JSON `inner` map.
   */
 object Bench {
 
@@ -209,6 +224,59 @@ object Bench {
           s"state must be vocabulary-bounded: $stateRows rows vs $rows input lines")
       } finally rmrf(ckpt)
     }),
+    // Incremental MI maintenance (round-10): the same 4-micro-batch file
+    // stream, but each batch folded into the DirtIncremental snapshots
+    // (merged counts + touched-slice feature re-join) instead of opaque
+    // streaming state. The in-run gate is the strongest one available:
+    // a distributed full-outer compare of the maintained MI view against
+    // a from-scratch batch run over the whole corpus — zero mismatching
+    // rows, bit-identical doubles — plus the vocabulary bound on state.
+    s"dirt_incremental_mi_${dirtRows / 2}" -> (() => {
+      import spark.implicits._
+      val base = s"${sys.props("java.io.tmpdir")}/graft_incmi_${ProcessHandle.current().pid()}"
+      val corpusDir = s"${base}_corpus"
+      val ckpt = s"${base}_ckpt_${System.nanoTime()}"
+      val rows = dirtRows / 2
+      syntheticCorpus(spark, rows).toDF("value").repartition(8)
+        .write.mode("overwrite").text(corpusDir)
+      try {
+        var state = graft.streaming.DirtIncremental.empty(spark)
+        val q = spark.readStream.option("maxFilesPerTrigger", 2)
+          .text(corpusDir).as[String]
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[String], _: Long) =>
+            state = graft.streaming.DirtIncremental.applyBatch(state, b)
+          }
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        require(state.batches >= 2,
+          s"expected an incremental multi-batch run, got ${state.batches}")
+        val tr = DirtPipeline.triples(DirtPipeline.extractInstances(
+          DirtPipeline.parseCorpus(spark.read.textFile(corpusDir))))
+        tr.persist()
+        val batchMi = DirtPipeline.miFeatures(tr,
+          DirtPipeline.swMargins(tr), DirtPipeline.psMargins(tr),
+          DirtPipeline.globalN(tr))
+        import org.apache.spark.sql.functions.col
+        val mismatches = graft.streaming.DirtIncremental.miFeatures(state)
+          .withColumnRenamed("mi", "mi_inc")
+          .join(batchMi.withColumnRenamed("mi", "mi_batch"),
+            Seq("path", "slot", "word"), "full_outer")
+          .filter(col("mi_inc").isNull || col("mi_batch").isNull ||
+            col("mi_inc") =!= col("mi_batch"))
+          .count()
+        require(mismatches == 0L,
+          s"incremental MI view diverged from batch on $mismatches rows")
+        val st = state.stateRows
+        require(st > 0 && st < rows,
+          s"state must be vocabulary-bounded: $st rows vs $rows input lines")
+        Seq(state.triples, state.swMargins, state.psMargins, state.features)
+          .foreach(graft.util.Checkpoints.free)
+      } finally rmrf(ckpt)
+    }),
     // Passage-dedup linearity probe: 4×jacDocs docs, each pair planting
     // ONE shared 5-token passage between unique filler tokens, so the
     // expected answer is closed-form (every doc: exactly 1 dup gram
@@ -361,29 +429,53 @@ object Bench {
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
       .max(1)
+    val floor = sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOOR", "2.0").toDouble
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val spreads =
       scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    val inner = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
     def time(name: String)(body: => Unit): Unit = {
-      val ts = scala.collection.mutable.ArrayBuffer.empty[Double]
       try {
+        // calibration: one full execution sizes the batch. At or above
+        // the floor it IS the first rep (k = 1, nothing extra paid);
+        // below it, each timed region batches k executions so the
+        // denominator under additive scheduler noise is >= `floor`.
+        val c0 = System.nanoTime()
+        body
+        val single = (System.nanoTime() - c0) / 1e9
+        // operators that persist intermediates (jaccard profiles, DIRT
+        // triples/MI) cannot unpersist their own lazy lineage; dropping
+        // all cached data between executions stops 60+ queries' caches
+        // from squeezing execution memory as the session ages
+        spark.catalog.clearCache()
+        val k = math.min(1000,
+          math.max(1, math.ceil(floor / math.max(single, 1e-3)).toInt))
+        val ts = scala.collection.mutable.ArrayBuffer.empty[Double]
+        if (k == 1) ts += single
+        // amortized entries: two regions, min estimator; k = 1 entries:
+        // the pin-compatible median over `reps` total executions
+        val regions = if (k == 1) math.max(reps - 1, 0) else math.min(reps, 2)
         var r = 0
-        while (r < reps) {
+        while (r < regions) {
           val t0 = System.nanoTime()
-          body
-          ts += (System.nanoTime() - t0) / 1e9
-          // operators that persist intermediates (jaccard profiles, DIRT
-          // triples/MI) cannot unpersist their own lazy lineage; dropping
-          // all cached data between reps/queries stops 60+ queries'
-          // caches from squeezing execution memory as the session ages
+          var j = 0
+          while (j < k) {
+            body
+            // same per-execution cache lifetime as k = 1; the last
+            // clear stays OUTSIDE the clock exactly as it always was
+            if (j != k - 1) spark.catalog.clearCache()
+            j += 1
+          }
+          ts += (System.nanoTime() - t0) / 1e9 / k
           spark.catalog.clearCache()
           r += 1
         }
         val sorted = ts.sorted
-        timings(name) = sorted(sorted.size / 2)
+        timings(name) = if (k == 1) sorted(sorted.size / 2) else sorted.head
         spreads(name) = (sorted.head, sorted.last)
+        inner(name) = k
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -437,6 +529,8 @@ object Bench {
 
     val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }
       .mkString("{", ",", "}")
+    val ik = inner.map { case (k, v) => s""""${esc(k)}":$v""" }
+      .mkString("{", ",", "}")
     val sp = spreads.map { case (k, (lo, hi)) =>
       s""""${esc(k)}":[$lo,$hi]"""
     }.mkString("{", ",", "}")
@@ -444,7 +538,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = timings.values.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$sp,"errors":$es,"regressions":$rs,"n_ok":${timings.size},"n_err":${errors.size},"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$sp,"inner":$ik,"errors":$es,"regressions":$rs,"n_ok":${timings.size},"n_err":${errors.size},"sf":"${esc(sfDir)}"}"""
     println(json)
     Files.writeString(Paths.get("bench.json"), json + "\n")
     spark.stop()

@@ -9,6 +9,9 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * flatMaps, with the triple aggregation maintained as streaming state.
   * Margins, N and MI stay derivable from the continuously-updated triples
   * (recomputed per trigger or on demand), exactly as in batch.
+  * [[DirtIncremental]] takes the next step: margins, N and the MI join
+  * maintained as merged snapshots per micro-batch, with only the
+  * batch-touched (path, slot, word) slice re-joined.
   */
 object DirtStreaming {
 
