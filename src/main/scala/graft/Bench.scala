@@ -224,6 +224,41 @@ object Bench {
           s"state must be vocabulary-bounded: $stateRows rows vs $rows input lines")
       } finally rmrf(ckpt)
     }),
+    // DIRT past the startup knee (round-10): the q40 planted
+    // construction generated distributed at ~2M lines (SPARK_GRAFT
+    // _PLANTED_GROUPS × 48), vocabulary scaling WITH the corpus, and the
+    // SAME closed-form family requires q40 runs at 1.6k lines — twins
+    // exactly 1.0 (1e-9 float-sum tolerance), disjoint exactly 0.0,
+    // partial strictly inside (0,1). A wrong margin join, a lost
+    // feature, or a broken pair join at scale fails the requires, not
+    // just the clock.
+    {
+      val groups = sys.env.getOrElse("SPARK_GRAFT_PLANTED_GROUPS", "41667").toInt
+      s"dirt_planted_${groups * 48L}" -> (() => {
+        import org.apache.spark.sql.functions.{abs, col}
+        val pb = graft.queries.PlantedBiarc
+        val scored = DirtPipeline.run(spark,
+          pb.scaledLines(spark, groups), pb.scaledTestSet(groups))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          def family(tag: String) = scored.filter(col("path1").contains(tag))
+          val twinN = family("vtw").count()
+          val twinOff = family("vtw")
+            .filter(abs(col("score") - 1.0) > 1e-9).count()
+          require(twinN == groups && twinOff == 0,
+            s"twin pairs: $twinN scored, $twinOff off the closed-form 1.0")
+          val djN = family("vdj").count()
+          val djOff = family("vdj").filter(col("score") =!= 0.0).count()
+          require(djN == groups && djOff == 0,
+            s"disjoint pairs: $djN scored, $djOff off the closed-form 0.0")
+          val ptN = family("vpt").count()
+          val ptOff = family("vpt")
+            .filter(col("score") <= 0.0 || col("score") >= 1.0).count()
+          require(ptN == groups && ptOff == 0,
+            s"partial pairs: $ptN scored, $ptOff outside (0, 1)")
+        } finally { scored.unpersist(); () }
+      })
+    },
     // Incremental MI maintenance (round-10): the same 4-micro-batch file
     // stream, but each batch folded into the DirtIncremental snapshots
     // (merged counts + touched-slice feature re-join) instead of opaque

@@ -22,10 +22,11 @@ import scala.collection.mutable
   *
   * Matching semantics: every end position of every keyword is counted —
   * i.e. overlapping occurrences count separately ("aaa" contains "aa"
-  * twice). For keywords with no proper border (no prefix that is also a
-  * suffix — true of typical word-like dictionaries), self-overlaps are
-  * impossible and the count equals the non-overlapping greedy count,
-  * which is what gives q141 its replace()-based SQL oracle.
+  * twice). q141's SQL oracle probes every (keyword, start position)
+  * pair, so it counts exactly these semantics for ANY dictionary,
+  * borderful keywords included; for border-free keywords the count
+  * additionally coincides with the non-overlapping greedy
+  * (replace()-based) count, a property KeywordTagSpec pins.
   */
 object KeywordTag {
 

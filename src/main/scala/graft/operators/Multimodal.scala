@@ -832,4 +832,147 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "width", "height", "n_frames",
         "mean_luma")
   }
+
+  // ------------------------------------------------------------------
+  // Animated GIF: the one real multi-frame container the JDK ships a
+  // full codec for (ImageIO's "gif" plugin, with sequence write
+  // support) — the public-format twin of the bespoke GRV1 path above,
+  // so the temporal-subsampling operator is exercised against a format
+  // any external tool can produce and inspect.
+
+  /** Encode solid-gray frames as an animated GIF through the standard
+    * ImageIO sequence writer. A solid frame is a single palette color,
+    * so the palettizing encoder is exactly lossless for this input and
+    * the decoded mean luma stays closed-form ((299+587+114)·g / 1000
+    * = g).
+    */
+  def encodeAnimatedGif(width: Int, height: Int,
+      grays: Seq[Int]): Array[Byte] = {
+    require(width > 0 && height > 0, s"dims must be positive: ${width}x$height")
+    require(grays.nonEmpty, "need at least one frame")
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+    require(writers.hasNext, "no GIF writer installed")
+    val w = writers.next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      grays.foreach { g =>
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (g & 0xff) * 0x010101
+        val px = Array.fill(width * height)(rgb)
+        img.setRGB(0, 0, width, height, px, 0, width)
+        w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      w.endWriteSequence()
+    } finally {
+      w.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Decode every frame of a GIF through the ImageIO reader. None when
+    * the codec rejects the payload (same codec-only exception scope as
+    * [[decodeImage]]); each frame reports its dimensions and the exact
+    * integer 299/587/114 mean luma [[decodeImage]] uses.
+    */
+  def decodeGifFrames(bytes: Array[Byte]): Option[Seq[Decoded]] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    if (!readers.hasNext) return None
+    val reader = readers.next()
+    try {
+      val frames =
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          reader.setInput(iis, false) // random access: getNumImages needs it
+          val n = reader.getNumImages(true)
+          if (n <= 0) return None
+          (0 until n).map(reader.read(_))
+        } catch { case scala.util.control.NonFatal(_) => return None }
+      Some(frames.map { img =>
+        val fw = img.getWidth
+        val fh = img.getHeight
+        val px = img.getRGB(0, 0, fw, fh, null, 0, fw)
+        val hist = new Array[Float](8)
+        var lumaSum = 0L
+        var i = 0
+        while (i < px.length) {
+          val rgb = px(i)
+          val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+            + 114 * (rgb & 0xff)) / 1000
+          hist(luma >> 5) += 1f
+          lumaSum += luma
+          i += 1
+        }
+        var b = 0
+        while (b < 8) { hist(b) /= px.length; b += 1 }
+        Decoded(fw, fh, 1, (lumaSum / px.length).toInt, hist)
+      })
+    } finally reader.dispose()
+  }
+
+  /** Deterministic animated-GIF media table — the same closed-form
+    * construction as [[syntheticVideoTable]] (w = 16+id%16, h = 16+id%8,
+    * nFrames = 8+id%8, frame f solid gray (id+7·f)%256), but encoded
+    * through the real public GIF codec instead of the in-repo GRV1
+    * container.
+    */
+  def syntheticGifTable(docs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 16 + (id % 16).toInt
+          val h = 16 + (id % 8).toInt
+          val nf = 8 + (id % 8).toInt
+          val grays = (0 until nf).map(f => ((id + 7L * f) % 256).toInt)
+          (id, encodeAnimatedGif(w, h, grays))
+        }
+      }
+      .toDF("doc_id", "payload")
+      .select(
+        col("doc_id"),
+        col("payload"),
+        struct(
+          lit("image/gif").as("media_type"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("digest")).as("meta"))
+  }
+
+  /** [[videoFrameSample]] over animated GIFs: decode through the public
+    * ImageIO codec, emit every `stride`-th frame with its exact integer
+    * mean luma. Payloads the codec rejects are dropped, identical
+    * contract to the GRV1 path — one flatMap, fan-out bounded per clip
+    * by nFrames/stride.
+    */
+  def gifFrameSample(media: DataFrame, stride: Int = 3,
+      idCol: String = "doc_id",
+      payloadCol: String = "payload"): DataFrame = {
+    require(stride > 0, s"stride must be positive: $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeGifFrames(bytes).iterator.flatMap { frames =>
+          val nf = frames.size
+          (0 until nf by stride).iterator.map { f =>
+            val d = frames(f)
+            (id, f, d.width, d.height, nf, d.mean_luma)
+          }
+        }
+      })
+      .toDF("doc_id", "frame_idx", "width", "height", "n_frames",
+        "mean_luma")
+  }
 }

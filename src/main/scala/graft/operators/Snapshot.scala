@@ -17,12 +17,18 @@ import org.apache.spark.sql.functions._
   * value→NULL transitions report as `changed` rather than vanishing in
   * three-valued logic.
   *
-  * Scale shape: ONE shuffle join on the key (AQE handles skew), no
-  * windows, no driver state; the classification is a map over the
-  * joined rows. Keys must be unique per side (enforced upstream by the
-  * usual dedup ops); duplicate keys would fan out the join like any
-  * SQL full outer join — garbage in, garbage out, documented not
-  * guarded.
+  * Scale shape: ONE shuffle join on the key, no windows, no driver
+  * state; the classification is a map over the joined rows. Skew story,
+  * precisely: AQE's OptimizeSkewedJoin cannot split EITHER side of a
+  * full-outer join (a split side would duplicate its null-extension
+  * rows — ShuffleSkewSpec pins that it declines even under forced
+  * confs), so the defense is the unique-key contract itself: with at
+  * most one row per key per side no key can fan out, and hash
+  * partitioning bounds every partition at ~|keys|/partitions rows
+  * whatever the key distribution. Keys must be unique per side
+  * (enforced upstream by the usual dedup ops); duplicate keys would
+  * fan out the join like any SQL full outer join — garbage in, garbage
+  * out, documented not guarded.
   */
 object Snapshot {
 

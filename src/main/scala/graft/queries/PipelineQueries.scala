@@ -2973,31 +2973,40 @@ object PipelineQueries {
       .orderBy("rank")
   }
 
-  /** q141's dictionary (shared with the oracle SQL builder). Every
-    * keyword is border-free (no proper prefix that is also a suffix),
-    * so Aho–Corasick's count-every-end-position semantics coincide with
-    * the oracle's non-overlapping replace() count — the one regime
-    * where both are exactly the same number (`KeywordTag` class doc).
+  /** q141's dictionary (shared with the oracle SQL builder). The last
+    * two keywords are deliberately BORDERFUL ("oo" has border "o",
+    * "ana" has border "a"), so overlapping self-matches genuinely occur
+    * in English-ish text ("banana" holds two "ana"s) and the oracle
+    * must count every end position, not non-overlapping occurrences.
     */
   private val TagKeywords =
-    Seq("spark", "join", "stream", "art", "key order", "agg")
+    Seq("spark", "join", "stream", "art", "key order", "agg", "oo", "ana")
 
   // Multi-keyword tagging (q141): ONE Aho–Corasick pass per doc counts
-  // every dictionary keyword — substring matches ("art" inside "part")
-  // and cross-word phrases ("key order") included — against a per-
-  // keyword replace()-based DuckDB twin built from the same Scala list,
-  // so dictionary drift between engine and oracle is impossible.
+  // every dictionary keyword — substring matches ("art" inside "part"),
+  // cross-word phrases ("key order"), and OVERLAPPING self-matches
+  // included — against a position-based DuckDB twin built from the same
+  // Scala list: one probe per (doc, keyword, start position), counting
+  // exactly the automaton's every-end-position semantics for ANY
+  // dictionary (the r9 replace()-count twin was valid only for
+  // border-free keywords; this one has no such restriction). The
+  // position series is UNCORRELATED (one series up to max doc length,
+  // bounded per row by a filter): DuckDB 1.0.0's binder fails with an
+  // INTERNAL error on a correlated unnest(generate_series(...)) that a
+  // later predicate references.
   val q141 = Q.checked(
     "q141_keyword_tag_ac", {
       val kwList = TagKeywords.map(k => s"'$k'").mkString(", ")
       s"""WITH t AS (SELECT doc_id, lower(text) AS txt FROM documents),
          k AS (SELECT unnest([$kwList]) AS kw),
-         m AS (SELECT doc_id, kw,
-                (length(txt) - length(replace(txt, kw, '')))
-                  // length(kw) AS n
-               FROM t CROSS JOIN k)
-         SELECT doc_id, kw AS keyword, CAST(n AS BIGINT) AS n_matches
-         FROM m WHERE n > 0 ORDER BY doc_id, keyword"""
+         mx AS (SELECT max(length(txt)) AS m FROM t),
+         p AS (SELECT unnest(generate_series(1, (SELECT m FROM mx))) AS p),
+         m2 AS (SELECT doc_id, kw, p
+                FROM t CROSS JOIN k CROSS JOIN p
+                WHERE p <= length(txt) - length(kw) + 1
+                  AND substr(txt, CAST(p AS INTEGER), length(kw)) = kw)
+         SELECT doc_id, kw AS keyword, CAST(count(*) AS BIGINT) AS n_matches
+         FROM m2 GROUP BY doc_id, kw ORDER BY doc_id, keyword"""
     }) { (s, d) =>
     graft.operators.KeywordTag
       .tag(Tables.documents(s, d), TagKeywords)
@@ -3077,6 +3086,32 @@ object PipelineQueries {
         scale = 1000L)
   }
 
+  /** Animated-GIF frame sampling (q145): the q139 temporal-subsample
+    * contract over a REAL public container — every clip is encoded
+    * through the standard ImageIO GIF sequence writer and decoded back
+    * through the standard reader, with the same closed-form
+    * construction (solid frames survive palettization losslessly, and
+    * 299/587/114 luma of gray g is exactly g), so the same
+    * generate_series oracle hash-matches a genuine encode→decode
+    * round-trip that any external tool could reproduce.
+    */
+  val q145 = Q.checked(
+    "q145_multimodal_gif_frame_sample",
+    """SELECT doc_id, frame_idx,
+       16 + doc_id % 16 AS width,
+       16 + doc_id % 8 AS height,
+       8 + doc_id % 8 AS n_frames,
+       (doc_id + 7 * frame_idx) % 256 AS mean_luma
+       FROM (SELECT doc_id,
+               unnest(generate_series(0, 7 + doc_id % 8, 3)) AS frame_idx
+             FROM documents) t
+       ORDER BY doc_id, frame_idx""") { (s, d) =>
+    graft.operators.Multimodal.gifFrameSample(
+      graft.operators.Multimodal.syntheticGifTable(Tables.documents(s, d)),
+      stride = 3)
+      .orderBy("doc_id", "frame_idx")
+  }
+
   // Output manifest (q142): per-(lang, source) order-independent
   // content fingerprint — exact row count, XOR of each row's 60-bit
   // md5 content key, min/max key. XOR needs no overflow handling at any
@@ -3153,6 +3188,43 @@ object PlantedBiarc {
     (0 until 50).map(k => s"X vtw$k from Y\tX vtw$k of Y") ++
       (0 until 25).map(k => s"X vdj$k from Y\tX vdj$k of Y") ++
       (0 until 25).map(k => s"X vpt$k from Y\tX vpt$k of Y")
+
+  /** The same planted construction generated DISTRIBUTED at any scale:
+    * `groups` verb groups per family (twin / disjoint / partial), 48
+    * lines per group (8 fillers × 2 preps × 3 families), so the
+    * closed-form score requires hold at millions of lines exactly as
+    * they do on the 1.6k-line q40 corpus — per-group profiles never
+    * interact across groups, and the closed forms are margin-free (the
+    * PlantedBiarc class doc). This is the past-the-startup-knee DIRT
+    * probe: millions of corpus lines, a vocabulary that scales WITH the
+    * corpus (every group brings its own fillers), and a test set of
+    * 3·groups pairs riding the broadcast-members path.
+    */
+  def scaledLines(spark: org.apache.spark.sql.SparkSession,
+      groups: Int): org.apache.spark.sql.Dataset[String] = {
+    import spark.implicits._
+    val fp = FillersPerPath
+    val g = groups.toLong
+    spark.range(g * 3 * fp * 2).map { idx =>
+      val prep = if (idx % 2 == 0) "from" else "of"
+      val j = ((idx / 2) % fp).toInt
+      val k = (idx / (2 * fp)) % g
+      val fam = (idx / (2 * fp * g)).toInt
+      fam match {
+        case 0 => line(s"vtw$k", s"a${k}x$j", prep, s"b${k}y$j", cnt(j))
+        case 1 =>
+          line(s"vdj$k", s"d$prep${k}x$j", prep, s"e$prep${k}y$j", cnt(j))
+        case _ =>
+          if (j < fp / 2) line(s"vpt$k", s"p${k}x$j", prep, s"q${k}y$j", cnt(j))
+          else line(s"vpt$k", s"p$prep${k}x$j", prep, s"q$prep${k}y$j", cnt(j))
+      }
+    }
+  }
+
+  def scaledTestSet(groups: Int): Seq[String] =
+    (0 until groups).map(k => s"X vtw$k from Y\tX vtw$k of Y") ++
+      (0 until groups).map(k => s"X vdj$k from Y\tX vdj$k of Y") ++
+      (0 until groups).map(k => s"X vpt$k from Y\tX vpt$k of Y")
 }
 
 /** Mini biarc corpus shared by the DIRT driver query and benches — same

@@ -5,8 +5,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Aho–Corasick keyword tagging: the textbook automaton cases
   * (suffix-output chains, overlaps, phrases), the DataFrame contract,
-  * and the border-free == replace()-count equivalence q141's oracle
-  * relies on.
+  * and the border-free == replace()-count equivalence (a property of
+  * border-free dictionaries; q141's position-probing oracle itself
+  * covers ANY dictionary, borderful included).
   */
 class KeywordTagSpec extends AnyFunSuite {
 

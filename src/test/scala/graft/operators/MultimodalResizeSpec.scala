@@ -116,6 +116,39 @@ class MultimodalResizeSpec extends AnyFunSuite {
     assert(collected == Map(1L -> "image/png"))
   }
 
+  test("animated GIF: sequence encode -> ImageIO decode roundtrip is exact") {
+    val grays = Seq(10, 200, 17, 255, 0)
+    val clip = Multimodal.encodeAnimatedGif(6, 4, grays)
+    // sanity: it is a real GIF any external tool would accept
+    assert(new String(clip.take(6), "US-ASCII").startsWith("GIF8"))
+    val frames = Multimodal.decodeGifFrames(clip).get
+    assert(frames.size == 5)
+    frames.zip(grays).foreach { case (d, g) =>
+      assert(d.width == 6 && d.height == 4)
+      assert(d.mean_luma == g, s"frame gray $g decoded as ${d.mean_luma}")
+    }
+    assert(Multimodal.decodeGifFrames(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeGifFrames(null).isEmpty)
+    assert(Multimodal.decodeGifFrames("junk".getBytes("UTF-8")).isEmpty)
+    // a PNG payload is not a GIF: the gif-specific reader rejects it
+    assert(Multimodal.decodeGifFrames(png(4, 4)((_, _) => 0x808080)).isEmpty)
+  }
+
+  test("gifFrameSample matches the GRV1 sampler on the same construction") {
+    import spark.implicits._
+    val docs = Seq(3L, 10L, 21L).toDF("doc_id")
+    val fromGif = Multimodal.gifFrameSample(
+      Multimodal.syntheticGifTable(docs), stride = 3)
+      .as[(Long, Int, Int, Int, Int, Int)].collect().sortBy(r => (r._1, r._2))
+    val fromGrv = Multimodal.videoFrameSample(
+      Multimodal.syntheticVideoTable(docs), stride = 3)
+      .as[(Long, Int, Int, Int, Int, Int)].collect().sortBy(r => (r._1, r._2))
+    assert(fromGif.nonEmpty && fromGif.toSeq == fromGrv.toSeq)
+    // undecodable payloads are dropped, not failed
+    val junk = Seq((1L, "junk".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    assert(Multimodal.gifFrameSample(junk).count() == 0L)
+  }
+
   test("GRV1 header roundtrip; truncated and forged containers rejected") {
     val frames = Seq.tabulate(5)(f => Array.fill(6 * 4)((f * 10).toByte))
     val clip = Multimodal.encodeRawVideo(6, 4, frames)
