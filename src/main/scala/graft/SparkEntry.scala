@@ -90,7 +90,9 @@ object SparkEntry {
     RelationalQueries.q134, PipelineQueries.q135, PipelineQueries.q136,
     PipelineQueries.q137, PipelineQueries.q138, PipelineQueries.q139,
     PipelineQueries.q140, PipelineQueries.q141, PipelineQueries.q142,
-    PipelineQueries.q143, PipelineQueries.q144, PipelineQueries.q145)
+    PipelineQueries.q143, PipelineQueries.q144, PipelineQueries.q145,
+    PipelineQueries.q146, PipelineQueries.q147, PipelineQueries.q148,
+    PipelineQueries.q149)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -112,6 +112,64 @@ object Passages {
         expr("CASE WHEN n_tokens > 0 THEN (1000 * dup_covered_tokens) DIV n_tokens ELSE 0 END"))
   }
 
+  /** The span-surgery step of Lee et al. 2022: REMOVE every token
+    * covered by a duplicated n-gram (one occurring in ≥ `minDocs`
+    * documents), keeping the survivors in original order — the step
+    * [[duplicatePassageStats]] only measures. Overlapping and adjacent
+    * duplicated spans merge naturally because removal is by the
+    * distinct covered POSITION set, not by span arithmetic.
+    *
+    * Output per input doc: `(doc_id, n_tokens, n_kept, n_removed,
+    * clean_text)`; a fully-duplicated doc keeps `clean_text = ""`.
+    *
+    * Scale shape, same as the stats pass: gram rows are map-only
+    * O(total tokens), the duplicate test shuffles 16-byte digests, and
+    * only the (small-in-practice) covered positions + the token stream
+    * shuffle by doc id. The reassembly sorts WITHIN one doc's
+    * collected token structs (bounded by doc length, the same
+    * per-document bound every map-side text operator here relies on) —
+    * no window over the corpus.
+    */
+  def removeDuplicateSpans(docs: DataFrame, n: Int = 5, minDocs: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val grams = posGrams(docs, n, textCol, idCol)
+    val dupKeys = grams
+      .groupBy(md5(col("gram")).as("digest"))
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("digest")
+    val covered = grams
+      .join(dupKeys, md5(col("gram")) === dupKeys("digest"))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("tokidx"))
+      .distinct()
+    val toks = docs
+      .select(Ids.longId(idCol).as("id"),
+        posexplode(split(trim(col(textCol)), "\\s+")))
+      .withColumnRenamed("pos", "tokidx")
+      .withColumnRenamed("col", "tok")
+    val cleaned = toks
+      .join(covered, Seq("id", "tokidx"), "left_anti")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("tokidx"), col("tok")))),
+            x => x.getField("tok")),
+          " ").as("clean_text"))
+    docs
+      .select(Ids.longId(idCol).as("id"),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
+      .join(cleaned, Seq("id"), "left")
+      .select(
+        col("id").as("doc_id"),
+        col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** (id, idx, chunk) — consecutive `width`-word chunks in document
     * order (the last chunk may be shorter). An empty or null text is one
     * empty chunk, matching `regexp_split_to_array('', '\s+') = ['']` in

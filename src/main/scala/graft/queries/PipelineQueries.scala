@@ -3112,6 +3112,187 @@ object PipelineQueries {
       .orderBy("doc_id", "frame_idx")
   }
 
+  // Hybrid-retrieval RRF fusion (q146): the q76 BM25 top-20 and the
+  // q35 cosine top-20 (query vector = vec_id 0) fused by reciprocal
+  // rank — both retrievers' ranks are already proven bit-identical
+  // cross-engine by their own oracles, so the fused score
+  // 1/(60+r_lex) + 1/(60+r_sem), added left-to-right from BIGINT ranks,
+  // hash-matches after floor-quantization. The oracle repeats both
+  // retrieval formulations verbatim and fuses with the same coalesce
+  // arithmetic; a doc retrieved by only one list keeps a NULL rank.
+  val q146 = Q.checked(
+    "q146_hybrid_rrf_fusion", {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val pivots = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"sum(CASE WHEN term = '$t' THEN c ELSE 0.0 END) AS c$i"
+      }.mkString(",\n                  ")
+      val total = Bm25Terms.indices.map(i => s"c$i").mkString(" + ")
+      s"""WITH d AS (SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+          FROM documents),
+        dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+        stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+        tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM tok WHERE term IN ($termList) GROUP BY doc_id, term),
+        df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        contrib AS (SELECT tf.doc_id, tf.term,
+            ((CAST(stats.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5)) *
+            ((tf.tf * (1.2 + 1.0)) /
+             (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 *
+               (dl.dl / (CAST(stats.tot AS DOUBLE) / CAST(stats.n AS DOUBLE)))))) AS c
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+        piv AS (SELECT doc_id, $pivots FROM contrib GROUP BY doc_id),
+        lex AS (SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY $total DESC, doc_id) AS BIGINT) AS r_lex
+                FROM piv ORDER BY $total DESC, doc_id LIMIT 20),
+        q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+        semscored AS (SELECT e.vec_id AS doc_id,
+            round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                         CAST(q.qvec AS DOUBLE[])), 6) AS cos_sim
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+        sem AS (SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS r_sem
+                FROM semscored ORDER BY cos_sim DESC, doc_id LIMIT 20),
+        fused AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+                    r_lex, r_sem,
+                    coalesce(1e0 / (60 + r_lex), 0e0) +
+                    coalesce(1e0 / (60 + r_sem), 0e0) AS rrf
+                  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+        SELECT doc_id, r_lex, r_sem,
+               CAST(floor(rrf * 1e9) AS BIGINT) AS rrf_q,
+               CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+        FROM fused ORDER BY rrf DESC, doc_id LIMIT 10"""
+    }) { (s, d) =>
+    val lex = TfIdf.bm25(Tables.documents(s, d), Bm25Terms, k = 20)
+      .select(col("doc_id"), col("rank").as("r_lex"))
+    val sem = VectorSearch
+      .cosineTopK(Tables.embeddings(s, d), queryIds = Seq(0L), k = 20)
+      .select(col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("r_sem"))
+    graft.operators.HybridSearch
+      .rrfFuse(Seq(lex -> "r_lex", sem -> "r_sem"), idCol = "doc_id",
+        k = 10, c = 60)
+      .select(col("doc_id"), col("r_lex"), col("r_sem"),
+        floor(col("rrf_score") * lit(1e9)).cast("long").as("rrf_q"),
+        col("rank"))
+      .orderBy("rank")
+  }
+
+  /** Mergeable HLL distinct sketches (q147): per-source distinct
+    * (doc, term) incidence, estimated by the engine-native DataSketches
+    * HLL — the manifest statistic that stays maintainable across ingest
+    * batches at 100 TB where `count(distinct)` cannot. DuckDB's
+    * approx_count_distinct is a different HLL implementation, so there
+    * is no cross-engine oracle; the in-query gates are the published
+    * accuracy contract instead: BOTH the one-shot sketch and the
+    * union-of-two-ingest-halves sketch must sit within 4·rsd(lgK=12)
+    * (≈6.5%) of the EXACT count computed in the same query, for every
+    * source — a wrong union (register loss, batch double-count) or a
+    * broken sketch lands far outside the band.
+    */
+  val q147 = Q.rowsOnly("q147_hll_distinct_sketch") { (s, d) =>
+    val lgK = 12
+    val out = graft.operators.DistinctSketch
+      .bySource(Tables.documents(s, d), lgK = lgK)
+      .select(col("source"), col("n_exact"),
+        col("est_whole").cast("long").as("est_whole"),
+        col("est_merged").cast("long").as("est_merged"))
+      .orderBy("source")
+    val band = 4.0 * graft.operators.DistinctSketch.rsd(lgK)
+    val bad = out.filter(
+      abs(col("est_whole") - col("n_exact")) > col("n_exact") * band ||
+        abs(col("est_merged") - col("n_exact")) > col("n_exact") * band)
+      .count()
+    require(bad == 0L,
+      s"$bad sources have an HLL estimate outside the 4·rsd band of exact")
+    out
+  }
+
+  // Duplicate-span REMOVAL (q149): the Lee et al. span surgery that
+  // q80 only measures — every token covered by a cross-doc duplicated
+  // 5-gram is cut, survivors reassembled in order (71 fixture docs lose
+  // tokens; adjacent/overlapping spans merge via the distinct covered
+  // position set). The oracle rebuilds the text with string_agg ORDER
+  // BY position — the q81 reassembly discipline — so the cleaned TEXT
+  // itself is hash-compared, not just the counts.
+  val q149 = Q.checked(
+    "q149_passage_span_removal",
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                  FROM documents),
+       g AS (SELECT doc_id, i - 1 AS pos,
+                    array_to_string(toks[i:i+4], ' ') AS gram
+             FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+                   FROM t WHERE len(toks) >= 5)),
+       dupg AS (SELECT gram FROM g
+                GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+       cov AS (SELECT DISTINCT doc_id, tokidx
+               FROM (SELECT doc_id, unnest(range(pos, pos + 5)) AS tokidx
+                     FROM g WHERE gram IN (SELECT gram FROM dupg))),
+       tok AS (SELECT doc_id, i - 1 AS tokidx, toks[i] AS tok
+               FROM (SELECT doc_id, toks,
+                            unnest(range(1, len(toks) + 1)) AS i FROM t)),
+       kept AS (SELECT tok.doc_id, tok.tokidx, tok.tok
+                FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id
+                  AND tok.tokidx = cov.tokidx
+                WHERE cov.doc_id IS NULL),
+       agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                      string_agg(tok, ' ' ORDER BY tokidx) AS clean_text
+               FROM kept GROUP BY doc_id)
+       SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+              COALESCE(n_kept, 0) AS n_kept,
+              CAST(len(toks) AS BIGINT) - COALESCE(n_kept, 0) AS n_removed,
+              COALESCE(clean_text, '') AS clean_text
+       FROM t LEFT JOIN agg ON agg.doc_id = t.doc_id
+       ORDER BY t.doc_id""") { (s, d) =>
+    graft.operators.Passages.removeDuplicateSpans(Tables.documents(s, d))
+      .orderBy("doc_id")
+  }
+
+  /** WordPiece train + encode (q148): the BERT-family tokenizer as the
+    * third trained-tokenizer surface (BPE q88/q114, Unigram-LM q119).
+    * Property-oracled in-query the q88/q114 way: (a) the distributed
+    * likelihood-gain merge training must equal the sequential reference
+    * row for row over the fixture histogram, and (b) max-munch encoding
+    * must round-trip — stripping the `##` continuations reproduces the
+    * whitespace-normalized input on every doc — with zero `[UNK]`
+    * (training and encoding see the same alphabet by construction).
+    */
+  val q148 = Q.rowsOnly("q148_wordpiece_encode") { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val wp = graft.operators.WordPiece
+    val merges = wp.trainMerges(docs, nMerges = 30)
+    val hist = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)].collect().toSeq
+    val want = wp.sequentialMerges(hist, 30)
+    val gotSeq = merges.as[(Int, String, String, String, Long)]
+      .collect().toSeq.sortBy(_._1)
+    require(gotSeq == want,
+      s"distributed WordPiece merges diverge from the sequential " +
+        s"reference (first got=${gotSeq.headOption} want=${want.headOption})")
+    val enc = wp.encodeDocs(docs, wp.vocabulary(docs, merges)).persist()
+    val unk = enc.filter(col("n_unk") =!= 0).count()
+    require(unk == 0, s"$unk docs hit [UNK] on the training corpus itself")
+    val broken = enc
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .filter(
+        regexp_replace(col("subword_text"), lit(" ##"), lit("")) =!=
+          concat_ws(" ",
+            split(trim(col("text")), "\\s+").as("t")) &&
+          col("n_unk") === 0)
+      .count()
+    require(broken == 0, s"WordPiece roundtrip broke on $broken docs")
+    graft.util.CacheRelease.afterFirstAction(
+      enc.select("doc_id", "n_words", "n_subwords", "n_unk")
+        .orderBy("doc_id"),
+      Seq(enc))
+  }
+
   // Output manifest (q142): per-(lang, source) order-independent
   // content fingerprint — exact row count, XOR of each row's 60-bit
   // md5 content key, min/max key. XOR needs no overflow handling at any

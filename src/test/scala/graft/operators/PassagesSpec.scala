@@ -59,6 +59,39 @@ class PassagesSpec extends AnyFunSuite {
     assert(got(4L) == ((1L, 0L, "")))
   }
 
+  test("removeDuplicateSpans cuts exactly the covered positions") {
+    // same corpus as the stats test: doc 1 dup positions {0,1} cover
+    // tokens 0..3 -> keeps only "e"; doc 2 dup positions {1,2} cover
+    // tokens 1..4 -> keeps only "x"; docs 3/4 untouched.
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x a b c d"),
+      (3L, "p q r s"),
+      (4L, "u v")).toDF("doc_id", "text")
+    val got = Passages.removeDuplicateSpans(docs, n = 3)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((5L, 1L, 4L, "e")))
+    assert(got(2L) == ((5L, 1L, 4L, "x")))
+    assert(got(3L) == ((4L, 4L, 0L, "p q r s")))
+    assert(got(4L) == ((2L, 2L, 0L, "u v")))
+  }
+
+  test("removeDuplicateSpans: fully-duplicated doc keeps empty text; " +
+    "reassembly is numeric past one digit of position") {
+    val words = (0 until 24).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "dup dup dup"),
+      (2L, "dup dup dup"),
+      (3L, words)).toDF("doc_id", "text")
+    val got = Passages.removeDuplicateSpans(docs, n = 3)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._3, r._5))).toMap
+    assert(got(1L) == ((0L, "")))
+    assert(got(2L) == ((0L, "")))
+    assert(got(3L) == ((24L, words)))
+  }
+
   test("dedupChunks chunk order survives reassembly past one digit of idx") {
     // 24 chunks of width 1 — sort_array on struct(idx, chunk) must sort
     // numerically (idx is an int), not lexicographically ("10" < "2").
