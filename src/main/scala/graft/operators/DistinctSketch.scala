@@ -63,6 +63,16 @@ object DistinctSketch {
       .groupBy("source")
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
 
-    whole.join(merged, Seq("source"))
+    // anchor on the source dimension itself: a source whose docs are all
+    // empty/whitespace contributes no item rows, and an inner join would
+    // silently drop it from the manifest statistic — it must instead
+    // report 0 distinct items (ADVICE r10)
+    docs.select(col(srcCol).as("source")).distinct()
+      .join(whole, Seq("source"), "left")
+      .join(merged, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("est_whole"), lit(0.0)).as("est_whole"),
+        coalesce(col("est_merged"), lit(0.0)).as("est_merged"))
   }
 }

@@ -36,6 +36,13 @@ object HybridSearch {
     * top-`k` docs by RRF score (ties broken by id). Output:
     * `(idCol, <rankCol per list>, rrf_score, rank)`; a doc missing from
     * a list keeps a NULL rank column and contributes 0 to the score.
+    *
+    * CONTRACT: each input list must contain each id AT MOST ONCE (every
+    * retriever in this repo emits per-query row_number ranks, which
+    * guarantees it). A duplicate id would multiply rows through the
+    * full-outer reduce and contribute to `rrf_score` once per copy —
+    * silently inflating that doc. Callers fusing arbitrary external
+    * lists should `dropDuplicates(idCol)` first (ADVICE r10).
     */
   def rrfFuse(lists: Seq[(DataFrame, String)], idCol: String = "doc_id",
       k: Int = 10, c: Int = 60): DataFrame = {

@@ -200,6 +200,18 @@ object WordPiece {
   /** Greedy longest-match-first (max-munch) segmentation of one word
     * against the vocabulary — the standard WordPiece runtime. Returns
     * `[UNK]` alone if any position has no matching vocabulary unit.
+    *
+    * PRECONDITION (ADVICE r10): input words must not literally start
+    * with `##`. The continuation prefix is positional metadata, not
+    * escaped content, so a raw corpus token like `##x` at word-initial
+    * position can max-munch a continuation unit (`##x` meaning
+    * "...x inside a word") and the `' ##'`-strip roundtrip would glue
+    * it onto the previous word. Standard BERT preprocessing guarantees
+    * this (its basic tokenizer splits `#` off as punctuation before
+    * WordPiece runs); callers feeding raw whitespace-split text — as
+    * the fixture queries do — inherit the guarantee only when the
+    * corpus has no `##`-initial tokens, which q148's roundtrip require
+    * verifies rather than assumes.
     */
   def segment(word: String, vocab: Set[String]): Array[String] = {
     val out = Array.newBuilder[String]

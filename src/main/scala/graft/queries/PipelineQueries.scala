@@ -2191,17 +2191,22 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
-  // Tokenizer runtime: encode the corpus with a 40-merge BPE table
-  // trained on the doc_id % 7 slice, and require the lossless
-  // roundtrip IN-QUERY — stripping the </w> markers must reproduce the
-  // whitespace-normalized input for EVERY document (the property that
-  // makes n_subwords a true token count). Segmentation order isn't
-  // SQL-expressible, so the driver check is rows-only; the merge table
-  // itself is property-oracled by q88.
-  val q114 = Q.rowsOnly("q114_bpe_encode") { (s, d) =>
+  // Tokenizer runtime (round 11: hash-oracled, VERDICT r10 #5): encode
+  // the corpus with the FROZEN 40-merge BPE table — the committed
+  // artifact a production tokenizer ships (provenance + drift gate:
+  // `FrozenVocab` / `FrozenVocabSpec`; training itself stays oracled by
+  // q88). Freezing makes the encode DuckDB-expressible: `BpeEncodeSql`
+  // replays the same table as 40 chained replace CTEs, so the driver
+  // hash-compares the greedy merge-replay ALGORITHM across engines. The
+  // lossless roundtrip stays required IN-QUERY — stripping the </w>
+  // markers must reproduce the whitespace-normalized input for EVERY
+  // document (the property that makes n_subwords a true token count).
+  val q114 = Q.checked("q114_bpe_encode", BpeEncodeSql.sql) { (s, d) =>
+    import s.implicits._
     val docs = Tables.documents(s, d)
-    val merges = graft.operators.Bpe
-      .trainMerges(docs.filter(col("doc_id") % 7 === 0), nMerges = 40)
+    val merges = graft.operators.FrozenVocab.bpeMerges.zipWithIndex
+      .map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "left", "right")
     val enc = graft.operators.Bpe.encodeDocs(docs, merges).persist()
     val broken = enc
       .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
@@ -3250,47 +3255,38 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
-  /** WordPiece train + encode (q148): the BERT-family tokenizer as the
-    * third trained-tokenizer surface (BPE q88/q114, Unigram-LM q119).
-    * Property-oracled in-query the q88/q114 way: (a) the distributed
-    * likelihood-gain merge training must equal the sequential reference
-    * row for row over the fixture histogram, and (b) max-munch encoding
-    * must round-trip — stripping the `##` continuations reproduces the
-    * whitespace-normalized input on every doc — with zero `[UNK]`
-    * (training and encoding see the same alphabet by construction).
+  /** WordPiece encode (q148): the BERT-family tokenizer as the third
+    * trained-tokenizer surface (BPE q88/q114, Unigram-LM q119). Round
+    * 11 (VERDICT r10 #5): hash-oracled — the query encodes with the
+    * FROZEN committed vocabulary (`FrozenVocab`, drift-gated by
+    * `FrozenVocabSpec`; the distributed==sequential TRAINING pin lives
+    * in `WordPieceSpec`), and `WordPieceEncodeSql` replays greedy
+    * longest-match-first in DuckDB so the driver hash-compares the
+    * max-munch ALGORITHM across engines, `[UNK]` semantics included.
+    * The roundtrip stays required in-query for every n_unk = 0 doc:
+    * stripping `##` continuations reproduces the whitespace-normalized
+    * input (with a frozen vocabulary, zero-UNK is a corpus property the
+    * ORACLE now checks via n_unk rather than a hard require).
     */
-  val q148 = Q.rowsOnly("q148_wordpiece_encode") { (s, d) =>
-    import s.implicits._
-    val docs = Tables.documents(s, d)
-    val wp = graft.operators.WordPiece
-    val merges = wp.trainMerges(docs, nMerges = 30)
-    val hist = docs
-      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-      .as[(String, Long)].collect().toSeq
-    val want = wp.sequentialMerges(hist, 30)
-    val gotSeq = merges.as[(Int, String, String, String, Long)]
-      .collect().toSeq.sortBy(_._1)
-    require(gotSeq == want,
-      s"distributed WordPiece merges diverge from the sequential " +
-        s"reference (first got=${gotSeq.headOption} want=${want.headOption})")
-    val enc = wp.encodeDocs(docs, wp.vocabulary(docs, merges)).persist()
-    val unk = enc.filter(col("n_unk") =!= 0).count()
-    require(unk == 0, s"$unk docs hit [UNK] on the training corpus itself")
-    val broken = enc
-      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
-      .filter(
-        regexp_replace(col("subword_text"), lit(" ##"), lit("")) =!=
-          concat_ws(" ",
-            split(trim(col("text")), "\\s+").as("t")) &&
-          col("n_unk") === 0)
-      .count()
-    require(broken == 0, s"WordPiece roundtrip broke on $broken docs")
-    graft.util.CacheRelease.afterFirstAction(
-      enc.select("doc_id", "n_words", "n_subwords", "n_unk")
-        .orderBy("doc_id"),
-      Seq(enc))
+  val q148 = Q.checked("q148_wordpiece_encode", WordPieceEncodeSql.sql) {
+    (s, d) =>
+      val docs = Tables.documents(s, d)
+      val wp = graft.operators.WordPiece
+      val enc = wp.encodeDocs(docs,
+        graft.operators.FrozenVocab.wordPieceVocab.toSet).persist()
+      val broken = enc
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .filter(
+          regexp_replace(col("subword_text"), lit(" ##"), lit("")) =!=
+            concat_ws(" ",
+              split(trim(col("text")), "\\s+").as("t")) &&
+            col("n_unk") === 0)
+        .count()
+      require(broken == 0, s"WordPiece roundtrip broke on $broken docs")
+      graft.util.CacheRelease.afterFirstAction(
+        enc.select("doc_id", "n_words", "n_subwords", "n_unk")
+          .orderBy("doc_id"),
+        Seq(enc))
   }
 
   // Output manifest (q142): per-(lang, source) order-independent
@@ -3406,6 +3402,46 @@ object PlantedBiarc {
     (0 until groups).map(k => s"X vtw$k from Y\tX vtw$k of Y") ++
       (0 until groups).map(k => s"X vdj$k from Y\tX vdj$k of Y") ++
       (0 until groups).map(k => s"X vpt$k from Y\tX vpt$k of Y")
+
+  /** Hub-and-spoke SKEW variant (round 11, VERDICT r10 #4): the three
+    * uniform families plus one Zipf-hot family — a single hub path
+    * (`vzhub`, lexicographically ABOVE every spoke so canonical pair
+    * ordering puts it on the p2 side) paired against `spokes` spoke
+    * paths that all share the hub's 4 (x, y) filler pairs and carry 4
+    * unique fillers each. In `DirtPipeline.similarity`'s feature
+    * self-equi-join the broadcast pair fan-out tags every spoke's
+    * shared-filler features with p2 = hub, so the 8 join keys
+    * `(vzhub-path, slot, hx/hy_j)` each carry `spokes` probe-side rows
+    * while every uniform-family key carries one — exactly the hot-key
+    * partition skew AQE's OptimizeSkewedJoin exists for
+    * (`DirtSkewSpec` pins the split firing; SURVEY.md §4).
+    *
+    * Closed forms stay margin-free: twins exact 1.0, disjoint exact
+    * 0.0, partial in (0, 1) as in [[scaledLines]]; every hub–spoke pair
+    * lands strictly in (0, 1) because (a) shared-filler MI is positive —
+    * `mi = ln(N / (ps·(spokes+1)))` with N ≈ 192·groups dominating for
+    * `groups > spokes/12` — and (b) each spoke's unique fillers keep its
+    * SumMI strictly above the shared numerator.
+    */
+  def skewLines(spark: org.apache.spark.sql.SparkSession, groups: Int,
+      spokes: Int, shared: Int = 4,
+      unique: Int = 4): org.apache.spark.sql.Dataset[String] = {
+    import spark.implicits._
+    val hub = spark.range(spokes.toLong + 1).flatMap { k =>
+      if (k == spokes.toLong)
+        (0 until shared).map(j => line("vzhub", s"hx$j", "from", s"hy$j", cnt(j)))
+      else
+        (0 until shared).map(j =>
+          line(s"vsp$k", s"hx$j", "from", s"hy$j", cnt(j))) ++
+          (0 until unique).map(u =>
+            line(s"vsp$k", s"sx${k}u$u", "from", s"sy${k}u$u", cnt(u)))
+    }
+    scaledLines(spark, groups).union(hub)
+  }
+
+  def skewTestSet(groups: Int, spokes: Int): Seq[String] =
+    scaledTestSet(groups) ++
+      (0 until spokes).map(k => s"X vsp$k from Y\tX vzhub from Y")
 }
 
 /** Mini biarc corpus shared by the DIRT driver query and benches — same
@@ -3423,6 +3459,108 @@ object MiniCorpus {
   val testSet: Seq[String] = Seq(
     "X die from Y\tX die of Y",
     "X die from Y\tX suffer from Y")
+}
+
+/** DuckDB SQL twin of the BPE ENCODE pass (round 11, VERDICT r10 #5):
+  * the frozen merge table replayed rank-by-rank as 40 chained string
+  * `replace` CTEs. Each symbol is wrapped `chr(1)·sym·chr(2)`, so one
+  * merge `(l, r) → lr` is one literal replacement whose non-overlapping
+  * left-to-right scan is EXACTLY `Bpe.mergePair`'s greedy rule — with
+  * per-symbol delimiters on BOTH sides, consecutive matches share no
+  * delimiter and the replace cursor advances past complete symbols only
+  * (a single shared separator would make `a a a a` merge as
+  * `[aa, a, aa]`, diverging from the greedy `[aa, aa, a]`). The final
+  * subword count is the chr(1) count. Assembled programmatically from
+  * [[graft.operators.FrozenVocab.bpeMerges]] so the two engines can
+  * never drift table-wise.
+  */
+object BpeEncodeSql {
+  private def esc(s: String): String = s.replace("'", "''")
+  private def wrap(sym: String): String = s"chr(1)||'${esc(sym)}'||chr(2)"
+
+  val sql: String = {
+    val merges = graft.operators.FrozenVocab.bpeMerges
+    val steps = merges.zipWithIndex.map { case ((l, r), i) =>
+      s"s${i + 1} AS (SELECT w, replace(s, ${wrap(l)}||${wrap(r)}, ${wrap(l + r)}) AS s FROM s$i)"
+    }
+    val last = s"s${merges.size}"
+    s"""WITH words AS (
+         SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         FROM documents),
+       wf AS (SELECT doc_id, w FROM words WHERE w <> ''),
+       dw AS (SELECT DISTINCT w FROM wf),
+       s0 AS (SELECT w, regexp_replace(w, '(.)', chr(1)||'\\1'||chr(2), 'g')
+                 || ${wrap(graft.operators.Bpe.EndMark)} AS s FROM dw),
+       ${steps.mkString(",\n       ")},
+       seg AS (SELECT w, length(s) - length(replace(s, chr(1), '')) AS n_sub
+               FROM $last),
+       agg AS (SELECT doc_id, count(*) AS n_words,
+                 CAST(sum(n_sub) AS BIGINT) AS n_subwords
+               FROM wf JOIN seg USING (w) GROUP BY doc_id)
+       SELECT d.doc_id, coalesce(n_words, 0) AS n_words,
+              coalesce(n_subwords, 0) AS n_subwords
+       FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+       ORDER BY d.doc_id"""
+  }
+}
+
+/** DuckDB SQL twin of the WordPiece ENCODE pass: greedy
+  * longest-match-first against the frozen vocabulary, unrolled to
+  * [[steps]] per-position CTEs (every step consumes ≥ 1 character, and
+  * a word longer than the unroll yields NULL — a visible hash mismatch,
+  * never a silent undercount). Step 0 matches bare units, later steps
+  * `##` continuations, mirroring `WordPiece.segment`'s positional
+  * prefix; a position with no match turns the whole word into one
+  * `[UNK]` exactly as the Scala runtime does. Assembled from
+  * [[graft.operators.FrozenVocab.wordPieceVocab]].
+  */
+object WordPieceEncodeSql {
+  private def esc(s: String): String = s.replace("'", "''")
+  val steps = 12
+
+  val sql: String = {
+    val vlist = graft.operators.FrozenVocab.wordPieceVocab
+      .map(v => s"'${esc(v)}'").mkString(", ")
+    val chain = (1 until steps).flatMap { i =>
+      Seq(
+        s"""m$i AS (SELECT w, rem, unk, n_sub,
+           (SELECT max(length(u) - 2) FROM vocab
+             WHERE u LIKE '##%' AND substr(u, 3) = left(rem, length(u) - 2)) AS c
+           FROM s${i - 1})""",
+        s"""s$i AS (SELECT w,
+           CASE WHEN rem = '' OR c IS NULL THEN '' ELSE substr(rem, c + 1) END AS rem,
+           CASE WHEN rem <> '' AND c IS NULL THEN 1 ELSE unk END AS unk,
+           CASE WHEN rem = '' THEN n_sub WHEN c IS NULL THEN 1
+                ELSE n_sub + 1 END AS n_sub
+           FROM m$i)""")
+    }
+    s"""WITH words AS (
+         SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         FROM documents),
+       wf AS (SELECT doc_id, w FROM words WHERE w <> ''),
+       dw AS (SELECT DISTINCT w FROM wf),
+       vocab(u) AS (SELECT unnest([$vlist])),
+       m0 AS (SELECT w,
+         (SELECT max(length(u)) FROM vocab
+           WHERE u NOT LIKE '##%' AND u = left(w, length(u))) AS c FROM dw),
+       s0 AS (SELECT w,
+         CASE WHEN c IS NULL THEN '' ELSE substr(w, c + 1) END AS rem,
+         CASE WHEN c IS NULL THEN 1 ELSE 0 END AS unk,
+         1 AS n_sub FROM m0),
+       ${chain.mkString(",\n       ")},
+       seg AS (SELECT w, CASE WHEN rem <> '' THEN NULL ELSE n_sub END AS n_sub,
+                 unk
+               FROM s${steps - 1}),
+       agg AS (SELECT doc_id, count(*) AS n_words,
+                 CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+                 CAST(sum(unk) AS BIGINT) AS n_unk
+               FROM wf JOIN seg USING (w) GROUP BY doc_id)
+       SELECT d.doc_id, coalesce(n_words, 0) AS n_words,
+              coalesce(n_subwords, 0) AS n_subwords,
+              coalesce(n_unk, 0) AS n_unk
+       FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+       ORDER BY d.doc_id"""
+  }
 }
 
 /** DuckDB SQL twin of [[graft.operators.TextAnalysis.analyze]] (minus the

@@ -33,6 +33,20 @@ class DistinctSketchSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("s0", 6L, 6L, 6L), ("s1", 2L, 2L, 2L)))
   }
 
+  test("a source whose docs are all empty/whitespace still appears, with 0s") {
+    // ADVICE r10: such a source produces no item rows; the inner join
+    // used to drop it from the manifest instead of reporting n_exact = 0
+    val docs = Seq(
+      (0L, "a b", "s0"), (1L, "", "s_empty"), (2L, "   ", "s_empty"),
+      (3L, null.asInstanceOf[String], "s_null"))
+      .toDF("doc_id", "text", "source")
+    val got = DistinctSketch.bySource(docs)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2, r._3.round, r._4.round)).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("s0", 2L, 2L, 2L), ("s_empty", 0L, 0L, 0L), ("s_null", 0L, 0L, 0L)))
+  }
+
   test("estimation-mode cardinality stays within 4·rsd; union of " +
     "disjoint halves agrees with one shot within the same band") {
     // 40k distinct items in one source — far past the lgK=12 sparse

@@ -121,6 +121,66 @@ class DirtIncrementalSpec extends AnyFunSuite {
     }
   }
 
+  /** Full-outer scored-pair compare: identical pair sets, scores within
+    * 1e-12 relative (double-sum order is the only allowed difference —
+    * the slice itself is gated exactly on longs below).
+    */
+  private def assertScoresEqual(got: DataFrame, want: DataFrame): Unit = {
+    val mism = got.withColumnRenamed("score", "s_inc")
+      .join(want.withColumnRenamed("score", "s_batch"),
+        Seq("path1", "path2"), "full_outer")
+      .filter(col("s_inc").isNull || col("s_batch").isNull ||
+        abs(col("s_inc") - col("s_batch")) >
+          lit(1e-12) * greatest(lit(1.0), abs(col("s_batch"))))
+      .count()
+    assert(mism == 0L, s"$mism scored pairs differ from batch")
+  }
+
+  test("maintained member slice == features ⋉ memberPaths exactly, every batch") {
+    import spark.implicits._
+    var sim = DirtIncremental.emptySim(spark, testSet)
+    allLines.grouped(100).foreach { lines =>
+      sim = DirtIncremental.applySimBatch(sim, spark.createDataset(lines))
+      val want = sim.inner.features
+        .join(sim.memberPaths, Seq("path"), "left_semi")
+      val mism = sim.memberFeatures
+        .withColumnRenamed("cnt", "c1").withColumnRenamed("ps_cnt", "p1")
+        .withColumnRenamed("sw_cnt", "s1")
+        .join(want.withColumnRenamed("cnt", "c2")
+          .withColumnRenamed("ps_cnt", "p2").withColumnRenamed("sw_cnt", "s2"),
+          Seq("path", "slot", "word"), "full_outer")
+        .filter(col("c1").isNull || col("c2").isNull ||
+          col("c1") =!= col("c2") || col("p1") =!= col("p2") ||
+          col("s1") =!= col("s2"))
+        .count()
+      assert(mism == 0L,
+        s"member slice diverged from the semi-joined snapshot on $mism rows")
+      spark.catalog.clearCache()
+    }
+    DirtIncremental.release(sim)
+  }
+
+  test("maintained scored-pair view matches from-scratch batch after every batch") {
+    import spark.implicits._
+    var sim = DirtIncremental.emptySim(spark, testSet)
+    val batches = allLines.grouped(100).toSeq
+    batches.zipWithIndex.foreach { case (lines, i) =>
+      sim = DirtIncremental.applySimBatch(sim, spark.createDataset(lines))
+      val prefix = allLines.take((i + 1) * 100)
+      assertScoresEqual(DirtIncremental.scoredPairs(sim),
+        DirtPipeline.run(spark, spark.createDataset(prefix), testSet))
+      spark.catalog.clearCache()
+    }
+    // the slice path and the full-snapshot path agree with each other too
+    assertScoresEqual(DirtIncremental.scoredPairs(sim),
+      DirtIncremental.similarity(sim.inner, testSet))
+    assert(DirtIncremental.scoredPairs(sim)
+      .filter(col("score") > 0.0).count() > 0,
+      "correlated corpus must yield nonzero maintained scores")
+    DirtIncremental.release(sim)
+    spark.catalog.clearCache()
+  }
+
   test("empty and no-op batches leave the view consistent") {
     import spark.implicits._
     var state = DirtIncremental.empty(spark)
