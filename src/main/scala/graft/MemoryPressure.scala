@@ -21,6 +21,20 @@ import java.util.concurrent.atomic.LongAdder
   *
   * Usage: `SPARK_DRIVER_MEM=4g SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1
   * sbt "runMain graft.MemoryPressure [queryName ...]"`
+  *
+  * Scarcity knob (round 11): `SPARK_GRAFT_MEM_FRACTION` throttles
+  * `spark.memory.fraction` (Spark's unified execution+storage pool)
+  * below its 0.6 default. Rationale, from the round-11 calibration
+  * runs: at fixture scale the declared queries peak ~80 MB of
+  * execution memory PER TASK and complete spill-free even under a
+  * 1 GB heap, while shrinking the whole heap far enough to starve the
+  * pool kills the JVM itself first (metaspace + codegen + 32 task
+  * threads OOM before managed memory is the binding constraint —
+  * exit 52, the wrong failure mode to test). Throttling the POOL with
+  * ample JVM headroom reproduces what a contended 1000-executor
+  * cluster actually does to an operator — grants shrink, sorts and
+  * aggregation maps must spill — so spill-vs-OOM is genuinely what the
+  * probe measures.
   */
 object MemoryPressure {
 
@@ -36,6 +50,8 @@ object MemoryPressure {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.memory.fraction",
+        sys.env.getOrElse("SPARK_GRAFT_MEM_FRACTION", "0.6"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -55,13 +71,27 @@ object MemoryPressure {
       }
     })
 
+    // synthetic probe entries resolve exactly as in BenchOne, so the
+    // scale knobs (SPARK_GRAFT_PLANTED_GROUPS, SPARK_GRAFT_JACCARD_DOCS,
+    // SPARK_GRAFT_DIRT_ROWS) let the probe push per-task state past the
+    // pool where the sf0.1 declared queries alone stay comfortably under
+    // it (round-11 finding: every default query peaks ~80 MB/task and
+    // completes spill-free even at SPARK_DRIVER_MEM=1g)
+    val synthetic: Map[String, () => Unit] = Bench.syntheticRunners(spark,
+      sys.env.getOrElse("SPARK_GRAFT_DIRT_ROWS", "200000").toLong,
+      sys.env.getOrElse("SPARK_GRAFT_JACCARD_DOCS", "50000").toLong).toMap
+
     val results = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     names.foreach { name =>
       memSpilled.reset(); diskSpilled.reset(); peakExec.set(0L)
       val t0 = System.nanoTime()
       try {
-        SparkEntry.queries(name)(spark, sfDir).count()
+        SparkEntry.queries.get(name)
+          .map(fn => () => { fn(spark, sfDir).count(); () })
+          .orElse(synthetic.get(name))
+          .getOrElse(sys.error(s"unknown query: $name"))
+          .apply()
         val sec = (System.nanoTime() - t0) / 1e9
         results(name) =
           s"""{"sec":$sec,"memoryBytesSpilled":${memSpilled.sum()},""" +

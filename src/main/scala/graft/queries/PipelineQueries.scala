@@ -430,15 +430,18 @@ object PipelineQueries {
   }
 
   // Distributed BPE merge training over the corpus word histogram —
-  // tokenizer training as iterative relational passes. The greedy
-  // sequential merge rule is not SQL-expressible, rows-only — but
-  // PROPERTY-ORACLED in-query: the distributed merge table must equal
-  // the sequential reference run on the collected word histogram
-  // (vocabulary-bounded by contract — BPE's whole design collapses the
-  // corpus to distinct words before any driver state). BpeSpec
+  // tokenizer training as iterative relational passes. Round 11:
+  // hash-oracled — `BpeTrainSql` unrolls the 12 training rounds as
+  // chained materialized CTEs where each round's argmax WINNER is a
+  // one-row CTE cross-joined into the next round's merge application,
+  // so DuckDB retrains the table from scratch (no frozen literals) and
+  // the driver hash-compares training itself: pair counting, the
+  // (-count, left, right) tie-break, and greedy replay all at once.
+  // The in-query distributed==sequential require stays (it gates the
+  // BENCH run at sf0.1, where the oracle doesn't look), and BpeSpec
   // additionally pins the sequential reference itself against an
   // independent implementation and the paper's hand-checked merges.
-  val q88 = Q.rowsOnly("q88_bpe_merges") { (s, d) =>
+  val q88 = Q.checked("q88_bpe_merges", BpeTrainSql.sql) { (s, d) =>
     import s.implicits._
     val docs = Tables.documents(s, d)
     val got = graft.operators.Bpe.trainMerges(docs, nMerges = 12)
@@ -3501,6 +3504,58 @@ object BpeEncodeSql {
               coalesce(n_subwords, 0) AS n_subwords
        FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
        ORDER BY d.doc_id"""
+  }
+}
+
+/** DuckDB SQL twin of BPE TRAINING (q88): the 12 merge rounds unrolled
+  * as chained CTEs with NO frozen literals — round r's argmax winner is
+  * a one-row CTE (`ORDER BY count DESC, left, right LIMIT 1`, the exact
+  * `Bpe.trainMerges` tie-break) CROSS JOINed into round r+1's merge
+  * application, so DuckDB genuinely retrains the table from the corpus.
+  * Pair extraction zips adjacent symbols parsed back out of the
+  * delimiter-wrapped word string (the [[BpeEncodeSql]] representation);
+  * the apply step is the same single delimiter-wrapped replace, which
+  * is exactly the greedy left-to-right non-overlapping rule. Every
+  * multiply-referenced CTE is `MATERIALIZED` — DuckDB inlines CTEs by
+  * default, and `h_r` feeding both the round-r argmax and round r+1
+  * would otherwise re-derive the whole chain per reference
+  * (exponential; measured: >120 s inlined vs 0.8 s materialized).
+  */
+object BpeTrainSql {
+  val rounds = 12
+
+  val sql: String = {
+    val parts = Seq.newBuilder[String]
+    parts += """words AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      FROM documents)"""
+    parts += """hist AS MATERIALIZED (
+      SELECT w, count(*) AS f FROM words WHERE w <> '' GROUP BY w)"""
+    parts += ("""h0 AS MATERIALIZED (
+      SELECT regexp_replace(w, '(.)', chr(1)||'\1'||chr(2), 'g')
+        || chr(1)||'""" + graft.operators.Bpe.EndMark +
+      """'||chr(2) AS s, f FROM hist)""")
+    (0 until rounds).foreach { r =>
+      parts += s"""p$r AS (
+        SELECT z[1] AS l, z[2] AS rr, sum(f) AS c FROM (
+          SELECT unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS z, f
+          FROM (SELECT regexp_extract_all(s,
+                  chr(1)||'([^'||chr(2)||']*)'||chr(2), 1) AS syms, f
+                FROM h$r)
+        ) t(z, f)
+        GROUP BY z[1], z[2])"""
+      parts += s"""w$r AS MATERIALIZED (
+        SELECT l, rr, c FROM p$r ORDER BY c DESC, l, rr LIMIT 1)"""
+      parts += s"""h${r + 1} AS MATERIALIZED (
+        SELECT replace(h.s, chr(1)||w.l||chr(2)||chr(1)||w.rr||chr(2),
+                 chr(1)||w.l||w.rr||chr(2)) AS s, h.f
+        FROM h$r h CROSS JOIN w$r w)"""
+    }
+    val sel = (0 until rounds).map { r =>
+      s"""SELECT $r AS rank, l AS "left", rr AS "right",
+          CAST(c AS BIGINT) AS pair_count FROM w$r"""
+    }.mkString("\nUNION ALL\n")
+    s"WITH ${parts.result().mkString(",\n")}\nSELECT * FROM (\n$sel\n) ORDER BY rank"
   }
 }
 
