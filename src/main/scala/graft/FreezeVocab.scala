@@ -54,6 +54,22 @@ object FreezeVocab {
     println(vocab.grouped(6).map(g => "    " + g.map(q).mkString(", "))
       .mkString(",\n"))
     println("  )")
+
+    // Unigram-LM piece table, the q119 training recipe (doc_id % 5
+    // slice) — frozen for the q150 Viterbi-encode oracle. Doubles are
+    // printed with Double.toString (shortest round-trip repr), which
+    // both the Scala compiler and DuckDB parse back to the identical
+    // IEEE-754 bit pattern, so the DP sums match bit-for-bit.
+    import spark.implicits._
+    val uni = graft.operators.Unigram
+      .train(docs.filter(col("doc_id") % 5 === 0), vocabSize = 120,
+        iters = 2, maxPieceLen = 4, seedSize = 300)
+      .as[(String, Double)].collect().sortBy(_._1)
+    println()
+    println("  val unigramTable: Vector[(String, Double)] = Vector(")
+    println(uni.map { case (p, lp) => s"    (${q(p)}, $lp)" }
+      .mkString(",\n"))
+    println("  )")
     spark.stop()
   }
 }

@@ -78,4 +78,76 @@ object FrozenVocab {
     "s", "sp", "t", "th", "v", "w",
     "wi", "win", "wind"
   )
+
+  /** Unigram-LM piece table (piece -> log-prob), the q119 training
+    * recipe (`doc_id % 5` slice of sf0.01, vocabSize=120, iters=2,
+    * maxPieceLen=4, seedSize=300) frozen by `graft.FreezeVocab`. The
+    * q150 encode pass applies it on both engines: Spark via
+    * `Unigram.encodeDocs`, DuckDB via `UnigramEncodeSql`'s recursive
+    * Viterbi DP. Doubles are shortest-round-trip literals, so both
+    * parsers recover identical IEEE-754 bit patterns and the DP's
+    * score sums compare bit-for-bit.
+    */
+  val unigramTable: Vector[(String, Double)] = Vector(
+    ("a", -3.7575213868361006),
+    ("agg", -3.828395726422758),
+    ("am", -3.8746467440735133),
+    ("b", -9.004545458996587),
+    ("batc", -3.7213417302585983),
+    ("big", -3.752272030949957),
+    ("c", -9.004545458996587),
+    ("colu", -3.6815354798581783),
+    ("cust", -3.6432532932871613),
+    ("d", -9.004545458996587),
+    ("data", -3.9356412567763552),
+    ("dup", -6.925103917316751),
+    ("e", -2.7111261801501056),
+    ("er", -3.8512538644988075),
+    ("f", -9.004545458996587),
+    ("fast", -3.857050982183134),
+    ("filt", -3.8512538644988075),
+    ("g", -9.004545458996587),
+    ("grou", -3.8227619087045017),
+    ("h", -3.7213417302585983),
+    ("hash", -3.8115886081063763),
+    ("i", -9.004545458996587),
+    ("j", -9.004545458996587),
+    ("join", -3.9872656221816625),
+    ("k", -3.8687470219463247),
+    ("key", -3.904679031172388),
+    ("l", -3.752272030949957),
+    ("line", -4.000599153051128),
+    ("m", -9.004545458996587),
+    ("merg", -3.817159653155832),
+    ("mn", -3.6815354798581783),
+    ("n", -9.004545458996587),
+    ("o", -9.004545458996587),
+    ("omer", -3.6432532932871613),
+    ("or", -3.9231410940121236),
+    ("orde", -3.8115886081063763),
+    ("ow", -3.8005387719197916),
+    ("p", -3.8227619087045017),
+    ("part", -3.7470500869688053),
+    ("q", -9.004545458996587),
+    ("quer", -3.880581479593328),
+    ("r", -3.8115886081063763),
+    ("row", -3.667007379295269),
+    ("s", -9.004545458996587),
+    ("scan", -3.916949123764203),
+    ("slow", -3.73154590043284),
+    ("smal", -3.752272030949957),
+    ("sort", -3.8115886081063763),
+    ("spar", -3.8687470219463247),
+    ("stre", -3.8746467440735133),
+    ("t", -9.004545458996587),
+    ("tabl", -3.773436842142),
+    ("the", -3.7681034961666375),
+    ("u", -9.004545458996587),
+    ("v", -9.004545458996587),
+    ("valu", -3.828395726422758),
+    ("vect", -3.9231410940121236),
+    ("w", -9.004545458996587),
+    ("wind", -3.8005387719197916),
+    ("y", -3.880581479593328)
+  )
 }

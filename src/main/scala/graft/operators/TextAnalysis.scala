@@ -113,9 +113,10 @@ object TextAnalysis {
     * scalar UDF (no cross-engine oracle; golden-tested).
     */
   val FingerprintK = 8
+  val FingerprintB = 1000003L
   def fingerprintOf(s: String): Long = {
     if (s == null || s.length < FingerprintK) return 0L
-    val B = 1000003L
+    val B = FingerprintB
     var pow = 1L
     var i = 0
     while (i < FingerprintK - 1) { pow *= B; i += 1 }

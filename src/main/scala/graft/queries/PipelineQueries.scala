@@ -1077,15 +1077,18 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
-  // Rolling-hash winnowing fingerprint — engine-specific, rows-only
-  // (golden-tested in unit specs), with an in-query PROPERTY oracle:
-  // the fingerprint is the MIN over all 8-gram window hashes, so
-  // embedding a doc's text inside a longer string can only LOWER it
-  // (its windows are a subset of the superstring's) — require
+  // Rolling-hash winnowing fingerprint — hash-oracled as of round 11:
+  // the wraparound rolling update is polynomial evaluation in Z/2^64,
+  // which `FingerprintSql` recomputes window-by-window in HUGEINT (see
+  // its scaladoc), so the driver now hash-compares every doc's signed
+  // 64-bit minimum across engines. The window-containment PROPERTY
+  // gate stays: the fingerprint is the MIN over all 8-gram window
+  // hashes, so embedding a doc's text inside a longer string can only
+  // LOWER it (its windows are a subset of the superstring's) — require
   // fp(pad + text + pad) <= fp(text) for every doc long enough to have
   // a window. A wrong window slide/boundary term breaks this
   // containment invariant immediately.
-  val q38 = Q.rowsOnly("q38_text_fingerprint") { (s, d) =>
+  val q38 = Q.checked("q38_text_fingerprint", FingerprintSql.sql) { (s, d) =>
     val violations = Tables.documents(s, d)
       .filter(length(col("text")) >= TextAnalysis.FingerprintK)
       .select(
@@ -3258,6 +3261,42 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Frozen-table Unigram-LM encode (q150, round 11): the third
+    * tokenizer family gets the same checked-encode treatment as BPE
+    * (q114) and WordPiece (q148) — encode the whole corpus with the
+    * COMMITTED piece table (`FrozenVocab.unigramTable`, the q119
+    * training recipe, drift-gated by `FrozenVocabSpec`), so the
+    * driver hash-compares the Viterbi max-log-prob segmentation
+    * ALGORITHM across engines: `UnigramEncodeSql` replays the exact
+    * DP (bounded frontier, longer-piece tie-break, −1000 unk penalty)
+    * as a recursive CTE. Training itself stays property-gated in-query
+    * by q119 (distributed == sequential) — this query is the
+    * production shape: a versioned tokenizer artifact applied map-only
+    * to an arbitrary corpus. The lossless-roundtrip require holds for
+    * ANY corpus (single-char unk fallback never fails), which is what
+    * makes `n_pieces` a true token count at sf0.1 too, where the
+    * corpus contains words the sf0.01-trained table never saw.
+    */
+  val q150 = Q.checked("q150_unigram_encode_frozen", UnigramEncodeSql.sql) {
+    (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val table = graft.operators.FrozenVocab.unigramTable
+        .toDF("piece", "logp")
+      val enc = graft.operators.Unigram
+        .encodeDocs(docs, table, maxPieceLen = 4).persist()
+      val broken = enc
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .filter(
+          regexp_replace(col("piece_text"), lit(" "), lit("")) =!=
+            regexp_replace(trim(col("text")), lit("\\s+"), lit("")))
+        .count()
+      require(broken == 0, s"frozen unigram roundtrip broke on $broken docs")
+      graft.util.CacheRelease.afterFirstAction(
+        enc.select("doc_id", "n_words", "n_pieces").orderBy("doc_id"),
+        Seq(enc))
+  }
+
   /** WordPiece encode (q148): the BERT-family tokenizer as the third
     * trained-tokenizer surface (BPE q88/q114, Unigram-LM q119). Round
     * 11 (VERDICT r10 #5): hash-oracled — the query encodes with the
@@ -3666,5 +3705,116 @@ object TextAnalysisSql {
               CASE WHEN total = 0 THEN 'und' $langCase ELSE 'und' END AS lang_pred
        FROM sc
        ORDER BY doc_id"""
+  }
+}
+
+/** DuckDB SQL twin of the frozen-table Unigram-LM ENCODE pass (q150):
+  * Viterbi max-log-prob segmentation per distinct word, expressed as a
+  * recursive CTE that carries the DP frontier as bounded row state —
+  * (b0..b3, c0..c3) = best score / piece count for the last
+  * `maxPieceLen = 4` suffix lengths, exactly the window the recurrence
+  * `best(i) = max_l logp(piece) + best(i+l)` can reach. Each iteration
+  * extends the suffix by one character (right-to-left, the same
+  * direction as `Unigram.segmentWord`), scores the ≤ 4 candidate
+  * pieces via scalar lookups into the frozen vocab (missing single
+  * chars fall back to the same −1000.0 unk penalty; missing longer
+  * pieces are excluded via NULL), and shifts the frontier. Ties prefer
+  * the LONGER piece — the CASE checks l = 4 first, mirroring the
+  * Scala kernel's descending-length strict-> scan. Score sums are the
+  * identical left-to-right IEEE-754 addition chains on both engines
+  * (the frozen literals round-trip bit-exactly), so the argmax — and
+  * therefore `n_pieces` — matches bit-for-bit, never approximately.
+  */
+object UnigramEncodeSql {
+  private def esc(s: String): String = s.replace("'", "''")
+
+  val sql: String = {
+    val rows = graft.operators.FrozenVocab.unigramTable
+      .map { case (p, lp) => s"('${esc(p)}', ${lp}::DOUBLE)" }
+      .mkString(",\n         ")
+    s"""WITH RECURSIVE vocab(piece, logp) AS (
+         VALUES $rows),
+       words AS (
+         SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         FROM documents),
+       wf AS (SELECT doc_id, w FROM words WHERE w <> ''),
+       dw AS (SELECT DISTINCT w FROM wf),
+       dp AS (
+         SELECT w, 0 AS m,
+           0.0::DOUBLE AS b0, NULL::DOUBLE AS b1,
+           NULL::DOUBLE AS b2, NULL::DOUBLE AS b3,
+           0 AS c0, NULL::INTEGER AS c1,
+           NULL::INTEGER AS c2, NULL::INTEGER AS c3
+         FROM dw
+         UNION ALL
+         SELECT w, m + 1,
+           best, b0, b1, b2,
+           CASE WHEN s4 IS NOT NULL AND s4 = best THEN c3 + 1
+                WHEN s3 IS NOT NULL AND s3 = best THEN c2 + 1
+                WHEN s2 IS NOT NULL AND s2 = best THEN c1 + 1
+                ELSE c0 + 1 END,
+           c0, c1, c2
+         FROM (
+           SELECT *,
+             greatest(coalesce(s1, -1e308), coalesce(s2, -1e308),
+                      coalesce(s3, -1e308), coalesce(s4, -1e308)) AS best
+           FROM (
+             SELECT w, m, b0, b1, b2, b3, c0, c1, c2, c3,
+               coalesce((SELECT logp FROM vocab WHERE piece = left(rem, 1)),
+                        -1000.0::DOUBLE) + b0 AS s1,
+               (SELECT logp FROM vocab WHERE piece = left(rem, 2)) + b1 AS s2,
+               (SELECT logp FROM vocab WHERE piece = left(rem, 3)) + b2 AS s3,
+               (SELECT logp FROM vocab WHERE piece = left(rem, 4)) + b3 AS s4
+             FROM (SELECT w, m, b0, b1, b2, b3, c0, c1, c2, c3,
+                     right(w, m + 1) AS rem
+                   FROM dp WHERE m < length(w)) z
+           ) y
+         ) x),
+       fin AS (SELECT w, c0 AS n_sub FROM dp WHERE m = length(w)),
+       agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(n_sub) AS BIGINT) AS n_pieces
+               FROM wf JOIN fin USING (w) GROUP BY doc_id)
+       SELECT d.doc_id, coalesce(n_words, 0) AS n_words,
+              coalesce(n_pieces, 0) AS n_pieces
+       FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+       ORDER BY d.doc_id"""
+  }
+}
+
+/** DuckDB SQL twin of [[graft.operators.TextAnalysis.fingerprintOf]]
+  * (q38): the rolling Karp–Rabin update `h = (h − c_out·B^7)·B + c_in`
+  * over Java longs IS polynomial evaluation in Z/2^64, so each window's
+  * value can be recomputed NON-rolling as
+  * `Σ_j c_j · (B^(7−j) mod 2^64)  (mod 2^64)`, reinterpreted as a
+  * signed 64-bit value — products fit HUGEINT (code point < 2^16,
+  * power < 2^64 → term < 2^80 < 2^127). The fixture is all-ASCII, so
+  * DuckDB's code-point indexing equals Java's UTF-16 `charAt`. min()
+  * over windows then matches the Scala signed-long min exactly; docs
+  * shorter than one window get the same 0 sentinel via the left join.
+  */
+object FingerprintSql {
+  val sql: String = {
+    val K = graft.operators.TextAnalysis.FingerprintK
+    val M = BigInt(2).pow(64)
+    val pows = (0 until K)
+      .map(j => BigInt(graft.operators.TextAnalysis.FingerprintB).pow(K - 1 - j).mod(M))
+    val terms = pows.zipWithIndex.map { case (p, j) =>
+      s"CAST(ord(substr(text, CAST(i AS INT) + $j, 1)) AS HUGEINT) * ${p}::HUGEINT"
+    }.mkString("\n             + ")
+    s"""WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       w AS (SELECT doc_id, text,
+               unnest(generate_series(1, n - ${K - 1})) AS i
+             FROM t WHERE n >= $K),
+       h AS (SELECT doc_id,
+               ($terms) % ${M}::HUGEINT AS hu
+             FROM w),
+       hs AS (SELECT doc_id,
+                CAST(CASE WHEN hu >= ${BigInt(2).pow(63)}::HUGEINT
+                          THEN hu - ${M}::HUGEINT ELSE hu END AS BIGINT) AS h
+              FROM h),
+       agg AS (SELECT doc_id, min(h) AS fingerprint FROM hs GROUP BY doc_id)
+       SELECT d.doc_id, coalesce(agg.fingerprint, 0) AS fingerprint
+       FROM documents d LEFT JOIN agg USING (doc_id)
+       ORDER BY d.doc_id"""
   }
 }

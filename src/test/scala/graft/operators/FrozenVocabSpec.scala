@@ -47,4 +47,26 @@ class FrozenVocabSpec extends AnyFunSuite {
       "frozen WordPiece vocabulary drifted from the fixture — regenerate " +
         "with `runMain graft.FreezeVocab` and update FrozenVocab.scala")
   }
+
+  test("frozen Unigram piece table == q119 recipe retrained on sf0.01, " +
+    "bit-exact logp") {
+    assume(haveFixture, s"fixture $fixture not present")
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, fixture)
+    val retrained = Unigram
+      .train(docs.filter(col("doc_id") % 5 === 0), vocabSize = 120,
+        iters = 2, maxPieceLen = 4, seedSize = 300)
+      .as[(String, Double)].collect().sortBy(_._1).toVector
+    // exact Double equality on purpose: the q150 oracle's DP compares
+    // score sums bit-for-bit, so any drift in the 16th digit matters
+    assert(retrained == FrozenVocab.unigramTable,
+      "frozen Unigram table drifted from the fixture — regenerate with " +
+        "`runMain graft.FreezeVocab` and update FrozenVocab.scala")
+  }
+
+  test("frozen Unigram table fits the q150 DP window: no piece longer than 4") {
+    assert(FrozenVocab.unigramTable.forall(_._1.length <= 4),
+      "UnigramEncodeSql's bounded DP frontier (b0..b3) assumes " +
+        "maxPieceLen = 4; a longer frozen piece would be unreachable")
+  }
 }
