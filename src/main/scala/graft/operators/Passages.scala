@@ -235,4 +235,63 @@ object Passages {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** RefinedWeb-style SENTENCE-level exact dedup (Penedo et al. 2023
+    * §3.2 "exact substring+sentence filtering" family): split each doc
+    * on terminator runs `[.!?]+`, normalize (lower + squeezed
+    * whitespace + trim), and keep only the GLOBALLY FIRST occurrence of
+    * each normalized sentence — first by (doc_id, position), the
+    * deterministic keeper rule — dropping every later cross-doc (and
+    * within-doc) repeat. The granularity complements the family above:
+    * q80/q149 catch fixed-width token spans, [[dedupChunks]] fixed
+    * word windows; boilerplate usually repeats as whole SENTENCES
+    * whose length varies, which neither fixed width matches cleanly.
+    *
+    * Scale shape: one partial-aggregated min(struct(id, pos)) keyed by
+    * the 16-byte sentence digest (a boilerplate sentence on a billion
+    * pages combines map-side — the digest never funnels raw text or a
+    * hot single task), one digest-keyed join back, one per-doc
+    * re-aggregation. No global window anywhere (the SQL twin's
+    * row_number is DuckDB-local idiom; the Spark plan is agg + join).
+    * Per-doc output: sentence counts and the reassembled kept text in
+    * original order.
+    */
+  def dropDuplicateSentences(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val sents = docs
+      .select(Ids.longId(idCol).as("id"),
+        posexplode(split(col(textCol), "[.!?]+")))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        trim(regexp_replace(lower(col("col")), "\\s+", " ")).as("norm"))
+      .filter(col("norm") =!= "")
+    val firsts = sents
+      .groupBy(md5(col("norm")).as("digest"))
+      .agg(min(struct(col("id"), col("pos"))).as("first"))
+      .select(col("digest"), col("first.id").as("kid"),
+        col("first.pos").as("kpos"))
+    val flagged = sents
+      .join(firsts, md5(col("norm")) === firsts("digest"))
+      .withColumn("keep", col("id") === col("kid") && col("pos") === col("kpos"))
+    val agg = flagged
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_sentences"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            sort_array(collect_list(
+              when(col("keep"), struct(col("pos"), col("norm"))))),
+            _.getField("norm")),
+          ". ").as("clean_text"))
+    docs
+      .select(Ids.longId(idCol).as("id"))
+      .join(agg, Seq("id"), "left")
+      .select(
+        col("id").as("doc_id"),
+        coalesce(col("n_sentences"), lit(0L)).as("n_sentences"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("n_sentences"), lit(0L)) -
+          coalesce(col("n_kept"), lit(0L))).as("n_dup"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -3297,6 +3297,66 @@ object PipelineQueries {
         Seq(enc))
   }
 
+  /** Sentence-level cross-doc dedup (q151): the RefinedWeb boilerplate
+    * cut at SENTENCE granularity — the repetition mode the fixed-width
+    * family (q80/q149 token spans, q81 word chunks) can't match
+    * cleanly. Keeper rule is globally deterministic (first occurrence
+    * by (doc_id, pos)), so the whole operator — counts AND the
+    * reassembled kept text — hash-matches a DuckDB twin that replays
+    * the identical split/normalize/first-wins algebra. Spark side is
+    * window-free (partial-agg min(struct) keyed by sentence digest +
+    * digest join); the twin's row_number is DuckDB-local idiom only.
+    * The fixture corpus has NO exact duplicate sentences, so both
+    * engines first augment it identically: every `doc_id % 3 == 0`
+    * doc gains a shifted-id copy carrying a shared boilerplate
+    * sentence — the copies' sentences all lose to their originals and
+    * the boilerplate survives exactly once, so the DROP path (not
+    * just the keep path) is what the hash compare certifies.
+    */
+  val q151 = Q.checked(
+    "q151_dedup_sentences",
+    """WITH corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 100000,
+                text || '. Subscribe to our newsletter today.'
+         FROM documents WHERE doc_id % 3 = 0),
+       t AS (SELECT doc_id,
+                    regexp_split_to_array(text, '[.!?]+') AS segs
+                  FROM corpus),
+       s0 AS (SELECT doc_id, i - 1 AS pos,
+                trim(regexp_replace(lower(segs[i]), '\s+', ' ', 'g')) AS norm
+              FROM (SELECT doc_id, segs,
+                      unnest(range(1, len(segs) + 1)) AS i FROM t)),
+       s AS (SELECT * FROM s0 WHERE norm <> ''),
+       r AS (SELECT doc_id, pos, norm,
+               row_number() OVER (PARTITION BY norm
+                                  ORDER BY doc_id, pos) AS rn
+             FROM s),
+       agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sentences,
+                 CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+                 string_agg(CASE WHEN rn = 1 THEN norm END, '. '
+                            ORDER BY pos) AS kept_text
+               FROM r GROUP BY doc_id)
+       SELECT d.doc_id,
+              coalesce(n_sentences, 0) AS n_sentences,
+              coalesce(n_kept, 0) AS n_kept,
+              coalesce(n_sentences, 0) - coalesce(n_kept, 0) AS n_dup,
+              coalesce(kept_text, '') AS clean_text
+       FROM corpus d LEFT JOIN agg USING (doc_id)
+       ORDER BY d.doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val corpus = docs.unionByName(
+      docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"),
+            lit(". Subscribe to our newsletter today.")).as("text")))
+    graft.operators.Passages
+      .dropDuplicateSentences(corpus)
+      .orderBy("doc_id")
+  }
+
   /** WordPiece encode (q148): the BERT-family tokenizer as the third
     * trained-tokenizer surface (BPE q88/q114, Unigram-LM q119). Round
     * 11 (VERDICT r10 #5): hash-oracled — the query encodes with the

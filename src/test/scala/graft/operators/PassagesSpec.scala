@@ -102,4 +102,26 @@ class PassagesSpec extends AnyFunSuite {
       .map(r => r._1 -> r._4).toMap
     assert(got(1L) == words)
   }
+
+  test("dropDuplicateSentences: first occurrence by (doc_id, pos) wins, " +
+    "normalization collapses case/whitespace, reassembly keeps order") {
+    // doc 1: "Hello world. Bye now." — both first occurrences, kept.
+    // doc 2 repeats "hello   WORLD" (same normalized sentence, later
+    //   doc) plus a fresh sentence -> 1 dropped, 1 kept.
+    // doc 3 repeats its own sentence within the doc -> the pos-0 copy
+    //   is kept, the pos-1 copy dropped (within-doc dedup).
+    // doc 4: terminators only -> zero sentences, empty clean_text.
+    val docs = Seq(
+      (1L, "Hello world. Bye now."),
+      (2L, "hello   WORLD! Fresh one?"),
+      (3L, "same thing. same thing."),
+      (4L, "..!!??")).toDF("doc_id", "text")
+    val got = Passages.dropDuplicateSentences(docs)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((2L, 2L, 0L, "hello world. bye now")))
+    assert(got(2L) == ((2L, 1L, 1L, "fresh one")))
+    assert(got(3L) == ((2L, 1L, 1L, "same thing")))
+    assert(got(4L) == ((0L, 0L, 0L, "")))
+  }
 }
