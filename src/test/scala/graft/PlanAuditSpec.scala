@@ -452,4 +452,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("InMemoryRelation") || p.contains("InMemoryTableScan"),
       p.take(4000))
   }
+
+  test("q150: frozen unigram encode reuses the cached pass, no window/cartesian") {
+    // the Viterbi encode is a broadcast-table map; the returned plan may
+    // only re-read the PERSISTED encode (the roundtrip require already
+    // materialized it) and range-sort it — re-deriving the corpus scan,
+    // any Window, or a non-equi join means the map-only claim regressed
+    val p = plan("q150_unigram_encode_frozen")
+    assert(p.contains("InMemoryRelation") || p.contains("InMemoryTableScan"),
+      p.take(4000))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+  }
+
+  test("q151: sentence dedup is window-free with two-phase digest aggs") {
+    // keeper selection must be the partial-aggregated min(struct) keyed
+    // by sentence digest — a Window over the global sentence stream is
+    // exactly the single-task funnel the operator exists to avoid; the
+    // digest join must stay equi-join
+    val p = plan("q151_dedup_sentences")
+    assert(!p.contains("Window"), p.take(4000))
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      p.take(4000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+  }
 }
