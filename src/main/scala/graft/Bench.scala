@@ -460,6 +460,34 @@ object Bench {
         .count()
       require(got == n, s"expected $n docs with exactly one dup passage, got $got")
     }),
+    // Sentence-dedup linearity probe (round 11, the q151 operator at
+    // synthetic scale): 4×jacDocs docs, each carrying three unique
+    // sentences plus ONE boilerplate sentence shared by EVERY doc — the
+    // worst-case hot digest (one sentence on all n pages). The answer
+    // is closed-form: doc 0 keeps all 4, every other doc drops exactly
+    // the boilerplate, so the per-doc histogram and the global kept sum
+    // are fully determined and require-checked. The hot digest must be
+    // absorbed by the partial min(struct) agg — a single-task funnel
+    // here is precisely the failure the window-free shape prevents.
+    s"sentences_dup_${jacDocs * 4}" -> (() => {
+      import spark.implicits._
+      val n = jacDocs * 4
+      val docs = spark.range(n).map { i =>
+        (i, s"u${i}a x y. u${i}b z w. subscribe to our newsletter. u${i}c q r.")
+      }.toDF("doc_id", "text")
+      import org.apache.spark.sql.functions.col
+      val out = graft.operators.Passages.dropDuplicateSentences(docs).persist()
+      val full = out.filter(col("n_sentences") === 4 && col("n_kept") === 4)
+        .count()
+      val clipped = out.filter(col("n_sentences") === 4 &&
+        col("n_kept") === 3 && col("n_dup") === 1).count()
+      val keptSum = out.agg(org.apache.spark.sql.functions.sum("n_kept"))
+        .head().getLong(0)
+      out.unpersist()
+      require(full == 1L && clipped == n - 1 && keptSum == 3L * n + 1,
+        s"closed-form sentence dedup violated: full=$full clipped=$clipped " +
+          s"keptSum=$keptSum (n=$n)")
+    }),
     // ANN scale probe: IVF-PQ over 4×jacDocs synthetic 64-dim vectors
     // with PLANTED closed-form ground truth — queries 0..9 each get 5
     // near-copies (ids 10+5q+j, cosine ≈ 0.996) while random 64-dim
