@@ -92,7 +92,8 @@ object SparkEntry {
     PipelineQueries.q140, PipelineQueries.q141, PipelineQueries.q142,
     PipelineQueries.q143, PipelineQueries.q144, PipelineQueries.q145,
     PipelineQueries.q146, PipelineQueries.q147, PipelineQueries.q148,
-    PipelineQueries.q149, PipelineQueries.q150, PipelineQueries.q151)
+    PipelineQueries.q149, PipelineQueries.q150, PipelineQueries.q151,
+    PipelineQueries.q152)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -236,6 +236,37 @@ object Passages {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Cross-source contamination matrix: for every pair of sources, the
+    * number of DISTINCT word n-grams occurring in both — the "did crawl
+    * B re-scrape crawl A" lineage signal that decides which source to
+    * down-weight before any per-document dedup runs. Output is
+    * |sources|² at most, so the whole result is a dashboard-sized
+    * table regardless of corpus size.
+    *
+    * Scale shape: the corpus collapses once to DISTINCT (digest,
+    * source) rows — the same partial-aggregate absorption as
+    * [[duplicatePassageStats]], keyed by the 16-byte digest, never raw
+    * gram text — and the pair join is digest-keyed with ≤ |sources|
+    * rows per key, so its output is bounded by |sources|² per digest,
+    * not by document count. No window, no cartesian.
+    */
+  def sourceOverlapMatrix(docs: DataFrame, n: Int = 5,
+      textCol: String = "text", srcCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val grams = posGrams(docs, n, textCol, idCol)
+    val bySrc = grams
+      .join(docs.select(Ids.longId(idCol).as("id"), col(srcCol).as("src")),
+        Seq("id"))
+      .select(md5(col("gram")).as("digest"), col("src"))
+      .distinct()
+    bySrc.as("a")
+      .join(bySrc.as("b"),
+        col("a.digest") === col("b.digest") && col("a.src") < col("b.src"))
+      .select(col("a.src").as("source_a"), col("b.src").as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** RefinedWeb-style SENTENCE-level exact dedup (Penedo et al. 2023
     * §3.2 "exact substring+sentence filtering" family): split each doc
     * on terminator runs `[.!?]+`, normalize (lower + squeezed

@@ -3297,6 +3297,35 @@ object PipelineQueries {
         Seq(enc))
   }
 
+  /** Cross-source contamination matrix (q152): distinct shared 5-gram
+    * digests per source pair — the lineage observability statistic a
+    * curation pipeline consults BEFORE dedup (which source re-scrapes
+    * which). Output bounded by |sources|² whatever the corpus size;
+    * Spark side is a digest-keyed distinct + pair equi-join (≤
+    * |sources| rows per digest key), plan-audited window/cartesian
+    * free. Fully deterministic → DuckDB hash-match (32 pairs at
+    * sf0.01).
+    */
+  val q152 = Q.checked(
+    "q152_source_overlap_matrix",
+    """WITH t AS (SELECT doc_id, source,
+                    regexp_split_to_array(trim(text), '\s+') AS toks
+                  FROM documents),
+       g AS (SELECT DISTINCT source,
+               array_to_string(toks[i:i+4], ' ') AS gram
+             FROM (SELECT doc_id, source, toks,
+                     unnest(range(1, len(toks) - 3)) AS i
+                   FROM t WHERE len(toks) >= 5))
+       SELECT a.source AS source_a, b.source AS source_b,
+              CAST(count(*) AS BIGINT) AS n_shared_grams
+       FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+       GROUP BY 1, 2
+       ORDER BY 1, 2""") { (s, d) =>
+    graft.operators.Passages
+      .sourceOverlapMatrix(Tables.documents(s, d))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Sentence-level cross-doc dedup (q151): the RefinedWeb boilerplate
     * cut at SENTENCE granularity — the repetition mode the fixed-width
     * family (q80/q149 token spans, q81 word chunks) can't match

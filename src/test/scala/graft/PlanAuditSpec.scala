@@ -477,4 +477,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(4000))
   }
+
+  test("q152: source overlap pairs via digest equi-join, two-phase distinct") {
+    // the (digest, source) distinct must partial-aggregate before its
+    // exchange, and the pair join must be a digest equi-join (the
+    // a.src < b.src inequality rides as a post-join filter) — a
+    // nested-loop or cartesian means the join key degenerated
+    val p = plan("q152_source_overlap_matrix")
+    assert(p.contains("HashAggregate"), p.take(4000))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+  }
 }

@@ -124,4 +124,20 @@ class PassagesSpec extends AnyFunSuite {
     assert(got(3L) == ((2L, 1L, 1L, "same thing")))
     assert(got(4L) == ((0L, 0L, 0L, "")))
   }
+
+  test("sourceOverlapMatrix counts DISTINCT shared grams per source pair, " +
+    "ignoring within-source and within-doc repeats") {
+    // s1 and s2 share exactly the gram "a b c d e"; s2 and s3 share
+    // exactly "b c d e f"; s1-s3 share nothing. Doc 5 repeats doc 2's
+    // grams WITHIN s2 — distinct-per-source must not inflate any pair.
+    val docs = Seq(
+      (1L, "a b c d e", "s1"),
+      (2L, "a b c d e f", "s2"),
+      (3L, "b c d e f g", "s3"),
+      (4L, "z y x w v", "s3"),
+      (5L, "a b c d e f", "s2")).toDF("doc_id", "text", "source")
+    val got = Passages.sourceOverlapMatrix(docs)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("s1", "s2", 1L), ("s2", "s3", 1L)))
+  }
 }
