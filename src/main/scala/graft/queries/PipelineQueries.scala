@@ -3297,6 +3297,31 @@ object PipelineQueries {
         Seq(enc))
   }
 
+  /** Per-source training-token accounting (q153): encode the corpus
+    * with the frozen BPE table and aggregate docs/words/tokens by
+    * source — the statistic that sizes mixture weights and epoch math
+    * before any training run ("source X contributes N tokens"). Pure
+    * composition of the q114 map-only encode (broadcast merge table)
+    * with one partial-aggregated rollup keyed by source; the oracle
+    * replays the identical frozen merge chain and re-aggregates by
+    * source, so the token totals hash-match exactly.
+    */
+  val q153 = Q.checked(
+    "q153_source_token_accounting", BpeEncodeSql.bySourceSql) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val merges = graft.operators.FrozenVocab.bpeMerges.zipWithIndex
+      .map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "left", "right")
+    graft.operators.Bpe.encodeDocs(docs.select("doc_id", "text"), merges)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_subwords").as("n_tokens"))
+      .orderBy("source")
+  }
+
   /** Cross-source contamination matrix (q152): distinct shared 5-gram
     * digests per source pair — the lineage observability statistic a
     * curation pipeline consults BEFORE dedup (which source re-scrapes
@@ -3632,6 +3657,41 @@ object BpeEncodeSql {
               coalesce(n_subwords, 0) AS n_subwords
        FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
        ORDER BY d.doc_id"""
+  }
+
+  /** Per-SOURCE token accounting (q153) over the same frozen merge
+    * chain: the "how many training tokens does each source contribute"
+    * statistic that sizes mixture weights and epoch math before any
+    * training run. Identical merge-replay CTEs; only the final
+    * aggregation differs (by source, via each word occurrence's doc).
+    */
+  val bySourceSql: String = {
+    val merges = graft.operators.FrozenVocab.bpeMerges
+    val steps = merges.zipWithIndex.map { case ((l, r), i) =>
+      s"s${i + 1} AS (SELECT w, replace(s, ${wrap(l)}||${wrap(r)}, ${wrap(l + r)}) AS s FROM s$i)"
+    }
+    val last = s"s${merges.size}"
+    s"""WITH words AS (
+         SELECT doc_id, source,
+                unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         FROM documents),
+       wf AS (SELECT doc_id, source, w FROM words WHERE w <> ''),
+       dw AS (SELECT DISTINCT w FROM wf),
+       s0 AS (SELECT w, regexp_replace(w, '(.)', chr(1)||'\\1'||chr(2), 'g')
+                 || ${wrap(graft.operators.Bpe.EndMark)} AS s FROM dw),
+       ${steps.mkString(",\n       ")},
+       seg AS (SELECT w, length(s) - length(replace(s, chr(1), '')) AS n_sub
+               FROM $last),
+       agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(n_sub) AS BIGINT) AS n_tokens
+               FROM wf JOIN seg USING (w) GROUP BY source),
+       docs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY source)
+       SELECT docs.source, n_docs,
+              coalesce(n_words, 0) AS n_words,
+              coalesce(n_tokens, 0) AS n_tokens
+       FROM docs LEFT JOIN agg ON docs.source = agg.source
+       ORDER BY docs.source"""
   }
 }
 
