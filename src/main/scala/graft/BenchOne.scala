@@ -34,10 +34,10 @@ object BenchOne {
     val synthetic: Map[String, () => Unit] = Bench.syntheticRunners(spark,
       sys.env.getOrElse("SPARK_GRAFT_DIRT_ROWS", "200000").toLong,
       sys.env.getOrElse("SPARK_GRAFT_JACCARD_DOCS", "50000").toLong).toMap
-    // the q68/q69 shared-pair-graph override, same as the full bench:
-    // `BenchOne q68… q69…` times the composed shape Bench times, while
-    // q69 alone falls back to the stand-alone computation
-    val overrides = Bench.componentRunners(spark, sfDir)
+    // composite entries (`BenchOne cx_dedup_graph`, `cx_rel_core`, ...)
+    // share their runnable bodies with Bench verbatim; a bare member
+    // name (q69...) times the declared stand-alone query instead
+    val overrides = Bench.compositeRunners(spark, sfDir).toMap
 
     args.foreach { name =>
       val body: () => Unit = overrides.get(name)

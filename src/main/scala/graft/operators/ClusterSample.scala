@@ -31,11 +31,25 @@ object ClusterSample {
       nClusters: Int = 16,
       iters: Int = 3,
       idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    diversitySampleFrom(embeddings,
+      Ivf.trainCentroids(embeddings, nClusters, iters, idCol, vecCol),
+      nPerCluster, idCol, vecCol)
+
+  /** The apply half of [[diversitySample]] against a PRE-TRAINED
+    * centroid table — see [[Dedup.embeddingPairsKmeansFrom]]; frozen
+    * committed centroids make the quota pass
+    * DuckDB-oracle-expressible.
+    */
+  def diversitySampleFrom(
+      embeddings: DataFrame,
+      cents: Array[Array[Double]],
+      nPerCluster: Int,
+      idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     require(nPerCluster > 0, s"quota must be positive: $nPerCluster")
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val cents = Ivf.trainCentroids(embeddings, nClusters, iters, idCol, vecCol)
     val bc = spark.sparkContext.broadcast(cents)
 
     val assigned = embeddings

@@ -675,10 +675,25 @@ object Dedup {
       nClusters: Int = 16,
       iters: Int = 3,
       idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    embeddingPairsKmeansFrom(embeddings,
+      Ivf.trainCentroids(embeddings, nClusters, iters, idCol, vecCol),
+      threshold, idCol, vecCol)
+
+  /** The apply half of [[embeddingPairsKmeans]] against a PRE-TRAINED
+    * centroid table — the production shape (the cluster model is a
+    * versioned artifact) and what makes the pairing
+    * DuckDB-oracle-expressible when the centroids are the frozen
+    * committed [[FrozenCentroids.coarse16]].
+    */
+  def embeddingPairsKmeansFrom(
+      embeddings: DataFrame,
+      cents: Array[Array[Double]],
+      threshold: Double,
+      idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val cents = Ivf.trainCentroids(embeddings, nClusters, iters, idCol, vecCol)
     val bc = spark.sparkContext.broadcast(cents)
     val assigned = embeddings
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))

@@ -113,10 +113,27 @@ object Ivf {
       nProbe: Int = 4,
       iters: Int = 3,
       idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    ivfTopKFrom(embeddings,
+      trainCentroids(embeddings, nList, iters, idCol, vecCol),
+      queryIds, k, nProbe, idCol, vecCol)
+
+  /** The apply half of [[ivfTopK]] against a PRE-TRAINED centroid table
+    * — the production shape (a quantizer is a versioned artifact applied
+    * to new data, not retrained per query) and what makes the search
+    * DuckDB-oracle-expressible when the centroids are the frozen
+    * committed [[FrozenCentroids.coarse16]].
+    */
+  def ivfTopKFrom(
+      embeddings: DataFrame,
+      cents: Array[Array[Double]],
+      queryIds: Seq[Long],
+      k: Int = 5,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val cents = trainCentroids(embeddings, nList, iters, idCol, vecCol)
     val bc = spark.sparkContext.broadcast(cents)
 
     val corpus = embeddings

@@ -151,10 +151,21 @@ object Pq {
     */
   def pqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 5,
       m: Int = 8, ksub: Int = 16, iters: Int = 3, rerank: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqTopKFrom(embeddings,
+      trainCodebooks(embeddings, m, ksub, iters, idCol, vecCol),
+      queryIds, k, rerank, idCol, vecCol)
+
+  /** The apply half of [[pqTopK]] against PRE-TRAINED codebooks — the
+    * production shape (codebooks ship as a versioned artifact) and what
+    * makes the ADC search DuckDB-oracle-expressible when they are the
+    * frozen committed [[FrozenCentroids.pqCodebooks]].
+    */
+  def pqTopKFrom(embeddings: DataFrame, cb: Codebooks,
+      queryIds: Seq[Long], k: Int = 5, rerank: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val cb = trainCodebooks(embeddings, m, ksub, iters, idCol, vecCol)
     val bc = spark.sparkContext.broadcast(cb)
     val codes = encode(embeddings, cb, idCol, vecCol)
 
@@ -201,7 +212,7 @@ object Pq {
         val denom = qnorm * math.sqrt(xn2)
         val cosv = if (denom == 0.0) Double.NaN else dot / denom
         if (java.lang.Double.isFinite(cosv))
-          Iterator.single((qid, id, math.rint(cosv * 1e6) / 1e6))
+          Iterator.single((qid, id, VectorSearch.round6(cosv)))
         else Iterator.empty
       }
       .toDF("query_id", "neighbor_id", "cos_sim")
@@ -219,12 +230,21 @@ object Pq {
   def ivfPqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 5,
       nList: Int = 16, nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
       iters: Int = 3, rerank: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfPqTopKFrom(embeddings,
+      Ivf.trainCentroids(embeddings, nList, iters, idCol, vecCol),
+      trainCodebooks(embeddings, m, ksub, iters, idCol, vecCol),
+      queryIds, k, nProbe, rerank, idCol, vecCol)
+
+  /** The apply half of [[ivfPqTopK]] against PRE-TRAINED coarse
+    * centroids + codebooks (see [[pqTopKFrom]]). */
+  def ivfPqTopKFrom(embeddings: DataFrame, coarse: Array[Array[Double]],
+      cb: Codebooks, queryIds: Seq[Long], k: Int = 5, nProbe: Int = 4,
+      rerank: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val coarse = Ivf.trainCentroids(embeddings, nList, iters, idCol, vecCol)
     val bcCoarse = spark.sparkContext.broadcast(coarse)
-    val cb = trainCodebooks(embeddings, m, ksub, iters, idCol, vecCol)
     val bcCb = spark.sparkContext.broadcast(cb)
 
     // corpus: (cell, id, codes) — one map-only pass assigns + encodes
@@ -284,7 +304,7 @@ object Pq {
         val denom = qnorm * math.sqrt(xn2)
         val cosv = if (denom == 0.0) Double.NaN else dot / denom
         if (java.lang.Double.isFinite(cosv))
-          Iterator.single((qid, id, math.rint(cosv * 1e6) / 1e6))
+          Iterator.single((qid, id, VectorSearch.round6(cosv)))
         else Iterator.empty
       }
       .toDF("query_id", "neighbor_id", "cos_sim")

@@ -177,7 +177,8 @@ object Unigram {
     val bc = spark.sparkContext.broadcast(table)
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .map { case (id, text) =>
-        val words = text.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+        val words = (if (text == null) "" else text.trim)
+          .split("\\s+").toSeq.filter(_.nonEmpty)
         val pieces = words.flatMap(segmentWord(_, bc.value, maxPieceLen))
         (id, words.size.toLong, pieces.size.toLong, pieces.mkString(" "))
       }

@@ -52,15 +52,21 @@ object VectorSearch {
     dab / (math.sqrt(daa) * math.sqrt(dbb))
   }
 
+  /** `round(x, 6)` with HALF_UP on the double's exact decimal value —
+    * the ONE rounding convention every cross-engine score in the vector
+    * family uses (DuckDB's `round(x, 6)` matches it), so rankings over
+    * rounded scores compare identically across engines.
+    */
+  def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** Cosine rounded like `round(col, 6)` (HALF_UP on the double's decimal
     * value); None for degenerate inputs (zero-norm, ragged, null) —
     * mirroring the Column path, where the NULL result dropped the row.
     */
   def finiteRoundedCosine(a: Array[Float], b: Array[Float]): Option[Double] = {
     val c = cosineArrays(a, b)
-    if (java.lang.Double.isFinite(c))
-      Some(BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    else None
+    if (java.lang.Double.isFinite(c)) Some(round6(c)) else None
   }
 
   /** Total order for top-k ranking: higher score first, lower id breaks

@@ -19,9 +19,22 @@ object PipelineQueries {
 
   private val DupOffset = 100000L
 
+  /** Guard for every DupOffset-shifted augmentation (ADVICE r11): the
+    * shift is hardcoded in both engines' corpus constructions, so a
+    * fixture whose ids reach DupOffset would silently merge shifted
+    * copies with real docs. Fail loudly instead — the cost is one
+    * column-pruned max() scan per augmenting query.
+    */
+  private def requireIdHeadroom(docs: DataFrame): DataFrame = {
+    val mx = docs.agg(max(col("doc_id").cast("long"))).head().getLong(0)
+    require(mx < DupOffset,
+      s"fixture doc_id max $mx >= shift $DupOffset: dup ids would collide")
+    docs
+  }
+
   /** documents ∪ re-id'd copy of docs 0-49 (guaranteed exact dups). */
   def dupCorpus(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val docs = requireIdHeadroom(Tables.documents(s, d))
     docs.unionByName(
       docs.filter(col("doc_id") < 50)
         .withColumn("doc_id", col("doc_id") + DupOffset))
@@ -381,6 +394,22 @@ object PipelineQueries {
     graft.util.CacheRelease.afterFirstAction(got, Seq(got))
   }
 
+  /** Frozen per-fixture quantizer artifacts with a live-training
+    * fallback for corpora without a committed quantizer (scale probes,
+    * new fixtures) -- same recipe either way, so behavior off the
+    * frozen fixtures is exactly the pre-freeze operator.
+    */
+  private def frozenCoarse(s: SparkSession, d: String): Array[Array[Double]] =
+    graft.operators.FrozenCentroids.coarseFor(d).getOrElse(
+      graft.operators.Ivf.trainCentroids(Tables.embeddings(s, d),
+        nList = 16, iters = 2))
+
+  private def frozenCodebooks(s: SparkSession,
+      d: String): graft.operators.Pq.Codebooks =
+    graft.operators.FrozenCentroids.codebooksFor(d).getOrElse(
+      graft.operators.Pq.trainCodebooks(Tables.embeddings(s, d),
+        m = 8, ksub = 16, iters = 2))
+
   // SRP-LSH approximate top-k — hyperplane-seeded, rows-only. Multi-table
   // (16 tables × 4 bits): the fixture's true top-5 neighbors sit at low
   // cosine (the hard, near-random regime), where a single table's bucket
@@ -394,39 +423,47 @@ object PipelineQueries {
       .orderBy("query_id", "neighbor_id")
   }
 
-  // IVF coarse-quantized ANN — deterministic k-means cells, probe the 6
-  // nearest of 16; k-means is not SQL-expressible, rows-only (recall vs
-  // the exact search is asserted in SkewAndIvfSpec AND require-gated
-  // in-query below).
-  val q44 = Q.rowsOnly("q44_ann_ivf_topk") { (s, d) =>
+  // IVF coarse-quantized ANN over the FROZEN 16-cell quantizer
+  // (round 12): assignment, probing and ranking are deterministic
+  // relational algebra both engines replay from the same committed
+  // centroids (`AnnSql.ivfTopK`), so the driver hash-compares the whole
+  // search. Training stays live elsewhere: drift-gated in
+  // FrozenCentroidsSpec, recall-gated at sf0.1 by the bench require.
+  val q44 = Q.checked("q44_ann_ivf_topk", AnnSql.ivfTopK) { (s, d) =>
     requireAnnRecall(s, d,
-      graft.operators.Ivf.ivfTopK(Tables.embeddings(s, d),
-        queryIds = 0L to 9L, k = 5, nList = 16, nProbe = 6, iters = 2),
+      graft.operators.Ivf.ivfTopKFrom(Tables.embeddings(s, d),
+        frozenCoarse(s, d), queryIds = 0L to 9L, k = 5, nProbe = 6),
       floor = 0.9, label = "IVF")
+      .withColumn("rank", col("rank").cast("long"))
       .orderBy("query_id", "neighbor_id")
   }
 
   // Product-quantization ADC ANN — 8 subspaces × 16 codes over the
   // 64-dim embeddings (32× compression; scoring touches only code ids
-  // + per-query lookup tables). k-means codebooks are not
-  // SQL-expressible, rows-only; the reconstruction-cosine identity is
-  // asserted in PqSpec, recall require-gated in-query below.
-  val q85 = Q.rowsOnly("q85_ann_pq_topk") { (s, d) =>
+  // + per-query lookup tables). Round 12: the codebooks are the FROZEN
+  // committed artifacts, so encode + ADC + shortlist + exact re-rank
+  // hash-match the DuckDB twin (`AnnSql.pqTopK`); training drift-gated
+  // in FrozenCentroidsSpec, reconstruction-cosine identity in PqSpec.
+  val q85 = Q.checked("q85_ann_pq_topk", AnnSql.pqTopK) { (s, d) =>
     requireAnnRecall(s, d,
-      graft.operators.Pq.pqTopK(Tables.embeddings(s, d),
-        queryIds = 0L to 9L, k = 5, m = 8, ksub = 16, iters = 2, rerank = 50),
+      graft.operators.Pq.pqTopKFrom(Tables.embeddings(s, d),
+        frozenCodebooks(s, d), queryIds = 0L to 9L, k = 5, rerank = 50),
       floor = 0.6, label = "PQ/ADC")
+      .withColumn("rank", col("rank").cast("long"))
       .orderBy("query_id", "neighbor_id")
   }
 
   // SemDeDup semantic near-dup pairs: k-means clusters bound the
   // pairwise cosine stage (quadratic per CLUSTER, not per corpus).
-  // k-means is not SQL-expressible, rows-only; within-cluster
-  // equivalence to the brute-force pairs is asserted in DedupEmbeddingSpec.
-  val q86 = Q.rowsOnly("q86_dedup_semantic_kmeans") { (s, d) =>
-    Dedup.embeddingPairsKmeans(Tables.embeddings(s, d), threshold = 0.4,
-      nClusters = 16, iters = 2)
-      .orderBy("id1", "id2")
+  // Round 12: clusters come from the FROZEN quantizer, so assignment +
+  // within-cluster scoring hash-match the DuckDB twin
+  // (`AnnSql.kmeansPairs`); within-cluster equivalence to brute force
+  // stays asserted in DedupEmbeddingSpec.
+  val q86 = Q.checked("q86_dedup_semantic_kmeans", AnnSql.kmeansPairs) {
+    (s, d) =>
+      Dedup.embeddingPairsKmeansFrom(Tables.embeddings(s, d),
+        frozenCoarse(s, d), threshold = 0.4)
+        .orderBy("id1", "id2")
   }
 
   // Distributed BPE merge training over the corpus word histogram —
@@ -907,10 +944,17 @@ object PipelineQueries {
   }
 
   // Deflate compression ratio (the RefinedWeb gibberish/boilerplate
-  // signal): zlib output is deterministic per input but not
-  // SQL-reproducible — rows-only; monotonicity closed forms in
-  // TextAnalysisSpec-adjacent CompressionSpec.
-  val q101 = Q.rowsOnly("q101_text_compression_ratio") { (s, d) =>
+  // signal). Round 12 (VERDICT r11 #5): hash-oracled against a
+  // committed expected table computed by CPython's zlib (level 6 —
+  // an independent implementation of the same RFC-1950/1951 coder the
+  // query runs through java.util.zip.Deflater; outputs spot-verified
+  // byte-identical), regenerated by `tools/freeze_compression.py`.
+  // DuckDB cannot deflate, but it can replay the frozen expectation —
+  // so the driver's hash compare certifies UTF-8 encoding, the drain
+  // loop and the permille arithmetic against a second zlib. The
+  // monotonicity closed forms stay pinned in CompressionSpec.
+  val q101 = Q.checked("q101_text_compression_ratio",
+    FrozenCompressionSql.sql) { (s, d) =>
     TextAnalysis.compressionStats(Tables.documents(s, d))
       .orderBy("doc_id")
   }
@@ -1026,13 +1070,15 @@ object PipelineQueries {
   // SemDeDup end-to-end: the q86 k-means-bounded semantic pairs fed
   // through the SAME connected-components + keeper-drop machinery the
   // text dedup family uses (the pair-shape compatibility claim, made
-  // concrete) — embeddings in, deduplicated keeper ids out. k-means is
-  // not SQL-expressible, rows-only; every composed piece is
-  // individually oracled/specced (q86, q68, q69).
-  val q108 = Q.rowsOnly("q108_dedup_semantic_drop") { (s, d) =>
+  // concrete) — embeddings in, deduplicated keeper ids out. Round 12:
+  // frozen quantizer makes the whole composition hash-match the DuckDB
+  // twin (`AnnSql.kmeansDrop` — pairs + recursive-CTE closure + min-id
+  // keeper, the q68/q69 oracle pattern).
+  val q108 = Q.checked("q108_dedup_semantic_drop", AnnSql.kmeansDrop) {
+    (s, d) =>
     val emb = Tables.embeddings(s, d)
-    val pairs = Dedup.embeddingPairsKmeans(emb, threshold = 0.4,
-      nClusters = 16, iters = 2)
+    val pairs = Dedup.embeddingPairsKmeansFrom(emb,
+      frozenCoarse(s, d), threshold = 0.4)
     val comps = graft.operators.DupGraph.components(pairs)
     val kept = graft.operators.DupGraph
       .dropNearDupsByComponents(emb, comps, idCol = "vec_id")
@@ -1055,15 +1101,16 @@ object PipelineQueries {
 
   // IVF-PQ (FAISS's IVFADC-R layout): coarse cells bound the candidate
   // set, PQ codes bound the bytes scanned, an exact re-rank restores
-  // recall. k-means quantizers are not SQL-expressible, rows-only;
-  // recall vs the exact search asserted in PqSpec AND require-gated
-  // in-query vs the exact top-k.
-  val q109 = Q.rowsOnly("q109_ann_ivfpq_topk") { (s, d) =>
+  // recall. Round 12: BOTH frozen quantizers, so probe + encode + ADC +
+  // re-rank hash-match the DuckDB twin (`AnnSql.ivfPqTopK`); recall vs
+  // the exact search stays require-gated in-query and specced in PqSpec.
+  val q109 = Q.checked("q109_ann_ivfpq_topk", AnnSql.ivfPqTopK) { (s, d) =>
     requireAnnRecall(s, d,
-      graft.operators.Pq.ivfPqTopK(Tables.embeddings(s, d),
-        queryIds = 0L to 9L, k = 5, nList = 16, nProbe = 6, m = 8,
-        ksub = 16, iters = 2, rerank = 50),
+      graft.operators.Pq.ivfPqTopKFrom(Tables.embeddings(s, d),
+        frozenCoarse(s, d), frozenCodebooks(s, d),
+        queryIds = 0L to 9L, k = 5, nProbe = 6, rerank = 50),
       floor = 0.6, label = "IVF-PQ")
+      .withColumn("rank", col("rank").cast("long"))
       .orderBy("query_id", "neighbor_id")
   }
 
@@ -2335,18 +2382,21 @@ object PipelineQueries {
   }
 
   /** Unigram-LM subword tokenizer (q119, SentencePiece's model): train
-    * on the doc_id % 5 slice, encode the whole corpus. Viterbi
-    * segmentation / hard-EM training aren't SQL-expressible, so the
-    * driver check is rows-only — but the query is property-oracled
-    * in-query twice, the q88/q114 pattern: (a) the distributed EM loop
-    * must EQUAL `Unigram.sequentialTrain` (plain Scala) on the
-    * collected histogram — legitimate driver state, vocabulary-bounded
-    * by the same contract as BPE — and (b) the segmentation must be a
-    * lossless roundtrip for EVERY document (concatenated pieces ==
-    * whitespace-stripped input), which is what makes `n_pieces` a true
-    * token count.
+    * on the doc_id % 5 slice, encode the whole corpus. Round 12
+    * (VERDICT r11 #6): hash-oracled via `UnigramEncodeSql` — q119's
+    * training recipe IS the frozen-table recipe (`FrozenVocabSpec`
+    * pins frozen == retrained bit-exactly), so the q150 Viterbi twin's
+    * counts are the expected output of the LIVE-trained encode too,
+    * and a training drift becomes a hash mismatch, not just a spec
+    * failure. The in-query property gates stay, the q88/q114 pattern:
+    * (a) the distributed EM loop must EQUAL `Unigram.sequentialTrain`
+    * (plain Scala) on the collected histogram — legitimate driver
+    * state, vocabulary-bounded by the same contract as BPE — and
+    * (b) the segmentation must be a lossless roundtrip for EVERY
+    * document (concatenated pieces == whitespace-stripped input),
+    * which is what makes `n_pieces` a true token count.
     */
-  val q119 = Q.rowsOnly("q119_unigram_encode") { (s, d) =>
+  val q119 = Q.checked("q119_unigram_encode", UnigramEncodeSql.sql) { (s, d) =>
     import s.implicits._
     val docs = Tables.documents(s, d)
     val slice = docs.filter(col("doc_id") % 5 === 0)
@@ -2831,13 +2881,57 @@ object PipelineQueries {
   }
 
   /** Incremental ingest classification (q136): exact → near (banded
-    * MinHash probe batch→base, Jaccard-verified) → new. Hash-seeded LSH
-    * has no SQL twin, so the gate is the planted construction itself:
-    * every +1e6 row must come back `exact_dup` pointing at its origin,
-    * every +2e6 tail-append `near_dup`, every +3e6 reversal `new` —
-    * all deterministic (fixed MinHash seed).
+    * MinHash probe batch→base, Jaccard-verified) → new. Round 12
+    * (VERDICT r11 #3): hash-oracled — the DuckDB twin recomputes the
+    * labels FROM SCRATCH with brute-force exact shingle Jaccard (every
+    * batch×base pair), so the hash compare certifies the LSH probe's
+    * candidate recall, the verification algebra and the label/keeper
+    * precedence all at once. This is sound because both sides are
+    * deterministic (fixed MinHash seed) and the fixtures have NO
+    * boundary pairs: a round-12 brute-force sweep of every batch→base
+    * pair at sf0.01 AND sf0.1 found qualifying Jaccards only at ≥ 0.88
+    * (tail-appends) and 1.0 (copies) — nothing in [0.5, 0.85] — while
+    * 16-band × 4-row LSH misses a 0.88 pair with probability < 1e-7
+    * (and deterministically finds every planted one here). The planted
+    * family gates stay for the non-oracled scales: every +1e6 row must
+    * come back `exact_dup` pointing at its origin, every +2e6
+    * tail-append `near_dup`, every +3e6 reversal `new`.
     */
-  val q136 = Q.rowsOnly("q136_incremental_ingest") { (s, d) =>
+  val q136 = Q.checked(
+    "q136_incremental_ingest",
+    s"""WITH batch AS (SELECT * FROM $incrBatchSql AS b),
+       digests AS (SELECT md5(text) AS digest, min(doc_id) AS dup_of
+                   FROM documents GROUP BY 1),
+       ex AS (SELECT batch.doc_id, digests.dup_of AS exact_of
+              FROM batch LEFT JOIN digests ON md5(batch.text) = digests.digest),
+       bsh AS (SELECT doc_id,
+                      CASE WHEN length(text) < 5 THEN [text]
+                           ELSE list_distinct([substr(text, i, 5)
+                                               for i in range(1, length(text) - 3)])
+                      END AS s
+               FROM batch),
+       dsh AS (SELECT doc_id,
+                      CASE WHEN length(text) < 5 THEN [text]
+                           ELSE list_distinct([substr(text, i, 5)
+                                               for i in range(1, length(text) - 3)])
+                      END AS s
+               FROM documents),
+       near AS (
+         SELECT bid AS doc_id, min(did) AS near_of FROM (
+           SELECT b.doc_id AS bid, d.doc_id AS did,
+                  len(list_intersect(b.s, d.s)) AS inter,
+                  len(b.s) AS l1, len(d.s) AS l2
+           FROM bsh b CROSS JOIN dsh d)
+         WHERE inter > 0
+           AND round(inter / (l1 + l2 - inter), 6) >= 0.7
+         GROUP BY 1)
+       SELECT ex.doc_id,
+              CASE WHEN ex.exact_of IS NOT NULL THEN 'exact_dup'
+                   WHEN near.near_of IS NOT NULL THEN 'near_dup'
+                   ELSE 'new' END AS label,
+              coalesce(ex.exact_of, near.near_of) AS dup_of
+       FROM ex LEFT JOIN near ON near.doc_id = ex.doc_id
+       ORDER BY ex.doc_id""") { (s, d) =>
     val out = Dedup.incrementalLabel(
       Tables.documents(s, d), incrBatch(s, d), threshold = 0.7).persist()
     val wrongExact = out
@@ -2863,15 +2957,18 @@ object PipelineQueries {
 
   /** Cluster-balanced diversity sampling (q137): an exact per-k-means-cell
     * quota over the embedding corpus — even semantic-space coverage
-    * instead of the crawl's topical skew. Hash-seeded k-means has no SQL
-    * twin; the in-query gates pin the quota semantics (ranks dense from
-    * 1, never above the quota, one rank per id) and the spec pins exact
-    * per-cell counts against an independent assignment.
+    * instead of the crawl's topical skew. Round 12: cells come from the
+    * FROZEN quantizer, so assignment + hash-rank quota hash-match the
+    * DuckDB twin (`AnnSql.diversitySample`, the q111 rank-key idiom);
+    * the in-query gates keep pinning the quota semantics (ranks dense
+    * from 1, never above the quota, one rank per id) and the spec pins
+    * exact per-cell counts against an independent assignment.
     */
-  val q137 = Q.rowsOnly("q137_cluster_diversity_sample") { (s, d) =>
+  val q137 = Q.checked("q137_cluster_diversity_sample",
+    AnnSql.diversitySample) { (s, d) =>
     val out = graft.operators.ClusterSample
-      .diversitySample(Tables.embeddings(s, d), nPerCluster = 5,
-        nClusters = 16)
+      .diversitySampleFrom(Tables.embeddings(s, d),
+        frozenCoarse(s, d), nPerCluster = 5)
       .persist()
     val overQuota = out.groupBy("cell").count()
       .filter(col("count") > 5).count()
@@ -3400,7 +3497,8 @@ object PipelineQueries {
               coalesce(kept_text, '') AS clean_text
        FROM corpus d LEFT JOIN agg USING (doc_id)
        ORDER BY d.doc_id""") { (s, d) =>
-    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val docs = requireIdHeadroom(Tables.documents(s, d))
+      .select("doc_id", "text")
     val corpus = docs.unionByName(
       docs.filter(col("doc_id") % 3 === 0)
         .select((col("doc_id") + 100000).as("doc_id"),
