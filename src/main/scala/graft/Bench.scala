@@ -25,8 +25,10 @@ import java.nio.file.{Files, Paths}
   * now carries >= 2 s of honest timed work: the former sub-2 s declared
   * entries are folded into family [[composites]] (one timed execution =
   * every member end-to-end), the four dedup-graph entries into the
-  * shared-state `cx_dedup_graph`, and the one sub-2 s synthetic doubled
-  * its rows. Local scheduler/GC noise is additive per region (observed
+  * shared-state `cx_dedup_graph`, and the synthetics that measured
+  * under ~2 s on a quiet GC-fenced session grew their rows
+  * (dirt_synthetic 8x, lifecycle 2x, streaming-incremental 2x). Local
+  * scheduler/GC noise is additive per region (observed
   * 0.2–1.1 s absolute on an sbt-warmed machine): on a 0.15 s
   * denominator it read as a 3–8× "regression" and kept the driver's
   * flag map non-empty for three rounds, while on a ≥ 2 s region it is
@@ -225,9 +227,9 @@ object Bench {
       "q73_xml_roundtrip", "q87_clustered_write_skipping",
       "q102_schema_evolution", "q115_zorder_write_skipping",
       "q142_output_manifest", "q143_snapshot_diff"),
-    "cx_rel_join_adv" -> Seq("q20_range_join", "q116_cdc_latest_wins_merge",
-      "q117_scd2_intervals", "q125_incremental_agg_merge",
-      "q131_bloom_prefilter_join"),
+    "cx_rel_join_adv" -> Seq("q20_range_join", "q27_bucketed_join",
+      "q116_cdc_latest_wins_merge", "q117_scd2_intervals",
+      "q125_incremental_agg_merge", "q131_bloom_prefilter_join"),
     "cx_streaming" -> Seq("q41_stream_tumbling_batch",
       "q42_stream_session_batch", "q43_stream_sliding_batch",
       "q56_stream_interval_join", "q59_stateful_user_stats",
@@ -259,15 +261,18 @@ object Bench {
     "cx_ann_search" -> Seq("q35_ann_cosine_topk", "q36_ann_srp_topk",
       "q44_ann_ivf_topk", "q60_native_cosine_expr"),
     "cx_ann_quantized" -> Seq("q45_dedup_embedding_exact", "q85_ann_pq_topk",
-      "q86_dedup_semantic_kmeans", "q109_ann_ivfpq_topk",
-      "q137_cluster_diversity_sample", "q146_hybrid_rrf_fusion"),
+      "q86_dedup_semantic_kmeans", "q108_dedup_semantic_drop",
+      "q109_ann_ivfpq_topk", "q137_cluster_diversity_sample",
+      "q146_hybrid_rrf_fusion"),
     "cx_curation" -> Seq("q54_curation_hash_split", "q55_curation_pack_bins",
       "q62_curation_bloom_blocklist", "q63_curation_mixture_sample",
       "q66_decontaminate", "q70_curation_pii_redact",
       "q77_curation_source_cap", "q82_mixture_temperature",
       "q118_rag_sliding_chunks", "q126_pack_sequences"),
     "cx_multimodal" -> Seq("q39_multimodal_features",
-      "q65_multimodal_audio_decode", "q107_multimodal_audio_dedup",
+      "q52_multimodal_image_decode", "q65_multimodal_audio_decode",
+      "q106_multimodal_image_dedup", "q107_multimodal_audio_dedup",
+      "q138_multimodal_image_resize",
       "q139_multimodal_video_frame_sample"))
 
   /** The four dedup-graph queries folded into ONE composed timed body
@@ -348,10 +353,12 @@ object Bench {
     */
   def syntheticRunners(spark: SparkSession, dirtRows: Long,
       jacDocs: Long): Seq[(String, () => Unit)] = Seq(
-    // 2x the base rows (round 12): the 200k pin sat at 1.55 s, under
-    // the 2 s honest-work floor every committed entry now clears
-    s"dirt_synthetic_${dirtRows * 2}" -> (() => {
-      DirtPipeline.run(spark, syntheticCorpus(spark, dirtRows * 2),
+    // 8x the base rows (round 12): the 200k entry measured ~1 s on a
+    // quiet GC-fenced session, under the 2 s honest-work floor every
+    // committed entry now clears; 1.6M lines measures the same pipeline
+    // well past its startup knee
+    s"dirt_synthetic_${dirtRows * 8}" -> (() => {
+      DirtPipeline.run(spark, syntheticCorpus(spark, dirtRows * 8),
         syntheticTestSet).count()
       ()
     }),
@@ -371,12 +378,12 @@ object Bench {
     // non-empty micro-batches) and that state stayed VOCABULARY-bounded
     // (state rows ≪ input rows — triple keys, not corpus lines; the
     // MemoryStream spec asserts exact state == distinct-triple count).
-    s"dirt_streaming_incremental_${dirtRows / 2}" -> (() => {
+    s"dirt_streaming_incremental_$dirtRows" -> (() => {
       import spark.implicits._
       val base = s"${sys.props("java.io.tmpdir")}/graft_stream_${ProcessHandle.current().pid()}"
       val corpusDir = s"${base}_corpus"
       val ckpt = s"${base}_ckpt_${System.nanoTime()}" // fresh offsets per rep
-      val rows = dirtRows / 2
+      val rows = dirtRows
       syntheticCorpus(spark, rows).toDF("value").repartition(8)
         .write.mode("overwrite").text(corpusDir)
       try {
@@ -673,9 +680,9 @@ object Bench {
     // TSV sink -> max-dedup + threshold sweep (P/R/F1), not just the
     // pipeline half. Labels split the synthetic test set so the sweep
     // does real TP/FP bookkeeping.
-    s"dirt_lifecycle_$dirtRows" -> (() => {
+    s"dirt_lifecycle_${dirtRows * 2}" -> (() => {
       val scored = DirtPipeline.run(spark,
-        syntheticCorpusCorrelated(spark, dirtRows), syntheticTestSet)
+        syntheticCorpusCorrelated(spark, dirtRows * 2), syntheticTestSet)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val out = s"${sys.props("java.io.tmpdir")}/graft_bench_tsv_${ProcessHandle.current().pid()}"

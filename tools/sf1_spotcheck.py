@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""10x scale spot-check of the declared heavy family (round 12, VERDICT
+r11 #4): runs q32/q68/q78/q110/q151 via BenchOne on the committed sf0.1
+fixture AND on the 10x sf1-equivalent fixture from tools/gen_sf1.py,
+plus the planted DIRT probe at its bench size and 10x that, and writes
+`tools/evidence/bench_sf1_spotcheck.json` with per-entry seconds and
+observed scaling exponents (ln(t10/t1)/ln(10)).
+
+Method notes recorded in the JSON: sf0.1 side uses BenchOne reps=3
+(min); the sf1 side uses reps=1 for the pair-quadratic entries — at 10x
+this corpus family's near-dup DENSITY makes pair-producing operators'
+output cardinality ~100x (the fixture's word-salad docs make most
+same-block pairs true near-dups), so minute-scale single shots are the
+honest measurement and the variance that reps fight is negligible
+relative to the scale signal.
+
+Usage: python3 tools/sf1_spotcheck.py  (from the repo root; ~30-60 min)
+"""
+import json
+import math
+import re
+import subprocess
+import sys
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/tmp/graft_sf1"
+QUERIES = ["q32_dedup_jaccard", "q68_dedup_components",
+           "q78_curate_corpus_pipeline", "q110_fuzzy_join_editdist",
+           "q151_dedup_sentences"]
+PLANTED_SMALL = 41667   # the bench entry's group count (2,000,016 lines)
+PLANTED_BIG = 416670    # 10x (20,000,160 lines)
+
+
+def bench_one(sf_dir, names, reps, extra_env=None):
+    env = {"SPARK_GRAFT_SF_DIR": sf_dir, "SPARK_GRAFT_CPUS": "32",
+           "SPARK_GRAFT_REPS": str(reps)}
+    if extra_env:
+        env.update(extra_env)
+    import os
+    full = dict(os.environ, **env)
+    cmd = ["sbt", "-batch", f"runMain graft.BenchOne {' '.join(names)}"]
+    out = subprocess.run(cmd, capture_output=True, text=True, env=full)
+    res = {}
+    for line in (out.stdout + out.stderr).splitlines():
+        m = re.match(r"BENCHONE (\S+) reps=\d+ min=([0-9.]+)", line)
+        if m:
+            res[m.group(1)] = float(m.group(2))
+    missing = [n for n in names if n not in res]
+    if missing:
+        print(out.stdout[-3000:])
+        print(out.stderr[-3000:])
+        raise SystemExit(f"BenchOne missing entries: {missing}")
+    return res
+
+def main() -> None:
+    subprocess.run([sys.executable, "tools/gen_sf1.py", SF1], check=True)
+
+    small = bench_one(SF01, QUERIES, reps=3)
+    big = bench_one(SF1, QUERIES, reps=1)
+
+    pl_small = bench_one(SF01, [f"dirt_planted_{PLANTED_SMALL * 48}"],
+                         reps=1,
+                         extra_env={"SPARK_GRAFT_PLANTED_GROUPS":
+                                    str(PLANTED_SMALL)})
+    pl_big = bench_one(SF01, [f"dirt_planted_{PLANTED_BIG * 48}"],
+                       reps=1,
+                       extra_env={"SPARK_GRAFT_PLANTED_GROUPS":
+                                  str(PLANTED_BIG)})
+
+    entries = {}
+    for q in QUERIES:
+        entries[q] = {
+            "sec_sf01": small[q], "sec_sf1": big[q],
+            "exponent": round(math.log(big[q] / small[q]) / math.log(10), 3),
+        }
+    ps = pl_small[f"dirt_planted_{PLANTED_SMALL * 48}"]
+    pb = pl_big[f"dirt_planted_{PLANTED_BIG * 48}"]
+    entries["dirt_planted"] = {
+        "n_small": PLANTED_SMALL * 48, "sec_small": ps,
+        "n_large": PLANTED_BIG * 48, "sec_large": pb,
+        "exponent": round(math.log(pb / ps) / math.log(10), 3),
+    }
+    doc = {
+        "metric": "sf1_spotcheck",
+        "method": ("BenchOne local[32]; sf0.1 reps=3 min, sf1/10x reps=1 "
+                   "single-shot (minute-scale entries); fixture from "
+                   "tools/gen_sf1.py (50k docs / 150k customers, "
+                   "distributions derived from sf0.1, seed 42)"),
+        "entries": entries,
+    }
+    with open("tools/evidence/bench_sf1_spotcheck.json", "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps(doc, indent=1))
+
+
+if __name__ == "__main__":
+    main()
