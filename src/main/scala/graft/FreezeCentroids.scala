@@ -48,7 +48,14 @@ object FreezeCentroids {
       val emb = Tables.embeddings(spark, dir)
       val coarse = graft.operators.Ivf.trainCentroids(emb, nList = 16, iters = 2)
       val cb = graft.operators.Pq.trainCodebooks(emb, m = 8, ksub = 16, iters = 2)
-      (key, coarse, cb)
+      // the q121 PCA recipe: k = 4 top eigenpairs + the mean vector
+      val pcaRows = {
+        import spark.implicits._
+        graft.operators.Pca.fitTopK(emb, k = 4)
+          .select("comp_id", "eigenvalue", "vector", "mean")
+          .as[(Int, Double, Seq[Double], Seq[Double])].collect().sortBy(_._1)
+      }
+      (key, coarse, cb, pcaRows)
     }
 
     val out = new StringBuilder
@@ -81,7 +88,7 @@ object FreezeCentroids {
 object FrozenCentroids {
 
 """
-    for ((key, coarse, cb) <- trained) {
+    for ((key, coarse, cb, pca) <- trained) {
       val id = key.replace(".", "_").replace("-", "_")
       out ++= s"  /** 16 x 64 coarse centroids for $key, cell id = row index. */\n"
       out ++= s"  val coarse16_$id: Vector[Vector[Double]] = Vector(\n"
@@ -93,6 +100,13 @@ object FrozenCentroids {
         "    Vector(\n" + sub.map(c => "      " + vec(c)).mkString(",\n") + "\n    )"
       }.mkString(",\n")
       out ++= "\n  )\n\n"
+      out ++= s"  /** PCA for $key (q121 recipe, k=4): the shared mean, then (eigenvalue, component). */\n"
+      out ++= s"  val pcaMean_$id: Vector[Double] =\n    " + vec(pca.head._4.toArray) + "\n\n"
+      out ++= s"  val pcaEigen_$id: Vector[(Double, Vector[Double])] = Vector(\n"
+      out ++= pca.map { case (_, lam, v, _) =>
+        s"    ($lam,\n      " + vec(v.toArray) + ")"
+      }.mkString(",\n")
+      out ++= "\n  )\n\n"
     }
     val keys = trained.map(_._1)
     def mapEntries(f: String => String) =
@@ -102,6 +116,10 @@ object FrozenCentroids {
       s"    Map(${mapEntries(id => s"coarse16_$id")})\n\n"
     out ++= s"  val pqCodebooksBySf: Map[String, Vector[Vector[Vector[Double]]]] =\n" +
       s"    Map(${mapEntries(id => s"pqCodebooks_$id")})\n\n"
+    out ++= s"  val pcaMeanBySf: Map[String, Vector[Double]] =\n" +
+      s"    Map(${mapEntries(id => s"pcaMean_$id")})\n\n"
+    out ++= s"  val pcaEigenBySf: Map[String, Vector[(Double, Vector[Double])]] =\n" +
+      s"    Map(${mapEntries(id => s"pcaEigen_$id")})\n\n"
     out ++= """  private def key(dir: String): String = new java.io.File(dir).getName
 
   /** Coarse centroids for a fixture dir; None -> caller trains live. */
@@ -121,6 +139,11 @@ object FrozenCentroids {
 
   def oraclePqCodebooks: Vector[Vector[Vector[Double]]] =
     pqCodebooksBySf("sf0.01")
+
+  def oraclePcaMean: Vector[Double] = pcaMeanBySf("sf0.01")
+
+  def oraclePcaEigen: Vector[(Double, Vector[Double])] =
+    pcaEigenBySf("sf0.01")
 }
 """
     println(out.toString)

@@ -362,6 +362,19 @@ object Dedup {
     (as, bs)
   }
 
+  /** The (a, b) universal-hash constants for the first `numPerm`
+    * permutations — exposed for the q33 oracle SQL builder
+    * (`HashSql`), which interpolates the SAME constants the signatures
+    * use so query and oracle cannot drift.
+    */
+  private[graft] def permConstants(numPerm: Int): (Seq[Long], Seq[Long]) = {
+    require(numPerm <= MaxPerm)
+    (permA.take(numPerm).toSeq, permB.take(numPerm).toSeq)
+  }
+
+  /** The MinHash modulus, shared with the oracle SQL builder. */
+  private[graft] def minhashP: Long = P
+
   /** MinHash signature of a token set: one min over the token hashes per
     * permutation, permutations simulated by the classic (a*x + b) mod p
     * universal family with constants derived from a fixed seed.

@@ -223,6 +223,120 @@ object AnnSql {
          FROM probes p JOIN assign a ON a.cell = p.cell
          WHERE a.vec_id <> p.query_id)""")}"""
 
+  /** SRP hyperplane VALUES table. The planes are a PURE FUNCTION of the
+    * committed seeds (`VectorSearch.hyperplanes` — java.util.Random
+    * gaussians), so the oracle interpolates them at SQL-build time; no
+    * freeze file is needed, and a seed change rewrites both engines at
+    * once. Doubles print shortest-round-trip, so DuckDB recovers the
+    * identical IEEE-754 planes and the sign-of-dot buckets match
+    * bit-for-bit (the dot products are the same elementwise
+    * float→double products summed in order on both engines).
+    */
+  private def planesCte(tables: Int, nBits: Int, seedBase: Long): String =
+    "planes(tbl, bit, pvec) AS (\n         SELECT * FROM (VALUES\n" +
+      (for {
+        t <- 0 until tables
+        (p, b) <- graft.operators.VectorSearch
+          .hyperplanes(nBits, 64, seedBase + t).zipWithIndex
+      } yield s"           ($t, $b, ${sqlVec(p.toVector)})")
+        .mkString(",\n") +
+      "))"
+
+  /** Per-(vector, table) SRP bucket: bit i set iff dot(v, plane_i) >= 0
+    * — the `VectorSearch.srpSignatureArray` rule (the NaN branch cannot
+    * fire on the finite fixture vectors).
+    */
+  private val srpSigCte: String =
+    """sig AS (
+         SELECT e.vec_id, p.tbl,
+                CAST(sum(CASE WHEN list_inner_product(e.v, p.pvec) >= 0
+                         THEN CAST(1 AS BIGINT) << p.bit ELSE 0 END)
+                  AS BIGINT) AS bucket
+         FROM e CROSS JOIN planes p
+         GROUP BY 1, 2)"""
+
+  /** q36: multi-table SRP top-5 — candidates share the query's bucket
+    * in >= 1 of the 16 four-bit tables (seed base 0x9e3779b9), then
+    * exact rounded cosine and the q35 ranking.
+    */
+  val srpTopK: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+       ${planesCte(tables = 16, nBits = 4, seedBase = 0x9e3779b9L)},
+       $srpSigCte,
+       q AS (SELECT vec_id AS query_id, tbl, bucket FROM sig
+             WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9)),
+       cand AS (
+         SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
+         FROM q JOIN sig s ON s.tbl = q.tbl AND s.bucket = q.bucket
+         WHERE s.vec_id <> q.query_id),
+       scored AS (
+         SELECT c.query_id, c.neighbor_id,
+                round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+         FROM cand c
+         JOIN e a ON a.vec_id = c.neighbor_id
+         JOIN e b ON b.vec_id = c.query_id)
+       SELECT query_id, neighbor_id, cos_sim, rank FROM (
+         SELECT query_id, neighbor_id, cos_sim,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+         FROM scored)
+       WHERE rank <= 5
+       ORDER BY query_id, neighbor_id"""
+
+  /** q46: SRP near-dup pairs — candidates share a bucket in >= 1 of the
+    * 4 two-bit tables (seed base 0x5eed), exact rounded cosine >= 0.4.
+    */
+  val srpPairs: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+       ${planesCte(tables = 4, nBits = 2, seedBase = 0x5eedL)},
+       $srpSigCte,
+       cand AS (
+         SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+         FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+         WHERE a.vec_id < b.vec_id)
+       SELECT id1, id2, cos_sim FROM (
+         SELECT c.id1, c.id2,
+                round(list_cosine_similarity(x.v, y.v), 6) AS cos_sim
+         FROM cand c
+         JOIN e x ON x.vec_id = c.id1
+         JOIN e y ON y.vec_id = c.id2)
+       WHERE cos_sim >= 0.4
+       ORDER BY id1, id2"""
+
+  /** q121: projection onto the FROZEN top-4 PCA components (mean and
+    * eigenvectors committed in `FrozenCentroids`; the live fit is
+    * drift-gated equal, so the hash compare certifies the moment pass,
+    * the Jacobi eigensolver AND the projection). The comprehension
+    * replays Spark's exact per-index (x_i − μ_i)·v_i products; both
+    * engines round to 6 decimals before comparing.
+    */
+  val pcaProject: String = {
+    val mu = sqlVec(FrozenCentroids.oraclePcaMean)
+    val comps = FrozenCentroids.oraclePcaEigen.zipWithIndex
+      .map { case ((_, v), i) => s"           ($i, ${sqlVec(v)})" }
+      .mkString(",\n")
+    s"""WITH mu(muvec) AS (VALUES ($mu)),
+       comps(cid, cvec) AS (
+         SELECT * FROM (VALUES
+$comps)),
+       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       proj AS (
+         SELECT e.vec_id, c.cid,
+                round(list_sum([c.cvec[i] * (e.v[i] - m.muvec[i])
+                                for i in range(1, ${FrozenCentroids.oraclePcaMean.size + 1})]),
+                      6) AS pc
+         FROM e CROSS JOIN comps c CROSS JOIN mu m)
+       SELECT vec_id,
+              max(CASE WHEN cid = 0 THEN pc END) AS pc0,
+              max(CASE WHEN cid = 1 THEN pc END) AS pc1,
+              max(CASE WHEN cid = 2 THEN pc END) AS pc2,
+              max(CASE WHEN cid = 3 THEN pc END) AS pc3
+       FROM proj GROUP BY vec_id
+       ORDER BY vec_id"""
+  }
+
   /** q137: per-frozen-cell quota of 5, md5-hash-ranked with vec_id
     * tiebreak — the q111/q77 rank-key idiom over k-means cells.
     */

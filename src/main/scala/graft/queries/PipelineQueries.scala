@@ -157,7 +157,10 @@ object PipelineQueries {
   // signatures make the outcome deterministic. The 50 planted twins
   // (J = 1.0 exactly, identical signatures => structurally guaranteed
   // candidates) keep the check non-vacuous at every SF.
-  val q33 = Q.rowsOnly("q33_dedup_minhash") { (s, d) =>
+  // Round 12: hash-oracled — `HashSql.minhashPairs` replays murmur3
+  // string hashing, the 128-permutation signature, band-slice candidate
+  // join and exact-Jaccard verify in DuckDB from the same constants.
+  val q33 = Q.checked("q33_dedup_minhash", HashSql.minhashPairs) { (s, d) =>
     import s.implicits._
     val got = Dedup.minhashPairs(dupCorpus(s, d), threshold = 0.7,
       bands = 8, rowsPerBand = 16).persist()
@@ -194,7 +197,9 @@ object PipelineQueries {
   // — so exact recall is 100% at any SF: every slice pair whose
   // brute-forced simhash distance is <= maxDist must appear in the
   // output, planted twins (distance 0) included.
-  val q34 = Q.rowsOnly("q34_dedup_simhash") { (s, d) =>
+  // Round 12: hash-oracled — `HashSql.simhashPairs` replays murmur3,
+  // the per-bit vote, the pigeonhole block join and the Hamming verify.
+  val q34 = Q.checked("q34_dedup_simhash", HashSql.simhashPairs) { (s, d) =>
     import s.implicits._
     val got = Dedup.simhashPairs(dupCorpus(s, d), maxDist = 3).persist()
     val slice = dupSlice(s, d)
@@ -283,7 +288,10 @@ object PipelineQueries {
   // quadratic check constant-cost at any SF) must appear in the LSH
   // output. Seeded hyperplanes make the gate deterministic (0.94
   // observed).
-  val q46 = Q.rowsOnly("q46_dedup_embedding_lsh") { (s, d) =>
+  // Round 12: hash-oracled — seeded hyperplanes interpolated into the
+  // `AnnSql.srpPairs` twin (signature, bucket join, rounded-cosine
+  // verify all replayed in DuckDB); the recall-floor gate stays.
+  val q46 = Q.checked("q46_dedup_embedding_lsh", AnnSql.srpPairs) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
     val got = Dedup.embeddingPairsLsh(Tables.embeddings(s, d),
       threshold = 0.4, nBits = 2, tables = 4).persist()
@@ -415,11 +423,15 @@ object PipelineQueries {
   // cosine (the hard, near-random regime), where a single table's bucket
   // recall is ~5%; unioning independent tables restores it the way any
   // production SRP deployment does.
-  val q36 = Q.rowsOnly("q36_ann_srp_topk") { (s, d) =>
+  // Round 12: hash-oracled — the hyperplanes are a pure function of the
+  // committed seeds, so `AnnSql.srpTopK` interpolates them and DuckDB
+  // replays signature, bucket probe and exact ranking bit-for-bit.
+  val q36 = Q.checked("q36_ann_srp_topk", AnnSql.srpTopK) { (s, d) =>
     requireAnnRecall(s, d,
       VectorSearch.srpTopK(Tables.embeddings(s, d), queryIds = 0L to 9L,
         k = 5, nBits = 4, tables = 16),
       floor = 0.5, label = "SRP-LSH")
+      .withColumn("rank", col("rank").cast("long"))
       .orderBy("query_id", "neighbor_id")
   }
 
@@ -2488,7 +2500,11 @@ object PipelineQueries {
     */
   private val PcaResidTol = 1e-9
 
-  val q121 = Q.rowsOnly("q121_pca_project") { (s, d) =>
+  // Round 12: hash-oracled — `AnnSql.pcaProject` projects onto the
+  // FROZEN committed components (drift-gated equal to this live fit by
+  // FrozenCentroidsSpec), so the moment pass, Jacobi eigensolver and
+  // projection all hash-compare; outputs round to 6 on both engines.
+  val q121 = Q.checked("q121_pca_project", AnnSql.pcaProject) { (s, d) =>
     import s.implicits._
     val emb = Tables.embeddings(s, d)
     val comps = graft.operators.Pca.fitTopK(emb, k = 4)
@@ -2527,7 +2543,10 @@ object PipelineQueries {
         s"projected variance ${varRow.getDouble(i)} != lambda $lam for pc$i")
     }
     graft.util.CacheRelease.afterFirstAction(
-      proj.orderBy("vec_id"), Seq(proj))
+      proj.select(col("vec_id"),
+        round(col("pc0"), 6).as("pc0"), round(col("pc1"), 6).as("pc1"),
+        round(col("pc2"), 6).as("pc2"), round(col("pc3"), 6).as("pc3"))
+        .orderBy("vec_id"), Seq(proj))
   }
 
   /** Weighted sampling without replacement (q122, Efraimidis–Spirakis):

@@ -50,6 +50,23 @@ class FrozenCentroidsSpec extends AnyFunSuite {
     }
   }
 
+  for (sf <- Seq("sf0.01", "sf0.1")) {
+    test(s"frozen $sf PCA == Pca.fitTopK(k=4) retrained (bit-exact)") {
+      assume(haveFixture(sf), s"fixture $sf not present")
+      import org.apache.spark.sql.functions.col
+      val emb = graft.Tables.embeddings(spark, fixture(sf))
+      import spark.implicits._
+      val rows = Pca.fitTopK(emb, k = 4)
+        .select("comp_id", "eigenvalue", "vector", "mean")
+        .as[(Int, Double, Seq[Double], Seq[Double])].collect().sortBy(_._1)
+      assert(rows.head._4.toVector == FrozenCentroids.pcaMeanBySf(sf),
+        s"frozen $sf PCA mean drifted — regenerate FrozenCentroids")
+      assert(rows.map(r => (r._2, r._3.toVector)).toVector ==
+        FrozenCentroids.pcaEigenBySf(sf),
+        s"frozen $sf PCA eigenpairs drifted — regenerate FrozenCentroids")
+    }
+  }
+
   test("frozen apply-path equals the train-then-apply path on sf0.01") {
     assume(haveFixture("sf0.01"), "fixture sf0.01 not present")
     val d = fixture("sf0.01")

@@ -31,9 +31,19 @@ PLANTED_SMALL = 41667   # the bench entry's group count (2,000,016 lines)
 PLANTED_BIG = 416670    # 10x (20,000,160 lines)
 
 
-def bench_one(sf_dir, names, reps, extra_env=None):
+def bench_one(sf_dir, names, reps, extra_env=None, cache_key=None):
+    """Stage results are cached under /tmp so an interrupted campaign
+    (e.g. one stage OOM-ing) never re-pays completed minute-scale
+    stages."""
+    import os
+    cache = f"/tmp/sf1_stage_{cache_key}.json" if cache_key else None
+    if cache and os.path.exists(cache):
+        return json.load(open(cache))
     env = {"SPARK_GRAFT_SF_DIR": sf_dir, "SPARK_GRAFT_CPUS": "32",
-           "SPARK_GRAFT_REPS": str(reps)}
+           "SPARK_GRAFT_REPS": str(reps),
+           # the 20M-line planted probe needs real heap; harmless for
+           # the rest (the machine has 128 GiB)
+           "SPARK_DRIVER_MEM": "64g"}
     if extra_env:
         env.update(extra_env)
     import os
@@ -50,20 +60,22 @@ def bench_one(sf_dir, names, reps, extra_env=None):
         print(out.stdout[-3000:])
         print(out.stderr[-3000:])
         raise SystemExit(f"BenchOne missing entries: {missing}")
+    if cache:
+        json.dump(res, open(cache, "w"))
     return res
 
 def main() -> None:
     subprocess.run([sys.executable, "tools/gen_sf1.py", SF1], check=True)
 
-    small = bench_one(SF01, QUERIES, reps=3)
-    big = bench_one(SF1, QUERIES, reps=1)
+    small = bench_one(SF01, QUERIES, reps=3, cache_key="small")
+    big = bench_one(SF1, QUERIES, reps=1, cache_key="big")
 
     pl_small = bench_one(SF01, [f"dirt_planted_{PLANTED_SMALL * 48}"],
-                         reps=1,
+                         reps=1, cache_key="planted_small",
                          extra_env={"SPARK_GRAFT_PLANTED_GROUPS":
                                     str(PLANTED_SMALL)})
     pl_big = bench_one(SF01, [f"dirt_planted_{PLANTED_BIG * 48}"],
-                       reps=1,
+                       reps=1, cache_key="planted_big",
                        extra_env={"SPARK_GRAFT_PLANTED_GROUPS":
                                   str(PLANTED_BIG)})
 
