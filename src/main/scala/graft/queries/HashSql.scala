@@ -139,6 +139,37 @@ object HashSql {
        SELECT id1, id2, hamming FROM pairs WHERE hamming <= 3
        ORDER BY id1, id2"""
 
+  /** q98: Count-Min token estimates — the sketch is EXACTLY
+    * reproducible (murmur3 row hashes with seeds 0..3, exact Long
+    * counters, order-independent element-wise merge), so DuckDB
+    * rebuilds the identical 4×1024 counter matrix from the same token
+    * stream and replays every min-across-rows estimate. Scala's `%` is
+    * a signed remainder on the SIGNED murmur int, mirrored by the
+    * sign-fix arithmetic below.
+    */
+  val countMin: String =
+    s"""WITH RECURSIVE toks AS (
+         SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         FROM documents),
+       tok AS (SELECT w FROM toks WHERE w <> ''),
+       dw(w) AS (SELECT DISTINCT w FROM tok),
+       seeds(seed) AS (VALUES (0), (1), (2), (3)),
+       $murmurCtes,
+       bk AS (SELECT w, seed AS d,
+                     ((((CASE WHEN hash >= 2147483648
+                              THEN hash - 4294967296 ELSE hash END) % 1024)
+                       + 1024) % 1024) AS b
+              FROM wh),
+       cnts AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+       counters AS (SELECT bk.d, bk.b, sum(cnts.cnt) AS c
+                    FROM bk JOIN cnts USING (w) GROUP BY 1, 2),
+       est AS (SELECT bk.w, min(counters.c) AS cm_est
+               FROM bk JOIN counters ON counters.d = bk.d AND counters.b = bk.b
+               GROUP BY 1)
+       SELECT c.w AS word, c.cnt, CAST(e.cm_est AS BIGINT) AS cm_est
+       FROM cnts c JOIN est e ON e.w = c.w
+       ORDER BY word"""
+
   /** q33: banded MinHash pairs at Jaccard >= 0.7 (8 bands x 16 rows). */
   val minhashPairs: String = {
     val (as, bs) = graft.operators.Dedup.permConstants(128)

@@ -894,10 +894,13 @@ object PipelineQueries {
   }
 
   // Count-Min token estimates beside exact counts: the sketch's
-  // never-underestimates invariant is require-checked per row; murmur
-  // hashing is not SQL-expressible, rows-only (determinism + error
-  // bounds pinned in CountMinSpec).
-  val q98 = Q.rowsOnly("q98_text_countmin") { (s, d) =>
+  // never-underestimates invariant is require-checked per row. Round
+  // 12: hash-oracled — the sketch is exactly reproducible (murmur3 row
+  // hashes, exact Long counters, order-independent merge), so
+  // `HashSql.countMin` rebuilds the identical counter matrix in DuckDB
+  // and replays every estimate (determinism + error bounds stay pinned
+  // in CountMinSpec).
+  val q98 = Q.checked("q98_text_countmin", HashSql.countMin) { (s, d) =>
     TextAnalysis.cmTokenEstimates(Tables.documents(s, d))
       .orderBy("word")
   }
@@ -1025,7 +1028,13 @@ object PipelineQueries {
   // planted twin with its original (require-checked in-query) without
   // quadratic scans. ImageIO + murmur-free but codec-bound — rows-only;
   // hash determinism + twin-distance bounds pinned in the spec.
-  val q106 = Q.rowsOnly("q106_multimodal_image_dedup") { (s, d) =>
+  // Round 12: hash-oracled — the planted pattern is closed-form and
+  // the PNG round-trip lossless, so `MediaSql.imageDedup` recomputes
+  // every aHash as pure integer arithmetic and brute-forces the
+  // Hamming pairs; a codec bug Spark-side changes its hashes and
+  // fails the compare.
+  val q106 = Q.checked("q106_multimodal_image_dedup", MediaSql.imageDedup) {
+    (s, d) =>
     import s.implicits._
     val ids = Tables.documents(s, d).select(col("doc_id").cast("long"))
       .as[Long]
@@ -1056,7 +1065,10 @@ object PipelineQueries {
   // tied at the mean, and the twin's perturbation would flip 13 bits
   // at once). Codec-bound,
   // rows-only; distances pinned in MultimodalPhashSpec.
-  val q107 = Q.rowsOnly("q107_multimodal_audio_dedup") { (s, d) =>
+  // Round 12: hash-oracled — `MediaSql.audioDedup`, the audio twin of
+  // the q106 promotion (closed-form envelope, lossless PCM).
+  val q107 = Q.checked("q107_multimodal_audio_dedup", MediaSql.audioDedup) {
+    (s, d) =>
     import s.implicits._
     val ids = Tables.documents(s, d).select(col("doc_id").cast("long"))
       .as[Long]
@@ -2102,7 +2114,13 @@ object PipelineQueries {
   //   - 25 partial pairs (half the fillers shared per slot): strictly
   //     between, 0 < score < 1.
   // The MiniCorpus hand-computed scores stay pinned in DirtPipelineSpec.
-  val q40 = Q.rowsOnly("q40_dirt_similarity") { (s, _) =>
+  // Round 12: hash-oracled — `DirtSql.plantedSimilarity` regenerates
+  // the planted instances relationally and replays the ENTIRE DIRT
+  // algebra (triples, margins, N, ln-MI + 0.001 threshold, SumMI, pair
+  // intersection, Lin geometric mean) in DuckDB; the closed-form family
+  // requires stay as the non-oracle-scale gates.
+  val q40 = Q.checked("q40_dirt_similarity", DirtSql.plantedSimilarity) {
+    (s, _) =>
     import s.implicits._
     val scored = DirtPipeline.run(s,
       s.createDataset(PlantedBiarc.lines),
