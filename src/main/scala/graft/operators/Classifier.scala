@@ -101,6 +101,38 @@ object Classifier {
     } finally { data.unpersist(); () }
   }
 
+  /** Map-only scoring with FROZEN quantized weights (binary presence
+    * features only — each present feature contributes exactly its
+    * weight): the margin is an exact BIGINT sum `bias_q + Σ w_q(fid)`
+    * over the doc's distinct hashed feature ids — order-independent
+    * integer arithmetic both engines replay bit-for-bit (the q76/q140
+    * quantization discipline) — so the only float ops are one Long→
+    * Double conversion, one division by `scale` (a power of ten, exact
+    * in binary per IEEE-754 up to 10^22) and one sigmoid at the end.
+    * Weights come from a committed [[FrozenClassifier]] artifact,
+    * which is what makes q99's scoring pass deterministic and
+    * DuckDB-oracle-expressible ([[graft.queries.ClassifierSql]]).
+    */
+  def scoreQuantized(docs: DataFrame, wq: Array[Long], scale: Long,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dim = wq.length - 1
+    val bc = spark.sparkContext.broadcast(wq)
+    docs
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val w = bc.value
+        var zq = w(dim) // bias in the last slot, like margin()
+        hashFeatures(t, dim, binary = true).foreach { case (i, _) =>
+          zq += w(i)
+        }
+        (id, sigmoid(zq.toDouble / scale))
+      }
+      .toDF(idCol, "p")
+  }
+
   /** Map-only scoring: `(idCol passthrough, p)` with p = σ(w·x + b). */
   def score(docs: DataFrame, weights: Array[Double],
       binary: Boolean = false, textCol: String = "text",

@@ -46,7 +46,7 @@ object HashSql {
     * tokens and a `seeds(seed)` CTE, producing `wh(w, seed, hash)`.
     * Call sites must be WITH RECURSIVE.
     */
-  private def murmurCtes: String =
+  private[queries] def murmurCtes: String =
     s"""mur(w, seed, i, h) AS (
          SELECT w, seed, 1, CAST(seed AS BIGINT) FROM dw CROSS JOIN seeds
          UNION ALL

@@ -905,17 +905,24 @@ object PipelineQueries {
       .orderBy("word")
   }
 
-  // FastText-style quality classifier, trained ON the engine (30
+  // FastText-style quality classifier, trained ON the engine (60
   // rounds of distributed full-batch logistic gradient descent over
   // hashing-trick features) to recover a planted token signal (docs
   // containing 'spark' — the fixture's lang column is uncorrelated
   // with its text by construction, so a planted label is the honest
   // learnability probe, same pattern as q66/q70's constructed
-  // inputs), then scored map-only. Gradient sums are float
-  // (treeAggregate), so no SQL oracle — rows-only, with the train-set
-  // accuracy require-checked in-query (the signal is a single hashed
-  // feature; below 0.9 means training broke).
-  val q99 = Q.rowsOnly("q99_classifier_quality") { (s, d) =>
+  // inputs), then scored map-only. Round 12: hash-oracled via the
+  // frozen-artifact discipline — the committed FrozenClassifier
+  // checkpoint (quantized Long weights) makes the scoring margin
+  // exact BIGINT arithmetic both engines replay (ClassifierSql), and
+  // TRAINING stays load-bearing: the live-trained weights must land
+  // within DriftTolerance (1e-8) of the frozen artifact or the query
+  // require-fails — float treeAggregate reduce order is the only
+  // slack tolerated, a recipe change is a driver-visible failure.
+  // Unknown corpora (scale probes) fall back to live float scoring.
+  val q99 = Q.checked("q99_classifier_quality",
+    ClassifierSql.quantizedScores) { (s, d) =>
+    import graft.operators.FrozenClassifier
     val docs = Tables.documents(s, d)
       .withColumn("label",
         array_contains(split(trim(col("text")), "\\s+"), "spark")
@@ -925,14 +932,29 @@ object PipelineQueries {
     // keep its gradient scale independent of doc length
     val w = graft.operators.Classifier.train(docs, dim = 2048, iters = 60,
       lr = 2.0, binary = true)
-    val scored = graft.operators.Classifier.score(docs, w, binary = true)
-      .join(docs.select(col("doc_id"), col("label")), "doc_id")
-    val n = scored.count().toDouble
-    val correct = scored
+    val scored = FrozenClassifier.weightsQFor(d) match {
+      case Some(wq) =>
+        val drift = w.zipWithIndex.map { case (x, i) =>
+          math.abs(math.rint(x * FrozenClassifier.Scale).toLong - wq(i))
+        }.max
+        require(drift <= FrozenClassifier.DriftTolerance,
+          s"live-trained weights drifted $drift quantized units from the " +
+            "frozen artifact — regenerate with runMain " +
+            "graft.FreezeClassifierWeights")
+        graft.operators.Classifier.scoreQuantized(docs, wq,
+          FrozenClassifier.Scale)
+      case None =>
+        graft.operators.Classifier.score(docs, w, binary = true)
+    }
+    val joined = scored.join(
+      docs.select(col("doc_id").cast("long").as("doc_id"), col("label")),
+      "doc_id")
+    val n = joined.count().toDouble
+    val correct = joined
       .filter((col("p") > 0.5) === (col("label") === 1.0)).count()
     require(correct / n >= 0.9,
       f"classifier training accuracy ${correct / n}%.3f below 0.9")
-    scored
+    joined
       .select(col("doc_id"), round(col("p"), 6).as("p"), col("label"))
       .orderBy("doc_id")
   }

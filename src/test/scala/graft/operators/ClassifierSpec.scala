@@ -51,4 +51,27 @@ class ClassifierSpec extends AnyFunSuite {
     // shared token "here" stays near zero relative to the signal tokens
     assert(math.abs(wOf("here")) < wOf("useful"))
   }
+
+  test("scoreQuantized: exact BIGINT margin matches the closed form") {
+    // uniform weights make the margin independent of WHICH hashed ids
+    // the tokens land on: z_q = bias + (#distinct tokens) * w
+    val dim = 64
+    val scale = 1000000000000L
+    val wq = Array.fill(dim + 1)(250000000000L) // w = 0.25, bias = 0.25
+    val docs = Seq(
+      (1L, "a b c"),    // 3 distinct -> z = 0.25*3 + 0.25 = 1.0
+      (2L, "a a a"),    // 1 distinct -> z = 0.5
+      (3L, "")          // no tokens  -> z = bias = 0.25
+    ).toDF("doc_id", "text")
+    val got = Classifier.scoreQuantized(docs, wq, scale)
+      .as[(Long, Double)].collect().toMap
+    def sig(z: Double) = 1.0 / (1.0 + math.exp(-z))
+    assert(got(1L) == sig(1.0))
+    assert(got(2L) == sig(0.5))
+    assert(got(3L) == sig(0.25))
+    // determinism across partitionings
+    val got8 = Classifier.scoreQuantized(docs.repartition(8), wq, scale)
+      .as[(Long, Double)].collect().toMap
+    assert(got8 == got)
+  }
 }
