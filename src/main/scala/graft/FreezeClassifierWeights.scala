@@ -79,7 +79,7 @@ object FreezeClassifierWeights {
       (key, wq)
     }
 
-    def keyId(key: String): String = key.replace(".", "_")
+    def keyId(key: String): String = key.replace(".", "_").replace("-", "_")
 
     val out = new StringBuilder
     out ++= "package graft.operators\n\n"

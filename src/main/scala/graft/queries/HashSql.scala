@@ -12,6 +12,14 @@ package graft.queries
   * oracle outputs hash-match the Spark results on the fixture,
   * including the planted-twin pairs.
   *
+  * PRECONDITION (BMP-only text): the SQL walks tokens by code point
+  * (unicode()/substr()) while Scala walks UTF-16 code units — they
+  * agree exactly on BMP text and diverge on supplementary-plane
+  * characters (a surrogate pair is two Scala rounds but one SQL char,
+  * and length() differs). The fixtures are pinned BMP-only by
+  * FixtureSchemaSpec's audit; a non-BMP corpus needs a code-unit
+  * explode before the mix loop.
+  *
   * q34 (SimHash): per-token 64-bit hash = (murmur(w, 7) << 32) |
   * murmur(w, 13), kept as two 32-bit halves SQL-side to avoid signed
   * overflow; per-bit votes over tokens WITH multiplicity; pigeonhole
@@ -86,13 +94,19 @@ object HashSql {
                   SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
                   FROM documents WHERE doc_id < 50)"""
 
-  /** q34: SimHash pigeonhole pairs at Hamming <= 3. */
+  /** q34: SimHash pigeonhole pairs at Hamming <= 3. The tokenizer must
+    * mirror Scala's `"".trim.split("\\s+") == Array("")`: an empty or
+    * NULL doc contributes ONE empty-string token (which the operator
+    * hashes like any other), so dw keeps '' and NULL text coalesces to
+    * '' — dropping either would silently omit empty docs' pairs.
+    */
   val simhashPairs: String =
     s"""WITH RECURSIVE $corpusCte,
-       toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+'))
-                  AS w
+       toks AS (SELECT doc_id,
+                       unnest(regexp_split_to_array(coalesce(trim(text), ''),
+                                                    '\\s+')) AS w
                 FROM corpus),
-       dw(w) AS (SELECT DISTINCT w FROM toks WHERE w <> ''),
+       dw(w) AS (SELECT DISTINCT w FROM toks),
        seeds(seed) AS (VALUES (7), (13)),
        $murmurCtes,
        tokh AS (
@@ -178,7 +192,10 @@ object HashSql {
       .mkString(",\n           ")
     s"""WITH RECURSIVE $corpusCte,
        shl AS (SELECT doc_id,
-                      CASE WHEN length(text) < 5 THEN [text]
+                      -- mirrors Dedup.shingles: null and sub-k texts
+                      -- shingle to the one-element set {text-or-''}
+                      CASE WHEN text IS NULL OR length(text) < 5
+                             THEN [coalesce(text, '')]
                            ELSE list_distinct([substr(text, i, 5)
                                                for i in range(1, length(text) - 3)])
                       END AS s

@@ -38,6 +38,23 @@ class FixtureSchemaSpec extends AnyFunSuite {
     assert(dims == Seq(64))
   }
 
+  test("documents text is BMP-only at every fixture scale (HashSql precondition)") {
+    // The DuckDB murmur3 twin (HashSql) walks tokens by CODE POINT
+    // (unicode()/substr()) while Scala's MurmurHash3.stringHash walks
+    // UTF-16 CODE UNITS; the two agree exactly on BMP text and diverge
+    // on any supplementary-plane character (surrogate pair). Pin the
+    // precondition here so a regenerated fixture containing e.g. emoji
+    // fails THIS audit loudly instead of surfacing as an inscrutable
+    // q33/q34/q98/q99 oracle hash mismatch.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val n = Tables.documents(spark, dir)
+        .filter(col("text").rlike("[\\x{10000}-\\x{10FFFF}]"))
+        .count()
+      assert(n == 0L, s"$dir has $n docs with supplementary-plane chars")
+    }
+  }
+
   test("events.ts normalizes to a microsecond timestamp") {
     val df = Tables.events(spark, sf)
     assert(df.schema("ts").dataType.typeName == "timestamp")
