@@ -93,7 +93,9 @@ object SparkEntry {
     PipelineQueries.q143, PipelineQueries.q144, PipelineQueries.q145,
     PipelineQueries.q146, PipelineQueries.q147, PipelineQueries.q148,
     PipelineQueries.q149, PipelineQueries.q150, PipelineQueries.q151,
-    PipelineQueries.q152, PipelineQueries.q153)
+    PipelineQueries.q152, PipelineQueries.q153,
+    PipelineQueries.q154, PipelineQueries.q155,
+    PipelineQueries.q156, PipelineQueries.q157)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

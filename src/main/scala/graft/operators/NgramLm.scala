@@ -94,6 +94,46 @@ object NgramLm {
         expr("CASE WHEN n_trans > 0 THEN sum_p_micro DIV n_trans ELSE 0 END"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    * doc against the reference LM ([[stupidBackoffScore]]), then split
+    * each group (language) into `head` / `middle` / `tail` by that
+    * group's OWN score quantiles — the relative-to-language cut that
+    * makes the buckets comparable across high- and low-resource
+    * languages. Here higher `mean_p_micro` = more reference-like =
+    * lower perplexity, so `head` is the `>= hiQ`-quantile slice.
+    *
+    * The thresholds are an aggregated |groups|×2 table broadcast back —
+    * the q132 shape — NOT a per-group percent_rank window over the
+    * corpus: a billion-doc language never funnels through one task.
+    * Docs with a NULL group are dropped (no threshold is definable for
+    * them), mirroring [[Curation.quantileKeep]]'s contract.
+    *
+    * Quantiles are Spark's exact `percentile` (type-7 linear
+    * interpolation, bit-matched by DuckDB's `quantile_cont` on integer
+    * inputs — the q132-proven pairing), over the exact-integer
+    * micro-probability scores, so the bucket boundary replays
+    * identically cross-engine.
+    */
+  def perplexityBuckets(docs: DataFrame, train: DataFrame,
+      groupCol: String = "lang", loQ: Double = 0.25, hiQ: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(loQ > 0.0 && hiQ < 1.0 && loQ < hiQ,
+      s"quantiles must satisfy 0 < loQ < hiQ < 1: $loQ, $hiQ")
+    val scored = stupidBackoffScore(docs, train, textCol, idCol)
+    val withG = docs.select(col(idCol).as("doc_id"), col(groupCol))
+      .join(scored, Seq("doc_id"))
+    val thr = withG.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(expr(s"percentile(mean_p_micro, $loQ)").as("lo"),
+        expr(s"percentile(mean_p_micro, $hiQ)").as("hi"))
+    withG.join(broadcast(thr), Seq(groupCol))
+      .select(col("doc_id"), col(groupCol), col("mean_p_micro"),
+        col("lo"), col("hi"),
+        when(col("mean_p_micro") >= col("hi"), lit("head"))
+          .when(col("mean_p_micro") >= col("lo"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Real-log variant: mean ln S per transition (the negated bigram
     * log-perplexity), with the unseen-everywhere floor ln(alpha / N).
     * Same plan shape as the graded twin; unit-pinned in NgramLmSpec

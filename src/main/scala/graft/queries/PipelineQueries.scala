@@ -3691,6 +3691,189 @@ object PipelineQueries {
         keyCols = Seq("lang", "source"), hashCols = Seq("doc_id", "text"))
       .orderBy("lang", "source")
   }
+
+  /** The synthetic HTML column for q154/q155 — the Spark twin of
+    * [[HtmlSql.htmlExpr]] (see that scaladoc for what each planted
+    * fragment certifies). Built from `documents`, identical on both
+    * engines character-for-character.
+    */
+  private def syntheticHtml: org.apache.spark.sql.Column = concat(
+    lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+    lit("</title><script type=\"text/javascript\">var t = 1 < 2 && 3 > 2;</script>"),
+    lit("<style>.nav { color: red; }</style></head><body><!-- chrome -->"),
+    lit("<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/a\">About</a> <a href=\"/c\">Contact</a></div>"),
+    lit("<h1>"), col("source"), lit(" &amp; "), col("lang"), lit("</h1><p>"),
+    regexp_replace(col("text"), "\\. ", ".</p><p>"), lit("</p>"),
+    lit("<div class=\"footer\"><a href=\"/p\">Privacy</a> <a href=\"/t\">Terms</a>&nbsp;&#39;2026&#39;</div></body></html>"))
+
+  /** Whole-document HTML → text extraction (q154): comments / script /
+    * style dropped, tags stripped, entities decoded (`&amp;` last),
+    * whitespace collapsed — trafilatura's job as a map-only codegen'd
+    * regex chain ([[graft.operators.HtmlExtract.extractText]]). The
+    * in-query gates pin the two failure modes a hash mismatch alone
+    * would localize poorly: script leakage (no `var t` may survive) and
+    * the entity decode (every doc's h1 must yield a literal ` & `).
+    */
+  val q154 = Q.checked(
+    "q154_html_extract_text", HtmlSql.extractTextSql) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val res = graft.operators.HtmlExtract
+      .extractText(docs.withColumn("html", syntheticHtml))
+      .persist()
+    val leaked = res.filter(
+      col("clean_text").contains("var t") ||
+        !col("clean_text").contains(" & ")).count()
+    require(leaked == 0,
+      s"q154: script leaked or entity undecoded in $leaked docs")
+    graft.util.CacheRelease.afterFirstAction(
+      res.orderBy("doc_id"), Seq(res))
+  }
+
+  /** jusText-lite boilerplate-block filter (q155): segment on
+    * block-level tags, drop short and link-dense blocks (nav, footer,
+    * title chrome), keep headline + paragraphs in document order
+    * ([[graft.operators.HtmlExtract.extractBlocks]]). The DuckDB twin
+    * replays the identical segmentation / link-density / reassembly
+    * algebra, so the hash compare certifies the drop path and the keep
+    * path; the in-query gate pins the boilerplate actually being
+    * dropped (every doc loses at least the nav and title blocks).
+    */
+  val q155 = Q.checked(
+    "q155_html_boilerplate_blocks", HtmlSql.extractBlocksSql) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val res = graft.operators.HtmlExtract
+      .extractBlocks(docs.withColumn("html", syntheticHtml))
+      .persist()
+    val bad = res.filter(
+      col("n_blocks") === 0 || col("n_dropped") < 2 ||
+        col("clean_text").contains("Home About Contact")).count()
+    require(bad == 0, s"q155: boilerplate survived in $bad docs")
+    graft.util.CacheRelease.afterFirstAction(
+      res.orderBy("doc_id"), Seq(res))
+  }
+
+  /** WARC record parsing (q156): the CommonCrawl container grammar —
+    * header/payload split on the first blank line, typed header
+    * extraction, and the declared-vs-actual Content-Length truncation
+    * check ([[graft.operators.Warc.parseRecords]]). Both engines build
+    * the records identically from `documents` (CRLF spelled `chr(13) ||
+    * chr(10)` in SQL — DuckDB literals don't process escapes); the
+    * payload round-trips as an md5 digest so the hash compare certifies
+    * byte-exact payload extraction without shipping the text twice.
+    */
+  val q156 = Q.checked(
+    "q156_warc_parse",
+    """WITH r AS (SELECT doc_id,
+         'WARC/1.0' || chr(13) || chr(10) ||
+         'WARC-Type: response' || chr(13) || chr(10) ||
+         'WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-' ||
+           lpad(CAST(doc_id AS VARCHAR), 12, '0') || '>' ||
+           chr(13) || chr(10) ||
+         'WARC-Target-URI: https://example' ||
+           CAST(doc_id % 7 AS VARCHAR) || '.com/page/' ||
+           CAST(doc_id AS VARCHAR) || chr(13) || chr(10) ||
+         'Content-Length: ' || CAST(length(text) AS VARCHAR) ||
+           chr(13) || chr(10) || chr(13) || chr(10) || text AS record
+         FROM documents),
+       x AS (SELECT doc_id,
+         regexp_extract(record, 'WARC-Type: ([^\r\n]+)', 1) AS warc_type,
+         regexp_extract(record, 'WARC-Record-ID: <([^>]+)>', 1) AS record_id,
+         regexp_extract(record, 'WARC-Target-URI: ([^\r\n]+)', 1) AS target_uri,
+         CAST(regexp_extract(record, 'Content-Length: ([0-9]+)', 1) AS BIGINT)
+           AS content_length,
+         regexp_replace(record, '(?s)^.*?\r\n\r\n', '') AS payload
+         FROM r)
+       SELECT doc_id, warc_type, record_id, target_uri, content_length,
+              CAST(length(payload) AS BIGINT) AS payload_len,
+              content_length = CAST(length(payload) AS BIGINT) AS len_ok,
+              md5(payload) AS payload_md5
+       FROM x ORDER BY doc_id""") { (s, d) =>
+    val crlf = lit("\r\n")
+    val record = concat(
+      lit("WARC/1.0"), crlf,
+      lit("WARC-Type: response"), crlf,
+      lit("WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-"),
+      lpad(col("doc_id").cast("string"), 12, "0"), lit(">"), crlf,
+      lit("WARC-Target-URI: https://example"),
+      (col("doc_id") % 7).cast("string"), lit(".com/page/"),
+      col("doc_id").cast("string"), crlf,
+      lit("Content-Length: "), length(col("text")).cast("string"),
+      crlf, crlf, col("text"))
+    val res = graft.operators.Warc
+      .parseRecords(Tables.documents(s, d).withColumn("record", record))
+      .persist()
+    val bad = res.filter(!col("len_ok") ||
+      col("warc_type") =!= "response").count()
+    require(bad == 0, s"q156: $bad truncated or mistyped records")
+    graft.util.CacheRelease.afterFirstAction(
+      res.orderBy("doc_id"), Seq(res))
+  }
+
+  /** CCNet perplexity bucketing (q157): the Wenzek et al. 2020
+    * head/middle/tail split — reference bigram LM trained on the
+    * `doc_id % 7` slice (the q112 model), every doc scored by exact
+    * integer micro-probability, then cut at each LANGUAGE'S own
+    * 25th/75th score percentiles
+    * ([[graft.operators.NgramLm.perplexityBuckets]]). The oracle
+    * replays the full composition — LM training, scoring, per-group
+    * `quantile_cont`, bucket assignment — so the hash compare certifies
+    * the pipeline end-to-end, boundary semantics included (`>=` on the
+    * unrounded threshold; thresholds exported rounded for display
+    * only).
+    */
+  val q157 = Q.checked(
+    "q157_ccnet_perplexity_buckets",
+    """WITH tr AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                   FROM documents WHERE doc_id % 7 = 0),
+       al AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents),
+       big AS (SELECT t[i] AS w1, t[i+1] AS w2,
+                      CAST(count(*) AS BIGINT) AS cb
+               FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tr)
+               WHERE t[i] <> '' AND t[i+1] <> ''
+               GROUP BY w1, w2),
+       uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
+               FROM (SELECT unnest(t) AS w FROM tr)
+               WHERE w <> '' GROUP BY w),
+       tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_total FROM uni),
+       trans AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+                 FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM al)
+                 WHERE t[i] <> '' AND t[i+1] <> ''),
+       p AS (SELECT doc_id,
+                    CASE WHEN cb IS NOT NULL THEN (1000000 * cb) // c1.cu
+                         ELSE (400000 * COALESCE(c2.cu, 0)) // n_total
+                    END AS p_micro
+             FROM trans
+             LEFT JOIN big ON big.w1 = trans.w1 AND big.w2 = trans.w2
+             LEFT JOIN uni c1 ON c1.w = trans.w1
+             LEFT JOIN uni c2 ON c2.w = trans.w2
+             CROSS JOIN tot),
+       agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
+                      CAST(sum(p_micro) AS BIGINT) AS sum_p_micro
+               FROM p GROUP BY doc_id),
+       sc AS (SELECT d.doc_id, d.lang,
+                     CASE WHEN COALESCE(n_trans, 0) > 0
+                          THEN sum_p_micro // n_trans ELSE 0
+                     END AS mean_p_micro
+              FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id),
+       thr AS (SELECT lang, quantile_cont(mean_p_micro, 0.25) AS lo,
+                      quantile_cont(mean_p_micro, 0.75) AS hi
+               FROM sc WHERE lang IS NOT NULL GROUP BY lang)
+       SELECT s.doc_id, s.lang, mean_p_micro,
+              round(lo, 6) AS lo, round(hi, 6) AS hi,
+              CASE WHEN mean_p_micro >= hi THEN 'head'
+                   WHEN mean_p_micro >= lo THEN 'middle'
+                   ELSE 'tail' END AS bucket
+       FROM sc s JOIN thr USING (lang)
+       ORDER BY s.doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    graft.operators.NgramLm
+      .perplexityBuckets(docs, docs.filter(col("doc_id") % 7 === 0))
+      .select(col("doc_id"), col("lang"), col("mean_p_micro"),
+        round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"),
+        col("bucket"))
+      .orderBy("doc_id")
+  }
 }
 
 /** Planted biarc corpus for the self-verifying q40: 100 verb groups,

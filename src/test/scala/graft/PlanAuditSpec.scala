@@ -478,6 +478,32 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(4000))
   }
 
+  test("q154: whole-doc HTML extraction is map-only (zero exchanges)") {
+    // the regex chain must stay a single projected scan — any Exchange
+    // means the extraction stopped being embarrassingly parallel
+    val p = plan("q154_html_extract_text")
+    // the only allowed exchange is the final presentation sort's range
+    // partitioning; a second one means the chain stopped being map-only
+    // (formatted explain names each node twice — tree and details — so
+    // count the numbered details headers, one per physical node)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1, p.take(3000))
+    assert(!p.contains("Window") && !p.contains("HashAggregate"),
+      p.take(3000))
+    assert(p.contains("ReadSchema"), p.take(3000))
+  }
+
+  test("q155: block filter is window-free, one doc-keyed aggregation") {
+    // reassembly must be the partial-agg'd collect_list keyed by doc id
+    // (per-key state bounded by one document's blocks); a Window over
+    // the corpus-wide block stream is the regression
+    val p = plan("q155_html_boilerplate_blocks")
+    assert(!p.contains("Window"), p.take(4000))
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      p.take(4000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+  }
+
   test("q152: source overlap pairs via digest equi-join, two-phase distinct") {
     // the (digest, source) distinct must partial-aggregate before its
     // exchange, and the pair join must be a digest equi-join (the

@@ -60,4 +60,35 @@ class NgramLmSpec extends AnyFunSuite {
     assert(got(0L) > got(1L))
     assert(got(1L) == 0L)
   }
+
+  test("perplexityBuckets: per-group quantile cut, >= at both boundaries") {
+    import spark.implicits._
+    // five en docs with scores 0 < s1 < s2 < s3 < s4 (distinct by
+    // construction): q25 over {s0..s4} = s1, q75 = s3 exactly (index
+    // (5-1)*q integral), so buckets are tail,middle*?,head with the
+    // boundary docs landing INCLUSIVE (s1 -> middle, s3 -> head). A
+    // null-lang doc must vanish (no threshold group), not crash.
+    val docs = Seq(
+      (0L, "z y x w", "en"),      // all-unseen: 0 -> tail
+      (1L, "c a b", "en"),        // backoff-heavy -> between
+      (2L, "a b x c", "en"),      // the 360000 hand case
+      (3L, "a b c", "en"),        // seen + backoff
+      (4L, "a b a b", "en"),      // all-seen: 1000000 -> head
+      (5L, "a b a b", null)       // null group: dropped
+    ).toDF("doc_id", "text", "lang")
+    val got = NgramLm.perplexityBuckets(docs, train)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert(got.size == 5 && !got.contains(5L))
+    assert(got(0L) == "tail")
+    assert(got(4L) == "head")
+    // exactly one head+boundary pair each side: the q25 doc is middle,
+    // the q75 doc is head (inclusive >=)
+    val scores = NgramLm.stupidBackoffScore(
+      docs.filter($"lang".isNotNull), train)
+      .select("doc_id", "mean_p_micro").as[(Long, Long)].collect().toMap
+    val sorted = scores.toSeq.sortBy(_._2).map(_._1)
+    assert(got(sorted(1)) == "middle") // the 25th-percentile doc itself
+    assert(got(sorted(3)) == "head")   // the 75th-percentile doc itself
+    assert(got(sorted(2)) == "middle")
+  }
 }
