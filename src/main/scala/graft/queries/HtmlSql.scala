@@ -73,13 +73,14 @@ object HtmlSql {
         SELECT doc_id, ${tok("clean_text")} AS n_tokens, clean_text
         FROM x ORDER BY doc_id"""
 
-  /** q155: block segmentation + link-density boilerplate filter
-    * (thresholds mirrored from `HtmlExtract.extractBlocks` defaults:
-    * minTokens = 3, maxLinkPermille = 333).
+  /** The jusText-lite block chain as CTEs over `$src(doc_id, html)`:
+    * segment → score → classify → reassemble, ending in
+    * `perdoc(doc_id, n_blocks, n_kept, n_dropped, clean_text)` (one row
+    * per `documents` row). Shared by q155 and the q158 composition so
+    * the two oracles cannot drift block semantics apart.
     */
-  val extractBlocksSql: String =
-    s"""WITH h AS (SELECT doc_id, $htmlExpr AS html FROM documents),
-        c AS (SELECT doc_id, ${inv("html")} AS h2 FROM h),
+  private def blockCtes(src: String): String =
+    s"""c AS (SELECT doc_id, ${inv("html")} AS h2 FROM $src),
         b0 AS (SELECT doc_id, regexp_split_to_array(h2, $blockSplit) AS segs
                FROM c),
         b AS (SELECT doc_id, i - 1 AS pos, segs[i] AS raw
@@ -101,12 +102,60 @@ object HtmlSql {
                     AS n_kept,
                   string_agg(CASE WHEN keep THEN txt END, chr(10)
                              ORDER BY pos) AS clean_text
-                FROM k GROUP BY doc_id)
-        SELECT d.doc_id,
+                FROM k GROUP BY doc_id),
+        perdoc AS (SELECT d.doc_id,
                coalesce(n_blocks, 0) AS n_blocks,
                coalesce(n_kept, 0) AS n_kept,
                coalesce(n_blocks, 0) - coalesce(n_kept, 0) AS n_dropped,
                coalesce(clean_text, '') AS clean_text
-        FROM documents d LEFT JOIN agg USING (doc_id)
-        ORDER BY d.doc_id"""
+               FROM documents d LEFT JOIN agg USING (doc_id))"""
+
+  /** q155: block segmentation + link-density boilerplate filter
+    * (thresholds mirrored from `HtmlExtract.extractBlocks` defaults:
+    * minTokens = 3, maxLinkPermille = 333).
+    */
+  val extractBlocksSql: String =
+    s"""WITH h AS (SELECT doc_id, $htmlExpr AS html FROM documents),
+        ${blockCtes("h")}
+        SELECT doc_id, n_blocks, n_kept, n_dropped, clean_text
+        FROM perdoc
+        ORDER BY doc_id"""
+
+  /** q158: the full ingestion composition — WARC-wrap the HTML payload,
+    * re-extract it through the record grammar (certifying the
+    * header/payload split feeds downstream intact), run the block
+    * chain, then per-(lang, source) accounting over the docs whose
+    * cleaned text still has ≥ 30 tokens. Clean-text tokens split on
+    * `[ \n]+` — blocks join with `\n`, tokens inside a block with
+    * spaces.
+    */
+  val ingestPipelineSql: String =
+    s"""WITH h0 AS (SELECT doc_id, $htmlExpr AS html FROM documents),
+        w AS (SELECT doc_id,
+          'WARC/1.0' || chr(13) || chr(10) ||
+          'WARC-Type: response' || chr(13) || chr(10) ||
+          'WARC-Target-URI: https://example' ||
+            CAST(doc_id % 7 AS VARCHAR) || '.com/page/' ||
+            CAST(doc_id AS VARCHAR) || chr(13) || chr(10) ||
+          'Content-Length: ' || CAST(length(html) AS VARCHAR) ||
+            chr(13) || chr(10) || chr(13) || chr(10) || html AS record
+          FROM h0),
+        pp AS (SELECT doc_id,
+          regexp_replace(record, '(?s)^.*?\r\n\r\n', '') AS html
+          FROM w),
+        ${blockCtes("pp")},
+        tokc AS (SELECT doc_id, n_blocks, n_kept,
+          CAST(CASE WHEN clean_text = '' THEN 0
+               ELSE len(string_split_regex(clean_text, '[ \n]+'))
+               END AS BIGINT) AS n_clean_toks
+          FROM perdoc)
+        SELECT lang, source,
+               CAST(count(*) AS BIGINT) AS n_docs_kept,
+               CAST(sum(n_blocks) AS BIGINT) AS sum_blocks,
+               CAST(sum(n_kept) AS BIGINT) AS sum_kept_blocks,
+               CAST(sum(n_clean_toks) AS BIGINT) AS sum_clean_toks
+        FROM tokc JOIN documents USING (doc_id)
+        WHERE n_clean_toks >= 30
+        GROUP BY lang, source
+        ORDER BY lang, source"""
 }

@@ -3874,6 +3874,49 @@ object PipelineQueries {
         col("bucket"))
       .orderBy("doc_id")
   }
+
+  /** End-to-end crawl-ingestion composition (q158): WARC-wrap the HTML,
+    * re-extract the payload through the record grammar (so the
+    * header/payload split is certified to feed downstream INTACT, not
+    * just parsed — [[graft.operators.Warc.payload]]), run the
+    * jusText-lite block chain, keep docs whose cleaned text still has
+    * ≥ 30 tokens, and account per (lang, source) — the ingest-side twin
+    * of the q78/q92 curation compositions. The oracle replays every
+    * stage, sharing the q155 block CTEs verbatim; the in-query gate
+    * pins the WARC round-trip (`len_ok` for every record).
+    */
+  val q158 = Q.checked(
+    "q158_ingest_pipeline", HtmlSql.ingestPipelineSql) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val withHtml = docs.withColumn("html", syntheticHtml)
+    val crlf = lit("\r\n")
+    val recs = withHtml.withColumn("record", concat(
+      lit("WARC/1.0"), crlf,
+      lit("WARC-Type: response"), crlf,
+      lit("WARC-Target-URI: https://example"),
+      (col("doc_id") % 7).cast("string"), lit(".com/page/"),
+      col("doc_id").cast("string"), crlf,
+      lit("Content-Length: "), length(col("html")).cast("string"),
+      crlf, crlf, col("html")))
+    val truncated = graft.operators.Warc.parseRecords(recs)
+      .filter(!col("len_ok")).count()
+    require(truncated == 0, s"q158: $truncated records failed round-trip")
+    val rehtml = recs.select(col("doc_id"),
+      graft.operators.Warc.payload(col("record")).as("html"))
+    val perdoc = graft.operators.HtmlExtract.extractBlocks(rehtml)
+      .withColumn("n_clean_toks",
+        when(col("clean_text") === "", lit(0L))
+          .otherwise(size(split(col("clean_text"), "[ \\n]+")).cast("long")))
+    perdoc
+      .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
+      .filter(col("n_clean_toks") >= 30)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum("n_blocks").as("sum_blocks"),
+        sum("n_kept").as("sum_kept_blocks"),
+        sum("n_clean_toks").as("sum_clean_toks"))
+      .orderBy("lang", "source")
+  }
 }
 
 /** Planted biarc corpus for the self-verifying q40: 100 verb groups,
