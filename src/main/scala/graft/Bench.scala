@@ -271,7 +271,8 @@ object Bench {
       "q118_rag_sliding_chunks", "q126_pack_sequences"),
     "cx_web_ingest" -> Seq("q154_html_extract_text",
       "q155_html_boilerplate_blocks", "q156_warc_parse",
-      "q157_ccnet_perplexity_buckets", "q158_ingest_pipeline"),
+      "q157_ccnet_perplexity_buckets", "q158_ingest_pipeline",
+      "q159_prefix_match_join"),
     "cx_multimodal" -> Seq("q39_multimodal_features",
       "q52_multimodal_image_decode", "q65_multimodal_audio_decode",
       "q106_multimodal_image_dedup", "q107_multimodal_audio_dedup",

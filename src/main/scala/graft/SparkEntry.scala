@@ -95,7 +95,8 @@ object SparkEntry {
     PipelineQueries.q149, PipelineQueries.q150, PipelineQueries.q151,
     PipelineQueries.q152, PipelineQueries.q153,
     PipelineQueries.q154, PipelineQueries.q155,
-    PipelineQueries.q156, PipelineQueries.q157, PipelineQueries.q158)
+    PipelineQueries.q156, PipelineQueries.q157, PipelineQueries.q158,
+    PipelineQueries.q159)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -3917,6 +3917,59 @@ object PipelineQueries {
         sum("n_clean_toks").as("sum_clean_toks"))
       .orderBy("lang", "source")
   }
+
+  /** Longest-prefix-match rule join (q159): robots.txt/blocklist path
+    * rules matched at scale ([[graft.operators.PrefixJoin]] — segment
+    * fan-out + equi-join + decomposable `max_by`, never a
+    * LIKE-nested-loop). Both engines build the same synthetic paths and
+    * two-level rule table (7 top-level rules, 6 nested — so
+    * longest-match discrimination, partial matches, and no-match docs
+    * all occur); the oracle replays fan-out, join, and `max_by`
+    * verbatim. The in-query gate pins match soundness: every reported
+    * prefix must literally prefix its path.
+    */
+  val q159 = Q.checked(
+    "q159_prefix_match_join",
+    """WITH p AS (SELECT doc_id,
+            '/page/' || CAST(doc_id % 13 AS VARCHAR) || '/sec/' ||
+            CAST(doc_id % 5 AS VARCHAR) AS path
+          FROM documents),
+       rules AS (SELECT '/page/' || CAST(i AS VARCHAR) AS prefix
+                 FROM range(7) t(i)
+                 UNION ALL
+                 SELECT '/page/' || CAST(i AS VARCHAR) || '/sec/' ||
+                        CAST(j AS VARCHAR)
+                 FROM range(3) t(i) CROSS JOIN range(2) u(j)),
+       parts AS (SELECT doc_id, path, string_split(path, '/') AS seg
+                 FROM p),
+       pref AS (SELECT doc_id, array_to_string(seg[1:i], '/') AS prefix
+                FROM (SELECT doc_id, seg,
+                        unnest(range(2, len(seg) + 1)) AS i FROM parts)),
+       m AS (SELECT doc_id, max_by(prefix, length(prefix)) AS matched_prefix
+             FROM pref JOIN rules USING (prefix) GROUP BY doc_id)
+       SELECT p.doc_id, p.path,
+              coalesce(matched_prefix, '') AS matched_prefix,
+              CAST(coalesce(length(matched_prefix), 0) AS BIGINT)
+                AS match_len
+       FROM p LEFT JOIN m USING (doc_id)
+       ORDER BY p.doc_id""") { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val items = docs.select(col("doc_id"),
+      concat(lit("/page/"), (col("doc_id") % 13).cast("string"),
+        lit("/sec/"), (col("doc_id") % 5).cast("string")).as("path"))
+    val rules = ((0 until 7).map(i => s"/page/$i") ++
+      (for (i <- 0 until 3; j <- 0 until 2)
+        yield s"/page/$i/sec/$j")).toDF("prefix")
+    val res = graft.operators.PrefixJoin
+      .longestPrefixMatch(items, rules).persist()
+    val unsound = res.filter(col("match_len") > 0 &&
+      col("path").substr(lit(1), col("match_len"))
+        =!= col("matched_prefix")).count()
+    require(unsound == 0, s"q159: $unsound matches are not path prefixes")
+    graft.util.CacheRelease.afterFirstAction(
+      res.orderBy("doc_id"), Seq(res))
+  }
 }
 
 /** Planted biarc corpus for the self-verifying q40: 100 verb groups,
