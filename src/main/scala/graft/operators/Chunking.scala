@@ -41,4 +41,67 @@ object Chunking {
           slice(col("toks"), (col("chunk_idx") * stride + 1).cast("int"),
             lit(window)), " ").as("chunk_text"))
   }
+
+  /** Content-defined chunking (the rsync/LBFS/FastCDC family, Muthitacharoen
+    * et al. 2001): split each document where a rolling window hash hits a
+    * chosen bit pattern, so chunk boundaries follow CONTENT — an insertion
+    * early in a page shifts every fixed-width chunk (q81's failure mode on
+    * edited pages) but leaves all content-defined boundaries after it
+    * intact, which is what makes chunk-level dedup robust to edits.
+    *
+    * Boundary rule, deliberately STATELESS: position `i` (1-based, `i > 1`)
+    * starts a new chunk iff the k-char Karp–Rabin hash of `text[i, i+k)`
+    * has its low `log2(mask+1)` bits zero (`h & mask == 0`; expected chunk
+    * length ≈ mask+1 chars). The FastCDC min/max chunk bounds are a
+    * sequential-per-document refinement this flatMap could add, but they
+    * make the rule history-dependent; the stateless rule keeps every
+    * position independently checkable, which is exactly what lets the
+    * DuckDB twin (q160) replay boundaries as one relational predicate —
+    * same window-sum-in-Z/2^64 identity as `FingerprintSql` (q38).
+    *
+    * Per-doc sequential scan inside one typed flatMap: map-only, zero
+    * shuffles, state bounded by one document. Output: `(id, idx, chunk)` —
+    * 0-based chunk index, chunks concatenate back to the exact text (the
+    * q160 gate). Empty/null docs emit nothing; docs shorter than `k` are
+    * one whole-text chunk.
+    */
+  def contentDefinedChunks(docs: DataFrame, k: Int = 8, mask: Long = 63L,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k > 0 && mask > 0 && (mask & (mask + 1)) == 0,
+      s"mask must be 2^m - 1, got $mask")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val B = graft.operators.TextAnalysis.FingerprintB
+    docs
+      .select(graft.util.Ids.longId(idCol).as("id"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, t0) =>
+        val t = if (t0 == null) "" else t0
+        if (t.isEmpty) Iterator.empty
+        else {
+          val n = t.length
+          val starts = scala.collection.mutable.ArrayBuffer(0)
+          if (n >= k) {
+            var pow = 1L
+            var j = 0
+            while (j < k - 1) { pow *= B; j += 1 }
+            var h = 0L
+            j = 0
+            while (j < k) { h = h * B + t.charAt(j); j += 1 }
+            // windows start at 0-based s = 1 .. n-k; boundary BEFORE s
+            var s = 1
+            while (s <= n - k) {
+              h = (h - t.charAt(s - 1) * pow) * B + t.charAt(s + k - 1)
+              if ((h & mask) == 0L) starts += s
+              s += 1
+            }
+          }
+          val bounds = (starts :+ n).toIndexedSeq
+          Iterator.range(0, bounds.length - 1).map { ci =>
+            (id, ci.toLong, t.substring(bounds(ci), bounds(ci + 1)))
+          }
+        }
+      }
+      .toDF("id", "idx", "chunk")
+  }
 }

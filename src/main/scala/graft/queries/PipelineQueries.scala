@@ -3970,6 +3970,57 @@ object PipelineQueries {
     graft.util.CacheRelease.afterFirstAction(
       res.orderBy("doc_id"), Seq(res))
   }
+
+  /** Content-defined chunk dedup (q160): rsync/FastCDC-family boundaries
+    * ([[graft.operators.Chunking.contentDefinedChunks]] — split where
+    * the rolling k-char hash's low bits are zero), then cross-doc
+    * chunk-digest dedup over the dup-augmented corpus, where the exact
+    * duplicates guarantee every copy's chunks are all duplicated — the
+    * edit-robust alternative to q81's fixed-width chunks. The oracle
+    * replays boundary hashes via the q38 polynomial identity and the
+    * same dedup algebra; the in-query gates pin losslessness (per doc,
+    * chunk lengths sum to the text length) and the copy property (every
+    * augmented copy has n_dup_chunks == n_chunks).
+    */
+  val q160 = Q.checked("q160_dedup_cdc_chunks", CdcChunkSql.sql) { (s, d) =>
+    val corpus = dupCorpus(s, d)
+    val chunks = graft.operators.Chunking
+      .contentDefinedChunks(corpus).persist()
+    val dig = chunks.select(col("id"),
+      md5(col("chunk").cast("binary")).as("dg"),
+      length(col("chunk")).cast("long").as("clen"))
+    val dup = dig.groupBy("dg")
+      .agg(countDistinct("id").as("dc"))
+      .filter(col("dc") >= 2)
+      .select(col("dg"), lit(1).as("isdup"))
+    val perdoc = dig.join(dup, Seq("dg"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("isdup") === 1, lit(1L)).otherwise(lit(0L)))
+          .as("n_dup_chunks"),
+        sum("clen").as("sum_len"),
+        max("clen").as("max_len"))
+      .withColumnRenamed("id", "doc_id")
+    val res = corpus
+      .select(col("doc_id"), length(col("text")).cast("long").as("tlen"))
+      .join(perdoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        coalesce(col("sum_len"), lit(0L)).as("sum_len"),
+        coalesce(col("max_len"), lit(0L)).as("max_len"),
+        coalesce(col("tlen"), lit(0L)).as("tlen"))
+      .persist()
+    val lost = res.filter(col("sum_len") =!= col("tlen")).count()
+    require(lost == 0, s"q160: chunking lost characters in $lost docs")
+    val copies = res.filter(col("doc_id") >= 100000 &&
+      col("n_dup_chunks") =!= col("n_chunks")).count()
+    require(copies == 0, s"q160: $copies augmented copies not fully duplicated")
+    graft.util.CacheRelease.afterFirstAction(
+      res.select("doc_id", "n_chunks", "n_dup_chunks", "sum_len", "max_len")
+        .orderBy("doc_id"),
+      Seq(chunks, res))
+  }
 }
 
 /** Planted biarc corpus for the self-verifying q40: 100 verb groups,
@@ -4470,5 +4521,66 @@ object FingerprintSql {
        SELECT d.doc_id, coalesce(agg.fingerprint, 0) AS fingerprint
        FROM documents d LEFT JOIN agg USING (doc_id)
        ORDER BY d.doc_id"""
+  }
+}
+
+/** DuckDB twin of [[graft.operators.Chunking.contentDefinedChunks]] +
+  * the q160 chunk-dedup accounting. Boundary hashes reuse the
+  * [[FingerprintSql]] identity (rolling Karp–Rabin in Z/2^64 == per-window
+  * polynomial sum in HUGEINT); the boundary predicate `h & mask == 0`
+  * equals `hu % (mask+1) == 0` because mask+1 is a power of two, so the
+  * low bits of the signed and unsigned representations agree. The
+  * lead()-window span reconstruction is DuckDB-local idiom — the Spark
+  * side emits chunks directly from the per-doc flatMap scan.
+  */
+object CdcChunkSql {
+  val sql: String = {
+    val K = graft.operators.TextAnalysis.FingerprintK
+    val M = BigInt(2).pow(64)
+    val div = 64 // mask 63: expected chunk ~64 chars
+    val pows = (0 until K)
+      .map(j => BigInt(graft.operators.TextAnalysis.FingerprintB).pow(K - 1 - j).mod(M))
+    val terms = pows.zipWithIndex.map { case (p, j) =>
+      s"CAST(ord(substr(text, CAST(i AS INT) + $j, 1)) AS HUGEINT) * ${p}::HUGEINT"
+    }.mkString("\n             + ")
+    s"""WITH corpus AS (SELECT * FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+          FROM documents WHERE doc_id < 50),
+       t AS (SELECT doc_id, text, length(text) AS n FROM corpus),
+       w AS (SELECT doc_id, unnest(generate_series(2, n - ${K - 1})) AS i
+             FROM t WHERE n >= ${K + 1}),
+       h AS (SELECT w.doc_id, i,
+               ($terms) % ${M}::HUGEINT AS hu
+             FROM w JOIN t ON w.doc_id = t.doc_id),
+       b AS (SELECT doc_id, i FROM h WHERE hu % ${div}::HUGEINT = 0),
+       starts AS (SELECT doc_id, 1 AS s FROM t WHERE n >= 1
+                  UNION ALL SELECT doc_id, i FROM b),
+       sp AS (SELECT starts.doc_id, s,
+                lead(s) OVER (PARTITION BY starts.doc_id ORDER BY s) AS e,
+                n, text
+              FROM starts JOIN t ON starts.doc_id = t.doc_id),
+       dig AS (SELECT doc_id,
+                 md5(substr(text, s, coalesce(e, n + 1) - s)) AS dg,
+                 CAST(coalesce(e, n + 1) - s AS BIGINT) AS clen
+               FROM sp),
+       dup AS (SELECT dg
+               FROM (SELECT dg, count(DISTINCT doc_id) AS dc
+                     FROM dig GROUP BY dg)
+               WHERE dc >= 2),
+       perdoc AS (SELECT doc_id,
+                    CAST(count(*) AS BIGINT) AS n_chunks,
+                    CAST(sum(CASE WHEN dg IN (SELECT dg FROM dup)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+                    CAST(sum(clen) AS BIGINT) AS sum_len,
+                    CAST(max(clen) AS BIGINT) AS max_len
+                  FROM dig GROUP BY doc_id)
+       SELECT c.doc_id,
+              coalesce(n_chunks, 0) AS n_chunks,
+              coalesce(n_dup_chunks, 0) AS n_dup_chunks,
+              coalesce(sum_len, 0) AS sum_len,
+              coalesce(max_len, 0) AS max_len
+       FROM corpus c LEFT JOIN perdoc USING (doc_id)
+       ORDER BY c.doc_id"""
   }
 }
