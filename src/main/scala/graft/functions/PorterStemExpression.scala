@@ -59,6 +59,9 @@ object GraftFunctions {
   def nfcNormalize(c: Column): Column =
     org.apache.spark.sql.functions.call_function("nfc_normalize", c)
 
+  def rollingFingerprint(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("rolling_fingerprint", c)
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "porter_stem",
@@ -71,6 +74,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize",
       exprs => NfcNormalizeExpression(exprs.head),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_fingerprint",
+      exprs => RollingFingerprintExpression(exprs.head),
       "scala_udf")
   }
 }
@@ -93,5 +100,9 @@ class GraftExtensions
       new org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
       NfcNormalizeExpression.info,
       (exprs: Seq[Expression]) => NfcNormalizeExpression(exprs.head)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_fingerprint"),
+      RollingFingerprintExpression.info,
+      (exprs: Seq[Expression]) => RollingFingerprintExpression(exprs.head)))
   }
 }

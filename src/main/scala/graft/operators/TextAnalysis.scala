@@ -567,8 +567,15 @@ object TextAnalysis {
         .as("removed_chars"))
   }
 
-  /** Full per-document text-analysis projection over a corpus table. */
+  /** Full per-document text-analysis projection over a corpus table.
+    * The fingerprint column runs as the native codegen'd
+    * `rolling_fingerprint` expression (registered here, idempotent) —
+    * the whole projection stays inside one WholeStageCodegen span with
+    * no UDF boxing on the hot path; [[fingerprintUdf]] remains for
+    * callers outside a registered session.
+    */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val t = col(textCol)
     docs.select(
       col("doc_id"),
@@ -579,6 +586,7 @@ object TextAnalysis {
       round(punctRatio(t), 6).as("punct_ratio"),
       qualityScore(t).as("quality"),
       langId(t).as("lang_pred"),
-      fingerprintUdf(t).as("fingerprint"))
+      graft.functions.GraftFunctions.rollingFingerprint(t)
+        .as("fingerprint"))
   }
 }

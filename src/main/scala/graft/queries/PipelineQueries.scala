@@ -1251,12 +1251,13 @@ object PipelineQueries {
   // a window. A wrong window slide/boundary term breaks this
   // containment invariant immediately.
   val q38 = Q.checked("q38_text_fingerprint", FingerprintSql.sql) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val fpr = graft.functions.GraftFunctions.rollingFingerprint _
     val violations = Tables.documents(s, d)
       .filter(length(col("text")) >= TextAnalysis.FingerprintK)
       .select(
-        TextAnalysis.fingerprintUdf(col("text")).as("fp"),
-        TextAnalysis.fingerprintUdf(
-          concat(lit("zzpadzz "), col("text"), lit(" zzpadzz")))
+        fpr(col("text")).as("fp"),
+        fpr(concat(lit("zzpadzz "), col("text"), lit(" zzpadzz")))
           .as("fp_wide"))
       .filter(col("fp_wide") > col("fp"))
       .count()

@@ -478,6 +478,19 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(4000))
   }
 
+  test("q37: no UDF node in the text-analysis projection") {
+    // the rolling_fingerprint Catalyst expression replaced the Scala
+    // UDF on this hot path — a UDF node reappearing here is the
+    // regression (boxing + serialization per row at corpus scale).
+    // The POSITIVE assert (the native expression, inside WSCG) lives in
+    // RollingFingerprintExpressionSpec; formatted explain elides long
+    // projection lists, so only node-type absence is checkable here.
+    val p = plan("q37_text_analysis")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      p.take(3000))
+    assert(!p.contains("Exchange") || p.contains("Sort"), p.take(3000))
+  }
+
   test("q154: whole-doc HTML extraction is map-only (zero exchanges)") {
     // the regex chain must stay a single projected scan — any Exchange
     // means the extraction stopped being embarrassingly parallel
