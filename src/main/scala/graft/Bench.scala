@@ -272,7 +272,8 @@ object Bench {
     "cx_web_ingest" -> Seq("q154_html_extract_text",
       "q155_html_boilerplate_blocks", "q156_warc_parse",
       "q157_ccnet_perplexity_buckets", "q158_ingest_pipeline",
-      "q159_prefix_match_join", "q160_dedup_cdc_chunks"),
+      "q159_prefix_match_join", "q160_dedup_cdc_chunks",
+      "q161_domain_cap"),
     "cx_multimodal" -> Seq("q39_multimodal_features",
       "q52_multimodal_image_decode", "q65_multimodal_audio_decode",
       "q106_multimodal_image_dedup", "q107_multimodal_audio_dedup",

@@ -358,6 +358,27 @@ object Curation {
       .otherwise(concat(scheme, lit("://"), host, noSlash))
   }
 
+  /** Registrable domain from a URL — the per-site aggregation key for
+    * crawl caps and domain statistics (RefinedWeb/C4 both cap or score
+    * per registered domain, not per full host, so `a.blog.example.com`
+    * and `b.blog.example.com` share a budget). Public-suffix-list-lite:
+    * host = the [[normalizeUrl]] authority minus any port and a leading
+    * `www.`, domain = its last two dot-labels (the two-label heuristic
+    * trades the PSL's multi-label suffixes — `co.uk` — for a
+    * dependency-free closed form; both engines replay it exactly, and
+    * the cap-key CONSISTENCY, not TLD perfection, is what the operator
+    * contracts). Bare hosts (no dot) pass through whole.
+    */
+  def registrableDomain(url: Column): Column = {
+    val rest = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = lower(regexp_extract(rest, "^([^/?#]*)", 1))
+    val host = regexp_replace(
+      regexp_replace(hostport, ":[0-9]+$", ""), "^www\\.", "")
+    when(host.rlike("\\."),
+      regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+      .otherwise(host)
+  }
+
   /** Temperature-scaled mixture weights (the multilingual-sampling rule
     * from mBERT/mT5: sample source g with probability ∝ p_g^α, α < 1
     * up-weighting the tail): per group, its doc count, its sampling

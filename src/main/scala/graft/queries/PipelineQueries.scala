@@ -649,6 +649,21 @@ object PipelineQueries {
       .orderBy("word")
   }
 
+  /** The q91/q161 synthetic messy URL (mixed-case scheme/host, default
+    * port, utm_* params, fragments), built identically in both engines
+    * from doc_id.
+    */
+  private def syntheticUrl: org.apache.spark.sql.Column = concat(
+    lit("HTTP://WWW.Example"), (col("doc_id") % 7).cast("string"),
+    lit(".COM:80/Path/"), (col("doc_id") % 13).cast("string"),
+    when(col("doc_id") % 3 === 0,
+      concat(lit("/?utm_source=x&id="), (col("doc_id") % 5).cast("string")))
+      .when(col("doc_id") % 3 === 1,
+        concat(lit("?id="), (col("doc_id") % 5).cast("string"),
+          lit("&utm_campaign=y")))
+      .otherwise(lit("/")),
+    when(col("doc_id") % 2 === 0, lit("#Frag")).otherwise(lit("")))
+
   // URL canonicalization + URL-keyed dedup: synthetic messy URLs
   // (mixed-case scheme/host, default port, utm_* params, fragments)
   // built identically on both sides from doc_id, normalized by the
@@ -699,18 +714,8 @@ object PipelineQueries {
        JOIN (SELECT norm_url, min(doc_id) AS keeper_id
              FROM m GROUP BY norm_url) k USING (norm_url)
        ORDER BY doc_id""") { (s, d) =>
-    val url = concat(
-      lit("HTTP://WWW.Example"), (col("doc_id") % 7).cast("string"),
-      lit(".COM:80/Path/"), (col("doc_id") % 13).cast("string"),
-      when(col("doc_id") % 3 === 0,
-        concat(lit("/?utm_source=x&id="), (col("doc_id") % 5).cast("string")))
-        .when(col("doc_id") % 3 === 1,
-          concat(lit("?id="), (col("doc_id") % 5).cast("string"),
-            lit("&utm_campaign=y")))
-        .otherwise(lit("/")),
-      when(col("doc_id") % 2 === 0, lit("#Frag")).otherwise(lit("")))
     val t = Tables.documents(s, d)
-      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"), syntheticUrl.as("url"))
       .withColumn("norm_url", graft.operators.Curation.normalizeUrl(col("url")))
     val keepers = t.groupBy("norm_url").agg(min("doc_id").as("keeper_id"))
     t.join(keepers, "norm_url")
@@ -4021,6 +4026,65 @@ object PipelineQueries {
       res.select("doc_id", "n_chunks", "n_dup_chunks", "sum_len", "max_len")
         .orderBy("doc_id"),
       Seq(chunks, res))
+  }
+
+  /** Per-registrable-domain crawl cap (q161): the RefinedWeb/C4 budget
+    * rule — `a.blog.example.com` and `b.blog.example.com` share one
+    * quota — via [[graft.operators.Curation.registrableDomain]]
+    * (public-suffix-lite: port and `www.` stripped, last two labels)
+    * over the q91 messy URLs, capped with the q77 MinK machinery keyed
+    * by domain (window-free: per-domain state bounded at the cap). The
+    * oracle replays domain extraction and the md5-rank row_number cut;
+    * the in-query gate pins the cap itself (no domain exceeds it).
+    */
+  val q161 = Q.checked(
+    "q161_domain_cap",
+    """WITH u AS (
+         SELECT doc_id,
+                'HTTP://WWW.Example' || (doc_id % 7) || '.COM:80/Path/' ||
+                (doc_id % 13) ||
+                CASE WHEN doc_id % 3 = 0
+                     THEN '/?utm_source=x&id=' || (doc_id % 5)
+                     WHEN doc_id % 3 = 1
+                     THEN '?id=' || (doc_id % 5) || '&utm_campaign=y'
+                     ELSE '/' END ||
+                CASE WHEN doc_id % 2 = 0 THEN '#Frag' ELSE '' END AS url
+         FROM documents),
+       n AS (SELECT doc_id,
+               lower(regexp_extract(
+                 regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                 '^([^/?#]*)', 1)) AS hostport
+             FROM u),
+       h AS (SELECT doc_id,
+               regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),
+                 '^www\.', '') AS host
+             FROM n),
+       dmn AS (SELECT doc_id,
+                 CASE WHEN host LIKE '%.%'
+                      THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+                      ELSE host END AS domain
+               FROM h),
+       ranked AS (SELECT d.doc_id, domain,
+                    ('0x' || substr(md5('graft' || text), 1, 15))::BIGINT AS rk
+                  FROM dmn JOIN documents d USING (doc_id)),
+       keep AS (SELECT doc_id, domain,
+                  row_number() OVER (PARTITION BY domain
+                                     ORDER BY rk, doc_id) AS rn
+                FROM ranked)
+       SELECT doc_id, domain FROM keep WHERE rn <= 60
+       ORDER BY doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .withColumn("url", syntheticUrl)
+      .withColumn("domain",
+        graft.operators.Curation.registrableDomain(col("url")))
+    val kept = graft.operators.Curation
+      .sourceCap(docs, maxPerSource = 60, sourceCol = "domain")
+      .select("doc_id", "domain").persist()
+    val over = kept.groupBy("domain").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 60).count()
+    require(over == 0, s"q161: $over domains exceed the cap")
+    graft.util.CacheRelease.afterFirstAction(
+      kept.orderBy("doc_id"), Seq(kept))
   }
 }
 

@@ -172,6 +172,24 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("registrableDomain: subdomains collapse, ports/www strip, bare hosts pass") {
+    import spark.implicits._
+    val cases = Seq(
+      ("http://a.blog.Example.COM/x", "example.com"),
+      ("https://b.blog.example.com:443/y", "example.com"),
+      ("HTTP://WWW.Example3.COM:80/Path", "example3.com"),
+      ("http://ex.com:8080/p", "ex.com"),
+      ("http://localhost/p", "localhost"),         // bare host passes whole
+      ("example.com/schemeless", "example.com"),
+      ("http://www.co.uk/", "co.uk"))              // two-label heuristic, documented
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), Curation.registrableDomain(col("url")).as("d"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"registrableDomain($in)")
+    }
+  }
+
   test("winsorize: NULL group keys clip within their own group, never drop") {
     import spark.implicits._
     val df = Seq(
