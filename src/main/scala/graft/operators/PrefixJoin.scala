@@ -46,8 +46,13 @@ object PrefixJoin {
       Ids.longId(idCol).as("id"), col(pathCol).as("path"),
       split(col(pathCol), "/").as("seg"))
     // '/'-boundary prefixes: for /a/b/c (seg = ['', a, b, c]) emit
-    // /a, /a/b, /a/b/c — join-ready exact keys, depth-bounded fan-out
-    val prefixes = parts.select(col("id"), col("path"),
+    // /a, /a/b, /a/b/c — join-ready exact keys, depth-bounded fan-out.
+    // Slashless paths (size(seg)=1, e.g. '' or 'abc') have NO boundary
+    // prefixes: guard before the sequence, which would otherwise
+    // descend [2,1] and fabricate a whole-path row the empty-range
+    // oracle semantics (range(2, len+1)) never emit.
+    val prefixes = parts.filter(size(col("seg")) >= 2)
+      .select(col("id"), col("path"),
       explode(expr(
         "transform(sequence(2, size(seg)), i -> array_join(slice(seg, 1, i), '/'))"))
         .as("prefix"))

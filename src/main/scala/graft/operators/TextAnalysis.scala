@@ -586,7 +586,10 @@ object TextAnalysis {
       round(punctRatio(t), 6).as("punct_ratio"),
       qualityScore(t).as("quality"),
       langId(t).as("lang_pred"),
-      graft.functions.GraftFunctions.rollingFingerprint(t)
-        .as("fingerprint"))
+      // The native expression is nullIntolerant (NULL text -> NULL);
+      // the operator contract (and the DuckDB twin) is fingerprint 0
+      // for missing text, matching fingerprintOf(null) == 0.
+      coalesce(graft.functions.GraftFunctions.rollingFingerprint(t),
+        lit(0L)).as("fingerprint"))
   }
 }

@@ -27,8 +27,16 @@ import graft.util.Ids
   */
 object Warc {
 
+  /** The header section: everything before the first blank line. Header
+    * extraction MUST be scoped here — matching the whole record would
+    * let a payload line like `Content-Length: 0` masquerade as a header
+    * when the real header is absent.
+    */
+  private def headerSection(rec: Column): Column =
+    regexp_replace(rec, "(?s)\\r\\n\\r\\n.*$", "")
+
   private def header(rec: Column, name: String): Column =
-    regexp_extract(rec, name + ": ([^\\r\\n]+)", 1)
+    regexp_extract(headerSection(rec), "(?m)^" + name + ": ([^\\r\\n]+)", 1)
 
   /** Payload = everything after the first blank line. The `^`-anchored
     * lazy match admits exactly one occurrence, so replace-first and
@@ -49,7 +57,8 @@ object Warc {
     df.select(
       Ids.longId(idCol).as("doc_id"),
       header(rec, "WARC-Type").as("warc_type"),
-      regexp_extract(rec, "WARC-Record-ID: <([^>]+)>", 1).as("record_id"),
+      regexp_extract(headerSection(rec),
+        "(?m)^WARC-Record-ID: <([^>]+)>", 1).as("record_id"),
       header(rec, "WARC-Target-URI").as("target_uri"),
       header(rec, "Content-Length").cast("long").as("content_length"),
       length(pay).cast("long").as("payload_len"),

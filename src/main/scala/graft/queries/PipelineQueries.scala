@@ -3781,14 +3781,19 @@ object PipelineQueries {
          'Content-Length: ' || CAST(length(text) AS VARCHAR) ||
            chr(13) || chr(10) || chr(13) || chr(10) || text AS record
          FROM documents),
+       hs AS (SELECT doc_id, record,
+         regexp_replace(record, '(?s)\r\n\r\n.*$', '') AS hdr
+         FROM r),
        x AS (SELECT doc_id,
-         regexp_extract(record, 'WARC-Type: ([^\r\n]+)', 1) AS warc_type,
-         regexp_extract(record, 'WARC-Record-ID: <([^>]+)>', 1) AS record_id,
-         regexp_extract(record, 'WARC-Target-URI: ([^\r\n]+)', 1) AS target_uri,
-         CAST(regexp_extract(record, 'Content-Length: ([0-9]+)', 1) AS BIGINT)
-           AS content_length,
+         regexp_extract(hdr, '(?m)^WARC-Type: ([^\r\n]+)', 1) AS warc_type,
+         regexp_extract(hdr, '(?m)^WARC-Record-ID: <([^>]+)>', 1)
+           AS record_id,
+         regexp_extract(hdr, '(?m)^WARC-Target-URI: ([^\r\n]+)', 1)
+           AS target_uri,
+         CAST(regexp_extract(hdr, '(?m)^Content-Length: ([0-9]+)', 1)
+           AS BIGINT) AS content_length,
          regexp_replace(record, '(?s)^.*?\r\n\r\n', '') AS payload
-         FROM r)
+         FROM hs)
        SELECT doc_id, warc_type, record_id, target_uri, content_length,
               CAST(length(payload) AS BIGINT) AS payload_len,
               content_length = CAST(length(payload) AS BIGINT) AS len_ok,
