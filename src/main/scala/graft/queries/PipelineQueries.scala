@@ -3426,15 +3426,20 @@ object PipelineQueries {
     * (doc, term) incidence, estimated by the engine-native DataSketches
     * HLL — the manifest statistic that stays maintainable across ingest
     * batches at 100 TB where `count(distinct)` cannot. DuckDB's
-    * approx_count_distinct is a different HLL implementation, so there
-    * is no cross-engine oracle; the in-query gates are the published
-    * accuracy contract instead: BOTH the one-shot sketch and the
-    * union-of-two-ingest-halves sketch must sit within 4·rsd(lgK=12)
-    * (≈6.5%) of the EXACT count computed in the same query, for every
-    * source — a wrong union (register loss, batch double-count) or a
-    * broken sketch lands far outside the band.
+    * approx_count_distinct is a different HLL implementation, so no
+    * recomputation oracle — but register-max merge is commutative, the
+    * estimates are deterministic for the fixture, and round 13 pins
+    * them via the committed frozen table (tools/freeze_sketches.py):
+    * the oracle recomputes the exact incidence count live with the same
+    * tokenization and joins the frozen one-shot + union estimates. The
+    * in-query gates stay, SF-agnostic — BOTH the one-shot sketch and
+    * the union-of-two-ingest-halves sketch must sit within 4·rsd(lgK=12)
+    * (≈6.5%) of the EXACT count for every source — a wrong union
+    * (register loss, batch double-count) lands far outside the band at
+    * any scale; a plausible drift trips the pin.
     */
-  val q147 = Q.rowsOnly("q147_hll_distinct_sketch") { (s, d) =>
+  val q147 = Q.checked("q147_hll_distinct_sketch",
+    FrozenSketchSql.q147) { (s, d) =>
     val lgK = 12
     val out = graft.operators.DistinctSketch
       .bySource(Tables.documents(s, d), lgK = lgK)

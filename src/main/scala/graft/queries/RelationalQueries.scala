@@ -298,14 +298,20 @@ object RelationalQueries {
       .orderBy("o_orderpriority")
   }
 
-  // A8 approximate distinct (HLL) — implementation-defined sketch, no
-  // cross-engine hash oracle; the driver check stays rows-only, but the
-  // query itself is a PROPERTY oracle: it computes the exact distinct
-  // count beside the sketch and raises at execution if the estimate
-  // falls outside 4 relative standard deviations (rsd 0.05 → ±20%, a
-  // once-per-10⁵ tail for a correct HLL — a broken sketch, not an
-  // unlucky one, is what trips it).
-  val q14 = Q.rowsOnly("q14_approx_distinct") { (s, d) =>
+  // A8 approximate distinct (HLL) — implementation-defined sketch, so a
+  // cross-engine RECOMPUTATION oracle would test a DuckDB
+  // reimplementation of Spark's HLL++ internals, not the operator. The
+  // estimate is deterministic for a fixed fixture (register-max merge is
+  // commutative), so round 13 pins it via the committed frozen table
+  // (tools/freeze_sketches.py, the q101 discipline): the oracle joins
+  // the frozen estimate against the LIVE exact distinct count and
+  // recomputes the 20% band boolean in DuckDB. The in-query raise_error
+  // gate stays: it is SF-agnostic, so the operator is band-checked at
+  // every scale Bench runs, not just the pinned fixture — a broken
+  // sketch trips it (4·rsd ≈ 20%, a once-per-10⁵ tail for a correct
+  // HLL), a drifted-but-plausible one trips the pin.
+  val q14 = Q.checked("q14_approx_distinct",
+    FrozenSketchSql.q14) { (s, d) =>
     val err = abs(col("approx_customers") - col("exact_customers"))
     val bound = lit(4 * 0.05) * col("exact_customers")
     Tables.orders(s, d)
@@ -680,15 +686,18 @@ object RelationalQueries {
   }
 
   // A-family approximate percentiles: Spark's Greenwald-Khanna sketch is
-  // deterministic for a given accuracy but algorithm-specific (DuckDB's
-  // approx_quantile is a t-digest), so no cross-engine hash oracle — the
-  // driver check stays rows-only, but the query is a PROPERTY oracle:
-  // GK at accuracy a guarantees rank error ≤ n/a, so each estimate must
-  // lie between the EXACT percentiles at q ± 5/a (5× the guarantee for
-  // interpolation slack); a violation raises at execution. The unit spec
-  // proves the ε bound on synthetic data; this asserts it against the
-  // exact answers on the fixture itself.
-  val q51 = Q.rowsOnly("q51_approx_percentile") { (s, d) =>
+  // algorithm-specific (DuckDB's approx_quantile is a t-digest), so no
+  // recomputation oracle exists — but the estimate is deterministic for
+  // the fixed fixture scan (verified run-stable 10/10, incl. under a
+  // 16-way repartition stress), so round 13 pins it via the committed
+  // frozen table (tools/freeze_sketches.py): the oracle recomputes the
+  // EXACT percentile brackets at q ± 0.005 live (quantile_cont — 5× the
+  // n/a rank-error guarantee at accuracy 1000, interpolation slack) and
+  // band-checks the frozen estimate in DuckDB. The in-query raise_error
+  // gate stays, SF-agnostic, proving the ε bound at every scale Bench
+  // runs; the unit spec proves it on synthetic data.
+  val q51 = Q.checked("q51_approx_percentile",
+    FrozenSketchSql.q51) { (s, d) =>
     // accuracy 1000 → rank ε 0.001; exact-percentile brackets at ±0.005
     def bracket(colName: String, q: Double,
         approx: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = {
