@@ -245,7 +245,8 @@ object Bench {
       "q64_text_repetition", "q71_text_token_df", "q79_text_lm_quality",
       "q89_text_gopher_filter", "q101_text_compression_ratio",
       "q112_bigram_lm_backoff", "q128_text_nfc_normalize",
-      "q141_keyword_tag_ac", "q144_pmi_collocations"),
+      "q141_keyword_tag_ac", "q144_pmi_collocations",
+      "q162_langid_model"),
     "cx_text_sketch" -> Seq("q90_text_heavy_hitters", "q98_text_countmin",
       "q100_text_heavy_hitters_grouped", "q147_hll_distinct_sketch"),
     "cx_text_rank" -> Seq("q75_tfidf_top_terms", "q76_bm25_search",
@@ -699,6 +700,25 @@ object Bench {
       } finally { scored.unpersist(); () }
     }))
 
+  /** ROUND 13 — SELF-ADJUDICATING GATE (VERDICT r12 #1, the recurring
+    * r9–r12 defect). The load-normalized median gate under-corrects
+    * long multi-stage entries whose contention sensitivity is
+    * super-linear: a run-wide median of 1.1 cannot absorb a 7× spike on
+    * a persist-heavy pipeline entry, so every round shipped 1–2 false
+    * flags that the verdict then adjudicated BY HAND with an isolated
+    * quiet rerun. That adjudication is now part of the bench itself: any
+    * entry the gate flags is immediately rerun ISOLATED, in-process, at
+    * the end of the run — fresh GC fence, the exact shared body the
+    * sequence timed, min of [[AdjudicationReruns]] executions (min is
+    * the right estimator for "CAN this code still run at pin speed") —
+    * and the flag is confirmed only if the isolated rerun itself exceeds
+    * 2× the pin RAW (no load normalization: the rerun's claim is a
+    * quiet-machine one). Both numbers ship in the JSON `adjudications`
+    * map, so a confirmed regression carries its evidence and a
+    * contention artifact dies in the run that produced it.
+    */
+  val AdjudicationReruns = 2
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -802,22 +822,23 @@ object Bench {
 
     // every entry >= 2 s now: fence each with an explicit GC so it
     // starts from a settled heap (the old heavy-phase discipline,
-    // applied uniformly)
-    compositeRunners(spark, sfDir).foreach { case (name, body) =>
+    // applied uniformly). The name -> body map is kept: the
+    // self-adjudication rerun below must time EXACTLY the body the
+    // sequence timed.
+    val jacDocs = sys.env.getOrElse("SPARK_GRAFT_JACCARD_DOCS", "50000").toLong
+    val allBodies: Seq[(String, () => Unit)] =
+      compositeRunners(spark, sfDir) ++
+        SparkEntry.queries.toSeq.sortBy(_._1)
+          .filterNot(q => memberSet(q._1))
+          .map { case (name, fn) =>
+            name -> (() => { fn(spark, sfDir).count(); () })
+          } ++
+        syntheticRunners(spark, dirtRows, jacDocs)
+    allBodies.foreach { case (name, body) =>
       System.gc()
       time(name)(body())
     }
-    SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(q => memberSet(q._1))
-      .foreach { case (name, fn) =>
-        System.gc()
-        time(name) { fn(spark, sfDir).count(); () }
-      }
-    val jacDocs = sys.env.getOrElse("SPARK_GRAFT_JACCARD_DOCS", "50000").toLong
-    syntheticRunners(spark, dirtRows, jacDocs).foreach { case (name, body) =>
-      System.gc() // fence: each synthetic starts from a settled heap
-      time(name)(body())
-    }
+    val bodyMap = allBodies.toMap
 
     // self-regression guard: any query > 2x its pinned time in the
     // committed bench_baseline.json — AFTER dividing out the run-wide
@@ -833,12 +854,42 @@ object Bench {
     val load =
       if (ratios.isEmpty) 1.0
       else math.max(1.0, ratios(ratios.size / 2))
-    val regressions = timings.toSeq.flatMap { case (k, v) =>
+    val flagged = timings.toSeq.flatMap { case (k, v) =>
       prev.get(k).filter(p => p > 0 && v / p / load > 2.0)
-        .map(p => k -> math.rint(v / p / load * 100) / 100)
+        .map(p => (k, p, math.rint(v / p / load * 100) / 100))
+    }
+
+    // SELF-ADJUDICATION (class doc above): isolated in-process rerun of
+    // every flagged entry, min-of-AdjudicationReruns, confirmed only if
+    // the rerun itself is still > 2x pin raw. A rerun that THROWS cannot
+    // exonerate the flag — it stays confirmed with the error recorded.
+    val adjudications = flagged.map { case (name, pin, flaggedRatio) =>
+      spark.catalog.clearCache()
+      val iso =
+        try {
+          val runs = (1 to AdjudicationReruns).map { _ =>
+            System.gc()
+            val t0 = System.nanoTime()
+            bodyMap(name)()
+            val t = (System.nanoTime() - t0) / 1e9
+            spark.catalog.clearCache()
+            t
+          }
+          Some(runs.min)
+        } catch { case _: Throwable => spark.catalog.clearCache(); None }
+      val confirmed = iso.forall(_ / pin > 2.0)
+      (name, flaggedRatio, iso, pin, confirmed)
+    }
+    val regressions = adjudications.collect {
+      case (name, flaggedRatio, _, _, true) => name -> flaggedRatio
     }
     val rs = regressions.map { case (k, r) => s""""${esc(k)}":$r""" }
       .mkString("{", ",", "}")
+    val adj = adjudications.map { case (name, fr, iso, pin, confirmed) =>
+      val isoStr = iso.fold("null")(v => (math.rint(v * 1000) / 1000).toString)
+      s""""${esc(name)}":{"flagged_ratio":$fr,"isolated_sec":$isoStr,""" +
+        s""""pin_sec":$pin,"confirmed":$confirmed}"""
+    }.mkString("{", ",", "}")
 
     val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }
       .mkString("{", ",", "}")
@@ -857,10 +908,18 @@ object Bench {
       }
       .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"load":$loadR,"queries":$qs,"spread":$sp,"inner":$ik,"composites":$cx,"errors":$es,"regressions":$rs,"n_ok":${timings.size},"n_err":${errors.size},"sf":"${esc(sfDir)}"}"""
-    println(json)
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"load":$loadR,"queries":$qs,"spread":$sp,"inner":$ik,"composites":$cx,"errors":$es,"regressions":$rs,"adjudications":$adj,"n_ok":${timings.size},"n_err":${errors.size},"sf":"${esc(sfDir)}"}"""
     Files.writeString(Paths.get("bench.json"), json + "\n")
+    // stop Spark BEFORE printing: executor/shutdown log lines racing the
+    // same stdout were the likeliest cause of the driver's two
+    // unparseable official artifacts (BENCH_r11/r12 "parsed": null).
+    // The marker-prefixed twin line gives the extraction a second,
+    // unambiguous anchor; the bare line stays last for line-oriented
+    // JSON parsers.
     spark.stop()
+    println("GRAFT_BENCH_JSON " + json)
+    println(json)
+    System.out.flush()
     if (errors.nonEmpty) sys.exit(1)
   }
 }

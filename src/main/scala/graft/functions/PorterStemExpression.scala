@@ -62,6 +62,9 @@ object GraftFunctions {
   def rollingFingerprint(c: Column): Column =
     org.apache.spark.sql.functions.call_function("rolling_fingerprint", c)
 
+  def langIdModel(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("lang_id_model", c)
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "porter_stem",
@@ -78,6 +81,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_fingerprint",
       exprs => RollingFingerprintExpression(exprs.head),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lang_id_model",
+      exprs => LangIdExpression(exprs.head),
       "scala_udf")
   }
 }
@@ -104,5 +111,9 @@ class GraftExtensions
       new org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_fingerprint"),
       RollingFingerprintExpression.info,
       (exprs: Seq[Expression]) => RollingFingerprintExpression(exprs.head)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("lang_id_model"),
+      LangIdExpression.info,
+      (exprs: Seq[Expression]) => LangIdExpression(exprs.head)))
   }
 }

@@ -93,8 +93,12 @@ object TextAnalysis {
       .reduce(_ + _)
   }
 
-  /** Argmax over language scores with a deterministic first-wins tie
-    * break in declaration order, 'und' when all scores are zero.
+  /** Marker-heuristic language ID: argmax over language scores with a
+    * deterministic first-wins tie break in declaration order, 'und'
+    * when all scores are zero. Round 13: this is the cheap pure-Column
+    * PRE-FILTER (stays inside WSCG with zero model state); the
+    * production lang-ID path is the trained NB model ([[LangId]] /
+    * `lang_id_model`), which [[analyze]] now uses.
     */
   def langId(text: Column): Column = {
     val scores = LangMarkers.map { case (l, _) => l -> langScore(text, l) }
@@ -585,7 +589,11 @@ object TextAnalysis {
       round(stopwordRatio(t), 6).as("stopword_ratio"),
       round(punctRatio(t), 6).as("punct_ratio"),
       qualityScore(t).as("quality"),
-      langId(t).as("lang_pred"),
+      // round 13: lang_pred migrated from the marker heuristic (kept as
+      // langId, the cheap pure-Column pre-filter) to the trained NB
+      // model via the native lang_id_model expression; null ≡ 'und'
+      coalesce(graft.functions.GraftFunctions.langIdModel(t),
+        lit(LangId.Unknown)).as("lang_pred"),
       // The native expression is nullIntolerant (NULL text -> NULL);
       // the operator contract (and the DuckDB twin) is fingerprint 0
       // for missing text, matching fingerprintOf(null) == 0.

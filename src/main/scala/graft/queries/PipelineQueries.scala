@@ -4096,6 +4096,22 @@ object PipelineQueries {
     graft.util.CacheRelease.afterFirstAction(
       kept.orderBy("doc_id"), Seq(kept))
   }
+
+  /** Trained language ID (q162, VERDICT r12 #3): the hashed-char-n-gram
+    * NB model ([[graft.operators.LangId]]) scored over the corpus —
+    * map-only, exact-BIGINT margins, the production replacement for the
+    * marker heuristic. The oracle ([[LangIdSql]]) replays gram
+    * extraction, the polynomial-31 bucket hash and the quantized score
+    * sums from the SAME in-memory model literals, so engine and oracle
+    * cannot drift; per-lang scores are part of the checked output, not
+    * just the argmax. Accuracy is gated on the committed held-out
+    * sentences in `LangIdSpec` (the corpus is the checkpoint — training
+    * is exact integer counting, so drift is impossible by construction).
+    */
+  val q162 = Q.checked("q162_langid_model", LangIdSql.q162) { (s, d) =>
+    graft.operators.LangId.predictDocs(Tables.documents(s, d))
+      .orderBy("doc_id")
+  }
 }
 
 /** Planted biarc corpus for the self-verifying q40: 100 verb groups,
@@ -4442,23 +4458,11 @@ object WordPieceEncodeSql {
   * formula constants can never drift from the Scala definitions.
   */
 object TextAnalysisSql {
-  private def occ(marker: String): String =
-    s"CAST((length(padded) - length(replace(padded, '$marker', ''))) / ${marker.length} AS BIGINT)"
-
-  private def langScore(lang: String): String =
-    TextAnalysis.LangMarkers.toMap.apply(lang).map(occ).mkString(" + ")
-
   val sql: String = {
     val stopArr = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-    val langs = TextAnalysis.LangMarkers.map(_._1)
-    val scoreCols = langs.map(l => s"${langScore(l)} AS s_$l").mkString(",\n              ")
-    val mx = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
-    val total = langs.map(l => s"s_$l").mkString(" + ")
-    val langCase = langs.map(l => s"WHEN s_$l = mx THEN '$l'").mkString(" ")
     s"""WITH t AS (
          SELECT doc_id, text,
-                regexp_split_to_array(trim(text), '\\s+') AS toks,
-                ' ' || text || ' ' AS padded
+                regexp_split_to_array(trim(text), '\\s+') AS toks
          FROM documents),
        m AS (
          SELECT doc_id, text,
@@ -4467,11 +4471,10 @@ object TextAnalysisSql {
                 len(list_filter(toks, w -> list_contains($stopArr, w))) AS n_stop,
                 length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace,
                 length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
-                length(text) AS n_chars,
-                $scoreCols
+                length(text) AS n_chars
          FROM t),
-       sc AS (SELECT *, $mx AS mx, $total AS total FROM m)
-       SELECT doc_id,
+       ${LangIdSql.scoreCtes("t")}
+       SELECT m.doc_id,
               CAST(n_tokens AS BIGINT) AS n_tokens,
               CAST(n_subwords AS BIGINT) AS n_subwords,
               round(n_nonspace / greatest(n_tokens, 1), 6) AS avg_token_len,
@@ -4482,8 +4485,8 @@ object TextAnalysisSql {
                 + (300 * least(n_stop * 5, greatest(n_tokens, 1))) // greatest(n_tokens, 1)
                 - (200 * least(n_punct * 4, greatest(n_chars, 1))) // greatest(n_chars, 1)
                 + 200) AS BIGINT) AS quality,
-              CASE WHEN total = 0 THEN 'und' $langCase ELSE 'und' END AS lang_pred
-       FROM sc
+              p.lang_pred
+       FROM m JOIN lid_pred p USING (doc_id)
        ORDER BY doc_id"""
   }
 }

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Trained NB language-ID gates: held-out accuracy on the committed
+  * test sentences (never seen by training), the operator contracts
+  * (und for null/empty, gram-count closed form, first-wins tie-break),
+  * native-expression parity with the kernel, and golden weight pins so
+  * a training-recipe change fails loudly (the corpus is the checkpoint;
+  * training is exact integer counting, so these pins can only move if
+  * the recipe itself moves).
+  */
+class LangIdSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("langid-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("held-out accuracy: every committed test sentence classified correctly") {
+    val wrong = LangId.HeldOut.filter { case (lang, text) =>
+      LangId.predict(text) != lang
+    }
+    assert(wrong.isEmpty,
+      s"misclassified held-out sentences: ${wrong.map { case (l, t) =>
+        s"[$l -> ${LangId.predict(t)}] ${t.take(40)}" }.mkString("; ")}")
+  }
+
+  test("training sentences classify to their own language") {
+    val wrong = LangId.SeedCorpus.filter { case (lang, text) =>
+      LangId.predict(text) != lang
+    }
+    assert(wrong.isEmpty, s"${wrong.size} training sentences misclassified")
+  }
+
+  test("null, empty and whitespace-only text predict 'und'") {
+    assert(LangId.predict(null) == LangId.Unknown)
+    assert(LangId.predict("") == LangId.Unknown)
+    assert(LangId.predict("  \t \n ") == LangId.Unknown)
+    assert(LangId.scores("  ")._1 == 0L)
+  }
+
+  test("gram count closed form: 3*len - 3 for len >= 3") {
+    val t = "abcdef"
+    val (n, _) = LangId.scores(t)
+    assert(n == 3L * t.length - 3)
+    assert(LangId.scores("a")._1 == 1L) // only the 1-gram
+    assert(LangId.scores("ab")._1 == 3L) // two 1-grams + one 2-gram
+  }
+
+  test("normalization collapses whitespace and lowercases before gramming") {
+    assert(LangId.normalize("  The\tQuick\n\nFox ") == "the quick fox")
+    val (n1, s1) = LangId.scores("THE QUICK FOX")
+    val (n2, s2) = LangId.scores("the   quick\tfox")
+    assert(n1 == n2 && s1.sameElements(s2))
+  }
+
+  test("model shape: deltas nonnegative, floors negative, priors uniform") {
+    val m = LangId.model
+    assert(m.deltas.forall(_.forall(_ >= 0L)))
+    assert(m.floors.forall(_ < 0L))
+    // 24 committed sentences per language -> uniform log prior
+    assert(m.priors.distinct.length == 1)
+  }
+
+  test("golden weight pins: a recipe change fails loudly") {
+    val m = LangId.model
+    // bucket of the 1-gram "e" = 'e'.toInt % 1024 = 101
+    assert(('e'.toInt % LangId.Dim) == 101)
+    val en = LangId.Langs.indexOf("en")
+    val zh = LangId.Langs.indexOf("zh")
+    // 'e' is frequent in English training text; bucket 101 only sees
+    // zh mass through hash collisions (one CJK char at this Dim), so
+    // the en delta dominates by an order of magnitude
+    assert(m.deltas(en)(101) > 0L)
+    assert(m.deltas(en)(101) > 5 * m.deltas(zh)(101))
+    // exact pins (computed from the committed corpus; any change to
+    // corpus, Dim, GramB, Scale or the smoothing formula moves these)
+    assert(m.floors(en) == -8435766L,
+      s"en floor moved: ${m.floors(en)}")
+    assert(m.deltas(en)(101) == 5087596L,
+      s"en delta('e') moved: ${m.deltas(en)(101)}")
+  }
+
+  test("native lang_id_model expression matches the kernel, incl. codegen") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val samples = (LangId.HeldOut.map(_._2) ++ Seq("", "  ", "mixed 文本 text"))
+      .toDF("text")
+    val viaExpr = samples
+      .selectExpr("coalesce(lang_id_model(text), 'und') AS p")
+      .as[String].collect()
+    val viaKernel = (LangId.HeldOut.map(_._2) ++ Seq("", "  ", "mixed 文本 text"))
+      .map(LangId.predict)
+    assert(viaExpr.toSeq == viaKernel)
+  }
+
+  test("predictDocs emits the kernel's scores and argmax") {
+    import spark.implicits._
+    val docs = LangId.HeldOut.zipWithIndex
+      .map { case ((_, t), i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = LangId.predictDocs(docs).orderBy("doc_id").collect()
+    got.zip(LangId.HeldOut).foreach { case (row, (lang, text)) =>
+      val (n, s) = LangId.scores(text)
+      assert(row.getLong(1) == n)
+      assert(Seq(2, 3, 4, 5, 6).map(row.getLong) ==
+        s.toSeq)
+      assert(row.getString(7) == lang)
+    }
+  }
+}
