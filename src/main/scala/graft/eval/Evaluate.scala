@@ -148,6 +148,21 @@ object Evaluate {
     }
   }
 
+  /** PR-curve artifact (`evaluate_dirt.py:250-262`): the exact
+    * (recall, precision) series the reference hands to matplotlib,
+    * written as a headered TSV instead of a PNG — the plottable DATA is
+    * the deliverable; rendering is the caller's concern. Driver-side
+    * file IO is fine: the curve is bounded by the labeled pair set.
+    */
+  def writePrCurve(curve: Seq[(Double, Double)],
+      path: java.nio.file.Path): Unit = {
+    val lines = "recall\tprecision" +:
+      curve.map { case (r, p) => s"$r\t$p" }
+    java.nio.file.Files.write(path, lines.mkString("\n").getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
   /** Full report: sweep + curve + up to `nExamples` TP/FP/TN/FN exemplars
     * (`print_error_analysis`, `evaluate_dirt.py:156-224`).
     */

@@ -61,6 +61,11 @@ object DirtCli {
       block("False Positives", report.falsePositives)
       block("True Negatives", report.trueNegatives)
       block("False Negatives", report.falseNegatives)
+      // PR-curve artifact (`evaluate_dirt.py:250-262` emits a PNG of
+      // exactly this series; the engine ships the data as TSV)
+      val curvePath = Paths.get(outDir, "precision_recall_curve.tsv")
+      Evaluate.writePrCurve(report.prCurve, curvePath)
+      println(s"PR curve saved as '$curvePath'")
     }
     spark.stop()
   }

@@ -99,5 +99,22 @@ class EvaluateSpec extends AnyFunSuite {
     assert(math.abs(java.best.precision - 0.9167) < 1e-3)
     assert(math.abs(java.best.recall - 0.0465) < 1e-3)
     assert(math.abs(py.best.f1 - 0.0553) < 1e-3)
+
+    // PR-curve artifact (evaluate_dirt.py:250-262 plots exactly this
+    // series): write the TSV and assert it round-trips the curve rows
+    val tsv = Files.createTempFile("pr_curve", ".tsv")
+    try {
+      Evaluate.writePrCurve(java.prCurve, tsv)
+      val lines = Files.readAllLines(tsv).asScala.toSeq
+      assert(lines.head == "recall\tprecision")
+      assert(lines.size == java.prCurve.size + 1)
+      val parsed = lines.tail.map { l =>
+        val p = l.split("\t"); (p(0).toDouble, p(1).toDouble)
+      }
+      assert(parsed == java.prCurve)
+      // the shipped-subset curve starts at full precision (the published
+      // large-run shape, AnalysisReport.md §3) and is non-empty
+      assert(parsed.head._2 == 1.0)
+    } finally { Files.deleteIfExists(tsv); () }
   }
 }
