@@ -3150,15 +3150,19 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
-  /** Video frame sampling (q139): every 3rd frame of each GRV1 clip in
-    * [[graft.operators.Multimodal.syntheticVideoTable]], with exact
-    * integer per-frame mean gray. The synthetic container makes every
-    * output column closed-form in (doc_id, frame_idx) — dimensions,
-    * frame count, and the solid frame level (doc_id + 7·frame_idx) mod
-    * 256 — so DuckDB recomputes the whole result with generate_series:
-    * a real container parse + temporal subsample under a hash-match
-    * oracle. Truncated/forged-container rejection and non-solid frame
-    * means are pinned in MultimodalResizeSpec.
+  /** Video frame sampling (q139, round 13 on a STANDARD container):
+    * every 3rd frame of each uncompressed-DIB RIFF/AVI clip in
+    * [[graft.operators.Multimodal.syntheticAviTable]] — payloads any
+    * external tool (ffmpeg, a media player) can read — with exact
+    * integer per-frame palette-resolved mean luma. The synthetic
+    * construction makes every output column closed-form in (doc_id,
+    * frame_idx) — dimensions, frame count, and the solid frame level
+    * (doc_id + 7·frame_idx) mod 256 (a 256-gray palette is lossless for
+    * solid frames, and luma(g,g,g) = g exactly) — so DuckDB recomputes
+    * the whole result with generate_series: a real RIFF chunk-grammar
+    * parse + temporal subsample under a hash-match oracle. Truncated/
+    * forged-container rejection, cross-container agreement with GIF and
+    * non-solid frame means are pinned in MultimodalAviSpec.
     */
   val q139 = Q.checked(
     "q139_multimodal_video_frame_sample",
@@ -3171,8 +3175,8 @@ object PipelineQueries {
                unnest(generate_series(0, 7 + doc_id % 8, 3)) AS frame_idx
              FROM documents) t
        ORDER BY doc_id, frame_idx""") { (s, d) =>
-    graft.operators.Multimodal.videoFrameSample(
-      graft.operators.Multimodal.syntheticVideoTable(Tables.documents(s, d)),
+    graft.operators.Multimodal.aviFrameSample(
+      graft.operators.Multimodal.syntheticAviTable(Tables.documents(s, d)),
       stride = 3)
       .orderBy("doc_id", "frame_idx")
   }

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RIFF/AVI container kernels (q139's standard-container path): exact
+  * round-trip of the chunk grammar, malformed-container rejection,
+  * non-solid frame means (bottom-up padded-row addressing), and
+  * cross-container agreement — the SAME clip sampled through AVI, GIF
+  * and the GRV1 interchange must emit identical rows, so the three
+  * codecs pin each other.
+  */
+class MultimodalAviSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("avi-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def solid(w: Int, h: Int, g: Int): Array[Byte] = {
+    val a = new Array[Byte](w * h)
+    java.util.Arrays.fill(a, g.toByte)
+    a
+  }
+
+  test("round-trip: dims, frame count, solid means survive the RIFF grammar") {
+    val clip = Multimodal.encodeAvi(5, 3, // width 5 forces row padding
+      Seq(solid(5, 3, 0), solid(5, 3, 7), solid(5, 3, 255)))
+    val frames = Multimodal.decodeAviFrames(clip).get
+    assert(frames.size == 3)
+    assert(frames.forall(f => f.width == 5 && f.height == 3))
+    assert(frames.map(_.mean_luma) == Seq(0, 7, 255))
+  }
+
+  test("non-solid frame: exact integer mean over pixels, padding excluded") {
+    // 5x2 frame, row padding = 3 bytes/row that must NOT enter the mean
+    val px = Array.tabulate(10)(i => (i * 20).toByte) // 0,20,...,180
+    val clip = Multimodal.encodeAvi(5, 2, Seq(px))
+    val d = Multimodal.decodeAviFrames(clip).get.head
+    assert(d.mean_luma == px.map(_ & 0xff).sum / 10)
+  }
+
+  test("rejection: truncation, forged size, wrong magic, garbage, null") {
+    val clip = Multimodal.encodeAvi(4, 4, Seq(solid(4, 4, 9)))
+    assert(Multimodal.decodeAviFrames(clip).isDefined)
+    assert(Multimodal.decodeAviFrames(clip.dropRight(1)).isEmpty)
+    assert(Multimodal.decodeAviFrames(clip ++ Array(0.toByte)).isEmpty)
+    val wrongMagic = clip.clone(); wrongMagic(0) = 'X'.toByte
+    assert(Multimodal.decodeAviFrames(wrongMagic).isEmpty)
+    // forge the avih frame count: parsed frames disagree -> reject
+    val forged = clip.clone()
+    // avih dwTotalFrames lives at offset 12(RIFF)+12(LIST hdrl)+8+16
+    val tfOff = 12 + 12 + 8 + 16
+    forged(tfOff) = 2
+    assert(Multimodal.decodeAviFrames(forged).isEmpty)
+    assert(Multimodal.decodeAviFrames(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeAviFrames(null).isEmpty)
+    assert(Multimodal.decodeAviFrames("not an avi at all".getBytes).isEmpty)
+  }
+
+  test("cross-container agreement: AVI == GIF == GRV1 frame samples") {
+    import spark.implicits._
+    val docs = (0L until 40L).toDF("doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "frame_idx").collect().map(_.toSeq).toSeq
+    val avi = rows(Multimodal.aviFrameSample(
+      Multimodal.syntheticAviTable(docs), stride = 3))
+    val gif = rows(Multimodal.gifFrameSample(
+      Multimodal.syntheticGifTable(docs), stride = 3))
+    val grv = rows(Multimodal.videoFrameSample(
+      Multimodal.syntheticVideoTable(docs), stride = 3))
+    assert(avi.nonEmpty)
+    assert(avi == gif)
+    assert(avi == grv)
+  }
+
+  test("the payload is a well-formed RIFF file byte-for-byte re-walkable") {
+    val clip = Multimodal.encodeAvi(16, 16, Seq(solid(16, 16, 100)))
+    // RIFF size field must cover exactly the rest of the file
+    val bb = java.nio.ByteBuffer.wrap(clip)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(new String(clip, 0, 4, "US-ASCII") == "RIFF")
+    assert(bb.getInt(4) == clip.length - 8)
+    assert(new String(clip, 8, 4, "US-ASCII") == "AVI ")
+    // idx1 present (AVIF_HASINDEX is declared)
+    assert(new String(clip, clip.length - 16 - 8, 4, "US-ASCII") == "idx1")
+  }
+}
