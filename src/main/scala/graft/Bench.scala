@@ -719,6 +719,35 @@ object Bench {
     */
   val AdjudicationReruns = 2
 
+  /** Run-wide machine-load estimate: the median of per-entry ratios vs
+    * pin, clamped to >= 1 so a quiet run is compared raw (class doc §2).
+    */
+  def loadFactor(timings: Seq[(String, Double)],
+      prev: Map[String, Double]): Double = {
+    val ratios = timings
+      .flatMap { case (k, v) => prev.get(k).filter(_ > 0).map(v / _) }
+      .sorted
+    if (ratios.isEmpty) 1.0 else math.max(1.0, ratios(ratios.size / 2))
+  }
+
+  /** Entries whose load-normalized ratio vs pin exceeds 2x:
+    * (name, pin, rounded normalized ratio).
+    */
+  def flaggedEntries(timings: Seq[(String, Double)],
+      prev: Map[String, Double],
+      load: Double): Seq[(String, Double, Double)] =
+    timings.flatMap { case (k, v) =>
+      prev.get(k).filter(p => p > 0 && v / p / load > 2.0)
+        .map(p => (k, p, math.rint(v / p / load * 100) / 100))
+    }
+
+  /** Adjudication verdict: a flag is confirmed only when the isolated
+    * rerun itself exceeds 2x the pin RAW; a rerun that failed to
+    * produce a time (threw) cannot exonerate the flag.
+    */
+  def confirmRegression(isolatedSec: Option[Double], pin: Double): Boolean =
+    isolatedSec.forall(_ / pin > 2.0)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -848,16 +877,8 @@ object Bench {
     // baseline is updated only in deliberate re-baseline commits —
     // comparing against the last run's own output let one transiently
     // fast run poison the next comparison (25 false flags in r7).
-    val ratios = timings.toSeq
-      .flatMap { case (k, v) => prev.get(k).filter(_ > 0).map(v / _) }
-      .sorted
-    val load =
-      if (ratios.isEmpty) 1.0
-      else math.max(1.0, ratios(ratios.size / 2))
-    val flagged = timings.toSeq.flatMap { case (k, v) =>
-      prev.get(k).filter(p => p > 0 && v / p / load > 2.0)
-        .map(p => (k, p, math.rint(v / p / load * 100) / 100))
-    }
+    val load = loadFactor(timings.toSeq, prev)
+    val flagged = flaggedEntries(timings.toSeq, prev, load)
 
     // SELF-ADJUDICATION (class doc above): isolated in-process rerun of
     // every flagged entry, min-of-AdjudicationReruns, confirmed only if
@@ -877,7 +898,7 @@ object Bench {
           }
           Some(runs.min)
         } catch { case _: Throwable => spark.catalog.clearCache(); None }
-      val confirmed = iso.forall(_ / pin > 2.0)
+      val confirmed = confirmRegression(iso, pin)
       (name, flaggedRatio, iso, pin, confirmed)
     }
     val regressions = adjudications.collect {

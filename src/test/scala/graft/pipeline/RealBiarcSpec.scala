@@ -48,6 +48,18 @@ class RealBiarcSpec extends AnyFunSuite {
     "die\tchildren/NNS/nsubj/2 die/VBP/ROOT/0 of/IN/prep/2 pneumonia/NN/pobj/3\t5\t2004,5",
     "lead\tsmoking/NN/nsubj/2 leads/VBZ/ROOT/0 to/IN/prep/2 cancer/NN/pobj/3\t8\t2000,8",
     "result\tsmoking/NN/nsubj/2 results/VBZ/ROOT/0 in/IN/prep/2 cancer/NN/pobj/3\t6\t2000,6",
+    // protect against <-> protect from (published TP, AnalysisReport.md:57)
+    "protect\tvaccines/NNS/nsubj/2 protect/VBP/ROOT/0 against/IN/prep/2 influenza/NN/pobj/3\t9\t2001,9",
+    "protect\tmasks/NNS/nsubj/2 protect/VBP/ROOT/0 against/IN/prep/2 infection/NN/pobj/3\t5\t2020,5",
+    "protect\tvaccines/NNS/nsubj/2 protect/VBP/ROOT/0 from/IN/prep/2 influenza/NN/pobj/3\t7\t2002,7",
+    "protect\tmasks/NNS/nsubj/2 protect/VBP/ROOT/0 from/IN/prep/2 infection/NN/pobj/3\t4\t2021,4",
+    // consist of <-> contain (published TP, AnalysisReport.md:58 — a
+    // prep path paired with a plain dobj transitive)
+    "consist\tbrain/NN/nsubj/2 consists/VBZ/ROOT/0 of/IN/prep/2 neurons/NNS/pobj/3\t8\t1999,8",
+    "consist\tbody/NN/nsubj/2 consists/VBZ/ROOT/0 of/IN/prep/2 water/NN/pobj/3\t7\t1999,7",
+    "contain\tbrain/NN/nsubj/2 contains/VBZ/ROOT/0 neurons/NNS/dobj/2\t6\t2000,6",
+    "contain\tbody/NN/nsubj/2 contains/VBZ/ROOT/0 water/NN/dobj/2\t9\t2000,9",
+    "contain\tmixture/NN/nsubj/2 contains/VBZ/ROOT/0 salt/NN/dobj/2\t3\t2000,3",
     // tolerance probes: malformed token (skipped), unparseable count
     // (falls back to 1), short line (dropped)
     "die\tzzz die/VBP/ROOT/0 from/IN/prep/1 heat/NN/pobj/2\t3\t2005,3",
@@ -56,6 +68,8 @@ class RealBiarcSpec extends AnyFunSuite {
 
   val testSet: Seq[String] = Seq(
     "X die from Y\tX die of Y", // published TP (AnalysisReport.md:56)
+    "X protect against Y\tX protect from Y", // published TP (:57)
+    "X consist of Y\tX contain Y", // published TP (:58)
     "X die from Y\tX lead to Y") // non-synonymous control
 
   /** Independent brute-force of the reference formula over the same
@@ -100,11 +114,11 @@ class RealBiarcSpec extends AnyFunSuite {
     }.toMap
   }
 
-  test("tolerant parse: 10 sentences survive, probes behave as the reference") {
+  test("tolerant parse: 19 sentences survive, probes behave as the reference") {
     val parsed = corpus.flatMap(BiarcParser.parseLine)
-    assert(parsed.size == 10) // short line dropped
-    assert(parsed(8).tokens.length == 3) // zzz token skipped
-    assert(parsed(9).cnt == 1L) // 'abc' count falls back to 1
+    assert(parsed.size == 19) // short line dropped
+    assert(parsed(17).tokens.length == 3) // zzz token skipped
+    assert(parsed(18).cnt == 1L) // 'abc' count falls back to 1
   }
 
   test("pipeline scores on real-format biarcs match the brute-forced formula") {
@@ -123,21 +137,29 @@ class RealBiarcSpec extends AnyFunSuite {
     }
   }
 
-  test("published-quality shape: synonymous pair beats the control, both in (0,1]") {
+  test("published-quality shape: every published TP pair beats the control, all in (0,1]") {
     import spark.implicits._
     val got = DirtPipeline
       .run(spark, corpus.toDS(), testSet)
       .collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
       .toMap
-    val dieFrom = "N:<nsubj:V:die:>prep:P:from:>pobj:N"
-    val dieOf = "N:<nsubj:V:die:>prep:P:of:>pobj:N"
-    val leadTo = "N:<nsubj:V:lead:>prep:P:to:>pobj:N"
+    def path(v: String, p: String) = s"N:<nsubj:V:$v:>prep:P:$p:>pobj:N"
     def canon(a: String, b: String) = if (a <= b) (a, b) else (b, a)
-    val tp = got(canon(dieFrom, dieOf))
-    val ctl = got(canon(dieFrom, leadTo))
-    assert(tp > 0.0 && tp <= 1.0, s"TP pair score out of range: $tp")
-    assert(tp > ctl,
-      s"synonymous pair ($tp) must outscore the non-synonymous control ($ctl)")
+    val tps = Seq(
+      "die from <-> die of" ->
+        canon(path("die", "from"), path("die", "of")),
+      "protect against <-> protect from" ->
+        canon(path("protect", "against"), path("protect", "from")),
+      "consist of <-> contain" ->
+        canon(path("consist", "of"), "N:<nsubj:V:contain:>dobj:N"))
+    val ctl = got(canon(path("die", "from"), path("lead", "to")))
+    tps.foreach { case (label, pair) =>
+      val s = got.getOrElse(pair,
+        fail(s"published TP pair missing from output: $label ($pair)"))
+      assert(s > 0.0 && s <= 1.0, s"$label score out of range: $s")
+      assert(s > ctl,
+        s"$label ($s) must outscore the non-synonymous control ($ctl)")
+    }
   }
 }
