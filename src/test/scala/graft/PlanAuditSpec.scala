@@ -527,4 +527,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(4000))
   }
+
+  test("q162: trained lang-ID scoring is map-only (no shuffle before the sort)") {
+    // NB scoring is prior + n*floor + Σ delta(bucket) computed row-local
+    // with the model in executor class constants — the 100 TB shape is a
+    // projected scan; any Exchange other than the presentation sort's
+    // means a join/agg crept into the scoring path. The scan must also
+    // prune to (doc_id, text).
+    val p = plan("q162_langid_model")
+    // formatted explain prints each node once in the tree and once in
+    // the detail section -> exactly one Exchange node = two mentions,
+    // and it must be the presentation sort's range partitioning
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 1,
+      s"non-sort exchange in the scoring path: ${p.take(4000)}")
+    assert(p.contains("rangepartitioning") && !p.contains("hashpartitioning"),
+      p.take(4000))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      p.take(4000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      p.take(2000))
+  }
 }
