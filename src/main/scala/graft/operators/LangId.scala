@@ -53,7 +53,12 @@ object LangId {
     */
   val Scale = 1000000L
 
-  /** Languages in tie-break order (first max wins). */
+  /** Languages in tie-break order (first max wins). The set matches the
+    * fixture corpus; a production deployment extends [[Langs]] and
+    * [[SeedCorpus]] together (per-language floors/priors are computed
+    * independently, so existing weights — and their golden pins — are
+    * unaffected by added languages).
+    */
   val Langs: Vector[String] = Vector("en", "es", "de", "fr", "zh")
 
   val Unknown = "und"
