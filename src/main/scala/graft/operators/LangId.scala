@@ -35,7 +35,10 @@ import org.apache.spark.sql.functions.col
   * points in the DuckDB twin — identical for BMP text (all of the seed
   * corpus and every fixture); supplementary-plane input would diverge
   * and is out of the parity contract (documented, not silently wrong:
-  * grams are still deterministic in each engine).
+  * grams are still deterministic in each engine). Case folding is
+  * deliberately ASCII-only and whitespace collapse explicitly includes
+  * U+000B on both sides — see [[normalize]] — so locale/regex-dialect
+  * divergences cannot reach the gram stream.
   */
 object LangId {
 
@@ -235,12 +238,27 @@ object LangId {
     "zh" -> "地图上显示两条通往村子的路")
 
   /** Shared normalization: collapse whitespace runs to one space, trim,
-    * lowercase — mirrored exactly by the oracle's
-    * `lower(trim(regexp_replace(text, '\s+', ' ', 'g')))`.
+    * ASCII-lowercase. Both halves are chosen for EXACT engine parity,
+    * not linguistic completeness: Java's `\s` includes U+000B where
+    * RE2's does not (the oracle's class is widened to `[\s\x0B]` to
+    * match), and locale lowercasing diverges between engines on
+    * full-case expansions (Java ROOT maps U+0130 to two code points),
+    * so case folding is restricted to A–Z — a pure 1:1 code-point map
+    * both engines replay via `translate`. Non-ASCII case thus carries
+    * through unfolded, identically, in both engines.
     */
-  def normalize(s: String): String =
-    if (s == null) ""
-    else s.replaceAll("\\s+", " ").trim.toLowerCase(java.util.Locale.ROOT)
+  def normalize(s: String): String = {
+    if (s == null) return ""
+    val collapsed = s.replaceAll("\\s+", " ").trim
+    val sb = new java.lang.StringBuilder(collapsed.length)
+    var i = 0
+    while (i < collapsed.length) {
+      val c = collapsed.charAt(i)
+      sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+      i += 1
+    }
+    sb.toString
+  }
 
   /** Bucket of the n-gram starting at `i` (chars as UTF-16 units — code
     * points for BMP text, the parity contract).

@@ -880,12 +880,35 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Decode every frame of a GIF through the ImageIO reader. None when
+  private def decodedOf(img: java.awt.image.BufferedImage): Decoded = {
+    val fw = img.getWidth
+    val fh = img.getHeight
+    val px = img.getRGB(0, 0, fw, fh, null, 0, fw)
+    val hist = new Array[Float](8)
+    var lumaSum = 0L
+    var i = 0
+    while (i < px.length) {
+      val rgb = px(i)
+      val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+        + 114 * (rgb & 0xff)) / 1000
+      hist(luma >> 5) += 1f
+      lumaSum += luma
+      i += 1
+    }
+    var b = 0
+    while (b < 8) { hist(b) /= px.length; b += 1 }
+    Decoded(fw, fh, 1, (lumaSum / px.length).toInt, hist)
+  }
+
+  /** Decode every `stride`-th frame of a GIF through the ImageIO
+    * reader, returning (total frame count, decoded kept frames with
+    * their indices) — skipped frames are never pixel-decoded. None when
     * the codec rejects the payload (same codec-only exception scope as
     * [[decodeImage]]); each frame reports its dimensions and the exact
     * integer 299/587/114 mean luma [[decodeImage]] uses.
     */
-  def decodeGifFrames(bytes: Array[Byte]): Option[Seq[Decoded]] = {
+  def decodeGifFramesStrided(bytes: Array[Byte],
+      stride: Int): Option[(Int, Seq[(Int, Decoded)])] = {
     if (bytes == null || bytes.isEmpty) return None
     val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
     if (!readers.hasNext) return None
@@ -898,29 +921,15 @@ object Multimodal {
           reader.setInput(iis, false) // random access: getNumImages needs it
           val n = reader.getNumImages(true)
           if (n <= 0) return None
-          (0 until n).map(reader.read(_))
+          (n, (0 until n by stride).map(f => (f, reader.read(f))))
         } catch { case scala.util.control.NonFatal(_) => return None }
-      Some(frames.map { img =>
-        val fw = img.getWidth
-        val fh = img.getHeight
-        val px = img.getRGB(0, 0, fw, fh, null, 0, fw)
-        val hist = new Array[Float](8)
-        var lumaSum = 0L
-        var i = 0
-        while (i < px.length) {
-          val rgb = px(i)
-          val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
-            + 114 * (rgb & 0xff)) / 1000
-          hist(luma >> 5) += 1f
-          lumaSum += luma
-          i += 1
-        }
-        var b = 0
-        while (b < 8) { hist(b) /= px.length; b += 1 }
-        Decoded(fw, fh, 1, (lumaSum / px.length).toInt, hist)
-      })
+      Some((frames._1, frames._2.map { case (f, img) => (f, decodedOf(img)) }))
     } finally reader.dispose()
   }
+
+  /** Parse + decode every frame (spec/round-trip surface). */
+  def decodeGifFrames(bytes: Array[Byte]): Option[Seq[Decoded]] =
+    decodeGifFramesStrided(bytes, 1).map(_._2.map(_._2))
 
   /** Deterministic animated-GIF media table — the same closed-form
     * construction as [[syntheticVideoTable]] (w = 16+id%16, h = 16+id%8,
@@ -955,10 +964,10 @@ object Multimodal {
   }
 
   /** [[videoFrameSample]] over animated GIFs: decode through the public
-    * ImageIO codec, emit every `stride`-th frame with its exact integer
-    * mean luma. Payloads the codec rejects are dropped, identical
-    * contract to the GRV1 path — one flatMap, fan-out bounded per clip
-    * by nFrames/stride.
+    * ImageIO codec, emitting ONLY every `stride`-th frame (skipped
+    * frames are never pixel-decoded) with its exact integer mean luma.
+    * Payloads the codec rejects are dropped, identical contract to the
+    * AVI path — one flatMap, fan-out bounded per clip by nFrames/stride.
     */
   def gifFrameSample(media: DataFrame, stride: Int = 3,
       idCol: String = "doc_id",
@@ -970,12 +979,11 @@ object Multimodal {
       .select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        decodeGifFrames(bytes).iterator.flatMap { frames =>
-          val nf = frames.size
-          (0 until nf by stride).iterator.map { f =>
-            val d = frames(f)
-            (id, f, d.width, d.height, nf, d.mean_luma)
-          }
+        decodeGifFramesStrided(bytes, stride).iterator.flatMap {
+          case (nf, kept) =>
+            kept.iterator.map { case (f, d) =>
+              (id, f, d.width, d.height, nf, d.mean_luma)
+            }
         }
       })
       .toDF("doc_id", "frame_idx", "width", "height", "n_frames",
@@ -1093,14 +1101,32 @@ object Multimodal {
     bb.array()
   }
 
-  /** Parse an uncompressed 8-bit-DIB AVI and decode every frame:
-    * per-frame exact integer mean luma (palette-resolved 299/587/114,
-    * the [[decodeImage]] formula) and the 8-bin luma histogram. None on
+  /** Parsed, fully validated AVI structure: dimensions, resolved
+    * palette, and every frame chunk's payload offset — pixel work
+    * deferred to [[decodeAviFrame]] so samplers decode only the frames
+    * they keep.
+    */
+  case class AviClip(width: Int, height: Int, palette: Array[Int],
+      frameOffsets: IndexedSeq[Int]) {
+    def nFrames: Int = frameOffsets.length
+  }
+
+  /** The RIFF grammar only nests LIST(hdrl) > LIST(strl); anything
+    * deeper is a forged container and must be REJECTED, not recursed
+    * into — an unbounded walk would turn a payload of nested LIST
+    * shells into a StackOverflowError (an Error no tolerant decode
+    * catches) instead of a None.
+    */
+  private val MaxRiffDepth = 4
+
+  /** Parse and validate an uncompressed 8-bit-DIB AVI: RIFF magic and
+    * exact size, chunk walk (depth-capped), avih/strf header fields,
+    * palette, per-frame chunk sizes, frame count vs avih. None on
     * anything malformed — wrong magic, truncated RIFF size, missing
     * headers, non-8-bit or compressed streams, frame-size mismatches,
-    * or a frame count that disagrees with avih.
+    * over-deep nesting, or a frame count that disagrees with avih.
     */
-  def decodeAviFrames(bytes: Array[Byte]): Option[Seq[Decoded]] = {
+  def parseAvi(bytes: Array[Byte]): Option[AviClip] = {
     if (bytes == null || bytes.length < 12) return None
     val bb = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -1115,11 +1141,12 @@ object Multimodal {
     var bitCount = -1
     var compression = -1
     var palette: Array[Int] = null // packed rgb per index
-    val frameOffsets = Seq.newBuilder[(Int, Int)] // (offset, size)
+    val frameOffsets = IndexedSeq.newBuilder[(Int, Int)] // (offset, size)
 
     // tolerant chunk walk; `end` bounds every read so a forged size can
-    // never index past the payload
-    def walk(from: Int, end: Int): Boolean = {
+    // never index past the payload, `depth` bounds recursion
+    def walk(from: Int, end: Int, depth: Int): Boolean = {
+      if (depth > MaxRiffDepth) return false
       var off = from
       while (off + 8 <= end) {
         val id = bb.getInt(off)
@@ -1130,7 +1157,7 @@ object Multimodal {
           val listType = bb.getInt(off + 8)
           if (listType == fcc("hdrl") || listType == fcc("strl") ||
               listType == fcc("movi")) {
-            if (!walk(off + 12, off + 8 + size)) return false
+            if (!walk(off + 12, off + 8 + size, depth + 1)) return false
           }
         } else if (id == fcc("avih")) {
           if (size < 56) return false
@@ -1158,7 +1185,7 @@ object Multimodal {
       }
       true
     }
-    if (!walk(12, bytes.length)) return None
+    if (!walk(12, bytes.length, 1)) return None
 
     if (width <= 0 || height <= 0 || totalFrames < 0) return None
     if (bitCount != 8 || compression != 0 || palette == null) return None
@@ -1167,30 +1194,44 @@ object Multimodal {
     val rowStride = (width + 3) & ~3
     val fds = rowStride * height
     if (frames.exists(_._2 != fds)) return None
-
-    Some(frames.map { case (off, _) =>
-      val hist = new Array[Float](8)
-      var lumaSum = 0L
-      var y = 0
-      while (y < height) {
-        val rowOff = off + (height - 1 - y) * rowStride // bottom-up
-        var x = 0
-        while (x < width) {
-          val rgb = palette(bytes(rowOff + x) & 0xff)
-          val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
-            + 114 * (rgb & 0xff)) / 1000
-          hist(luma >> 5) += 1f
-          lumaSum += luma
-          x += 1
-        }
-        y += 1
-      }
-      val n = width * height
-      var b = 0
-      while (b < 8) { hist(b) /= n; b += 1 }
-      Decoded(width, height, 1, (lumaSum / n).toInt, hist)
-    })
+    Some(AviClip(width, height, palette, frames.map(_._1)))
   }
+
+  /** Decode one frame of a parsed clip: exact integer mean luma
+    * (palette-resolved 299/587/114, the [[decodeImage]] formula) and
+    * the 8-bin luma histogram.
+    */
+  def decodeAviFrame(bytes: Array[Byte], clip: AviClip, f: Int): Decoded = {
+    val rowStride = (clip.width + 3) & ~3
+    val off = clip.frameOffsets(f)
+    val hist = new Array[Float](8)
+    var lumaSum = 0L
+    var y = 0
+    while (y < clip.height) {
+      val rowOff = off + (clip.height - 1 - y) * rowStride // bottom-up
+      var x = 0
+      while (x < clip.width) {
+        val rgb = clip.palette(bytes(rowOff + x) & 0xff)
+        val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+          + 114 * (rgb & 0xff)) / 1000
+        hist(luma >> 5) += 1f
+        lumaSum += luma
+        x += 1
+      }
+      y += 1
+    }
+    val n = clip.width * clip.height
+    var b = 0
+    while (b < 8) { hist(b) /= n; b += 1 }
+    Decoded(clip.width, clip.height, 1, (lumaSum / n).toInt, hist)
+  }
+
+  /** Parse + decode every frame (spec/round-trip surface; samplers use
+    * [[parseAvi]] + [[decodeAviFrame]] to decode only kept frames).
+    */
+  def decodeAviFrames(bytes: Array[Byte]): Option[Seq[Decoded]] =
+    parseAvi(bytes).map(clip =>
+      (0 until clip.nFrames).map(decodeAviFrame(bytes, clip, _)))
 
   /** Deterministic AVI media table — the same closed-form construction
     * as [[syntheticVideoTable]]/[[syntheticGifTable]] (w = 16+id%16,
@@ -1229,9 +1270,10 @@ object Multimodal {
   }
 
   /** [[videoFrameSample]] over standard AVI payloads: parse the RIFF
-    * grammar, emit every `stride`-th frame with its exact integer mean
-    * luma. Payloads the parser rejects are dropped — one flatMap,
-    * fan-out bounded per clip by nFrames/stride.
+    * grammar, decode and emit ONLY every `stride`-th frame (skipped
+    * frames cost a validated chunk offset, never a pixel pass) with its
+    * exact integer mean luma. Payloads the parser rejects are dropped —
+    * one flatMap, fan-out bounded per clip by nFrames/stride.
     */
   def aviFrameSample(media: DataFrame, stride: Int = 3,
       idCol: String = "doc_id",
@@ -1243,11 +1285,10 @@ object Multimodal {
       .select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        decodeAviFrames(bytes).iterator.flatMap { frames =>
-          val nf = frames.size
-          (0 until nf by stride).iterator.map { f =>
-            val d = frames(f)
-            (id, f, d.width, d.height, nf, d.mean_luma)
+        parseAvi(bytes).iterator.flatMap { clip =>
+          (0 until clip.nFrames by stride).iterator.map { f =>
+            val d = decodeAviFrame(bytes, clip, f)
+            (id, f, d.width, d.height, clip.nFrames, d.mean_luma)
           }
         }
       })

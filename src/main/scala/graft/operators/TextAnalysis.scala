@@ -76,40 +76,11 @@ object TextAnalysis {
     greatest(lit(0), lenK + stopK - punctK + lit(200)).cast("long")
   }
 
-  /** Function-word markers per language for the n-gram-free language-ID
-    * heuristic (replace-based counting keeps it engine-portable; markers
-    * are space-padded so they only hit whole words).
-    */
-  val LangMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq(" the ", " and ", " of "),
-    "es" -> Seq(" el ", " la ", " que "),
-    "de" -> Seq(" der ", " und ", " die "),
-    "fr" -> Seq(" le ", " les ", " est "))
-
-  def langScore(text: Column, lang: String): Column = {
-    val padded = concat(lit(" "), text, lit(" "))
-    LangMarkers.toMap.apply(lang)
-      .map(m => occurrences(padded, m))
-      .reduce(_ + _)
-  }
-
-  /** Marker-heuristic language ID: argmax over language scores with a
-    * deterministic first-wins tie break in declaration order, 'und'
-    * when all scores are zero. Round 13: this is the cheap pure-Column
-    * PRE-FILTER (stays inside WSCG with zero model state); the
-    * production lang-ID path is the trained NB model ([[LangId]] /
-    * `lang_id_model`), which [[analyze]] now uses.
-    */
-  def langId(text: Column): Column = {
-    val scores = LangMarkers.map { case (l, _) => l -> langScore(text, l) }
-    val mx = scores.map(_._2).reduce(greatest(_, _))
-    val total = scores.map(_._2).reduce(_ + _)
-    scores
-      .foldLeft(when(total === 0, lit("und"))) { case (acc, (l, s)) =>
-        acc.when(s === mx, lit(l))
-      }
-      .otherwise(lit("und"))
-  }
+  // Round 13: the function-word-marker language-ID heuristic
+  // (LangMarkers/langScore/langId) was REMOVED — the trained NB model
+  // ([[LangId]] / the lang_id_model expression) is the engine's lang-ID
+  // path, analyze() and the q37 oracle both migrated, and nothing
+  // called the markers anymore. Recoverable from git history.
 
   /** 64-bit polynomial rolling-hash fingerprint: minimum of all k-gram
     * (k=8) character window hashes — a winnowing-style content signature
@@ -589,9 +560,8 @@ object TextAnalysis {
       round(stopwordRatio(t), 6).as("stopword_ratio"),
       round(punctRatio(t), 6).as("punct_ratio"),
       qualityScore(t).as("quality"),
-      // round 13: lang_pred migrated from the marker heuristic (kept as
-      // langId, the cheap pure-Column pre-filter) to the trained NB
-      // model via the native lang_id_model expression; null ≡ 'und'
+      // round 13: lang_pred is the trained NB model via the native
+      // lang_id_model expression; null ≡ 'und'
       coalesce(graft.functions.GraftFunctions.langIdModel(t),
         lit(LangId.Unknown)).as("lang_pred"),
       // The native expression is nullIntolerant (NULL text -> NULL);

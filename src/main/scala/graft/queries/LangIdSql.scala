@@ -56,7 +56,9 @@ object LangIdSql {
     val langCase = langs.map(l => s"WHEN s_$l = mx THEN '$l'").mkString(" ")
     s"""lid_norm AS (
          SELECT doc_id,
-                lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS lid_t
+                translate(trim(regexp_replace(text, '[\\s\\x0B]+', ' ', 'g')),
+                          'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                          'abcdefghijklmnopqrstuvwxyz') AS lid_t
          FROM $docsCte),
        lid_pos AS (
          SELECT doc_id, lid_t, unnest(range(1, length(lid_t) + 1)) AS i

@@ -688,14 +688,21 @@ object RelationalQueries {
   // A-family approximate percentiles: Spark's Greenwald-Khanna sketch is
   // algorithm-specific (DuckDB's approx_quantile is a t-digest), so no
   // recomputation oracle exists — but the estimate is deterministic for
-  // the fixed fixture scan (verified run-stable 10/10, incl. under a
-  // 16-way repartition stress), so round 13 pins it via the committed
-  // frozen table (tools/freeze_sketches.py): the oracle recomputes the
-  // EXACT percentile brackets at q ± 0.005 live (quantile_cont — 5× the
-  // n/a rank-error guarantee at accuracy 1000, interpolation slack) and
-  // band-checks the frozen estimate in DuckDB. The in-query raise_error
-  // gate stays, SF-agnostic, proving the ε bound at every scale Bench
-  // runs; the unit spec proves it on synthetic data.
+  // the fixed fixture scan (verified run-stable 10/10 within a config),
+  // so round 13 pins it via the committed frozen table
+  // (tools/freeze_sketches.py): the oracle recomputes the EXACT
+  // percentile brackets at q ± 0.005 live (quantile_cont — 5× the n/a
+  // rank-error guarantee at accuracy 1000, interpolation slack) and
+  // band-checks the frozen estimate in DuckDB. LAYOUT CONTRACT: unlike
+  // the commutative HLL pins, GK's merge is partition-structure-
+  // sensitive (a local[8] probe produced different p25 values), so the
+  // pin is valid under the canonical Verify layout (local[4], 4 shuffle
+  // partitions — the only layout the driver has ever used, confirmed
+  // against its own dump); FrozenSketchSpec is the canary, and a layout
+  // change regenerates the pin with one freeze_sketches.py run. The
+  // in-query raise_error gate stays, SF- and layout-agnostic, proving
+  // the ε bound at every scale Bench runs; the unit spec proves it on
+  // synthetic data.
   val q51 = Q.checked("q51_approx_percentile",
     FrozenSketchSql.q51) { (s, d) =>
     // accuracy 1000 → rank ε 0.001; exact-percentile brackets at ±0.005

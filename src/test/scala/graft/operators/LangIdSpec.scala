@@ -56,6 +56,12 @@ class LangIdSpec extends AnyFunSuite {
     val (n1, s1) = LangId.scores("THE QUICK FOX")
     val (n2, s2) = LangId.scores("the   quick\tfox")
     assert(n1 == n2 && s1.sameElements(s2))
+    // parity edges: U+000B collapses like any whitespace (the oracle's
+    // class is widened to [\s\x0B] to match Java \s); case folding is
+    // ASCII-only, so full-case expansions (U+0130) pass through
+    // unfolded in BOTH engines instead of diverging
+    assert(LangId.normalize("a\u000Bb") == "a b")
+    assert(LangId.normalize("İstanbul") == "İstanbul")
   }
 
   test("model shape: deltas nonnegative, floors negative, priors uniform") {

@@ -60,6 +60,23 @@ class MultimodalAviSpec extends AnyFunSuite {
     assert(Multimodal.decodeAviFrames("not an avi at all".getBytes).isEmpty)
   }
 
+  test("rejection: deeply nested LIST shells are a None, not a StackOverflow") {
+    // a forged payload of ~20k nested LIST(movi) headers — every size
+    // field valid — must hit the depth cap, not recurse to a JVM Error
+    val depth = 20000
+    val total = 12 + depth * 12
+    val bb = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def put4(s: String) = bb.put(s.getBytes("US-ASCII"))
+    put4("RIFF"); bb.putInt(total - 8); put4("AVI ")
+    var remaining = total - 12
+    while (remaining >= 12) {
+      put4("LIST"); bb.putInt(remaining - 8); put4("movi")
+      remaining -= 12
+    }
+    assert(Multimodal.decodeAviFrames(bb.array()).isEmpty)
+  }
+
   test("cross-container agreement: AVI == GIF == GRV1 frame samples") {
     import spark.implicits._
     val docs = (0L until 40L).toDF("doc_id")

@@ -18,6 +18,13 @@ recomputed LIVE in DuckDB, so the committed pin is cross-checked against
 the published accuracy contract by the oracle itself, and the in-query
 raise_error gates (SF-agnostic) stay in the Spark bodies.
 
+LAYOUT CONTRACT: the HLL pins (q14/q147) are layout-independent
+(commutative register-max merge); the GK pin (q51) is valid only under
+the layout that generated it — the canonical Verify session (local[4],
+4 shuffle partitions, env defaults). FrozenSketchSpec re-runs all three
+under that layout as the in-CI canary; if the Verify layout ever
+changes, regenerate with one run of this script against a fresh dump.
+
 Usage: python3 tools/freeze_sketches.py [verify_out_dir]
   verify_out_dir defaults to /tmp/verify_out — a fresh
   `sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"` dump.
