@@ -60,6 +60,11 @@ class RealBiarcSpec extends AnyFunSuite {
     "contain\tbrain/NN/nsubj/2 contains/VBZ/ROOT/0 neurons/NNS/dobj/2\t6\t2000,6",
     "contain\tbody/NN/nsubj/2 contains/VBZ/ROOT/0 water/NN/dobj/2\t9\t2000,9",
     "contain\tmixture/NN/nsubj/2 contains/VBZ/ROOT/0 salt/NN/dobj/2\t3\t2000,3",
+    // richer trees, the real-corpus shape: a det + dobj-prep chain (3
+    // noun pairs; the risk-infection path has no verb and must drop)
+    // and an aux-only copula (no valid path at all)
+    "reduce\ttreatment/NN/nsubj/2 reduces/VBZ/ROOT/0 the/DT/det/4 risk/NN/dobj/2 of/IN/prep/4 infection/NN/pobj/5\t5\t2003,5",
+    "be\tproblem/NN/nsubj/2 is/VBZ/ROOT/0 big/JJ/acomp/2\t9\t2000,9",
     // tolerance probes: malformed token (skipped), unparseable count
     // (falls back to 1), short line (dropped)
     "die\tzzz die/VBP/ROOT/0 from/IN/prep/1 heat/NN/pobj/2\t3\t2005,3",
@@ -114,11 +119,26 @@ class RealBiarcSpec extends AnyFunSuite {
     }.toMap
   }
 
-  test("tolerant parse: 19 sentences survive, probes behave as the reference") {
+  test("tolerant parse: 21 sentences survive, probes behave as the reference") {
     val parsed = corpus.flatMap(BiarcParser.parseLine)
-    assert(parsed.size == 19) // short line dropped
-    assert(parsed(17).tokens.length == 3) // zzz token skipped
-    assert(parsed(18).cnt == 1L) // 'abc' count falls back to 1
+    assert(parsed.size == 21) // short line dropped
+    assert(parsed(19).tokens.length == 3) // zzz token skipped
+    assert(parsed(20).cnt == 1L) // 'abc' count falls back to 1
+  }
+
+  test("rich trees: multi-hop paths extract, verbless and aux-only paths drop") {
+    val parsed = corpus.flatMap(BiarcParser.parseLine)
+    // the reduce line: nouns (treatment, risk, infection) -> 3 pairs;
+    // risk->of->infection carries no verb and must be dropped
+    val reduceLine = parsed.find(_.tokens.exists(_.word == "reduces")).get
+    val rich = PathExtractor.extract(reduceLine)
+    assert(rich.map(_.path).sorted == Seq(
+      "N:<nsubj:V:reduc:>dobj:N",
+      "N:<nsubj:V:reduc:>dobj:W:risk:>prep:P:of:>pobj:N"))
+    assert(rich.forall(_.cnt == 5L))
+    // the copula line: the only verb on the path is auxiliary 'is'
+    val isLine = parsed.find(_.tokens.exists(_.word == "big")).get
+    assert(PathExtractor.extract(isLine).isEmpty)
   }
 
   test("pipeline scores on real-format biarcs match the brute-forced formula") {
