@@ -685,10 +685,12 @@ object Bench {
     // the FULL reference lifecycle with a throughput number: pipeline ->
     // TSV sink -> max-dedup + threshold sweep (P/R/F1), not just the
     // pipeline half. Labels split the synthetic test set so the sweep
-    // does real TP/FP bookkeeping.
-    s"dirt_lifecycle_${dirtRows * 2}" -> (() => {
+    // does real TP/FP bookkeeping. 4x rows since round 13: the 2x entry
+    // had drifted under the 2 s honest-work floor (1.67 s quiet) as the
+    // pipeline got faster.
+    s"dirt_lifecycle_${dirtRows * 4}" -> (() => {
       val scored = DirtPipeline.run(spark,
-        syntheticCorpusCorrelated(spark, dirtRows * 2), syntheticTestSet)
+        syntheticCorpusCorrelated(spark, dirtRows * 4), syntheticTestSet)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val out = s"${sys.props("java.io.tmpdir")}/graft_bench_tsv_${ProcessHandle.current().pid()}"
