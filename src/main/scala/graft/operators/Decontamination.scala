@@ -32,7 +32,10 @@ object Decontamination {
       .select(longId(idCol).as("id"), col(textCol).as("t"))
       .as[(Long, String)]
       .flatMap { case (id, t) =>
-        val w = (if (t == null) "" else t.trim).split("\\s+")
+        // non-empty-token semantics (round-13 fuzz): mirrors the
+        // oracle's list_filter(..., x -> x <> '') — see
+        // TextAnalysis.repetitionStats for the Java-vs-SQL trim story
+        val w = (if (t == null) "" else t).split("\\s+").filter(_.nonEmpty)
         if (w.length < n) Iterator.empty[(Long, String)]
         else {
           val gs: Set[String] = w.sliding(n).map(_.mkString(" ")).toSet

@@ -72,8 +72,15 @@ object Dedup {
     * measured ~6x slower over the corpus.
     */
   def ngramTokenSet(text: String, n: Int): Set[String] = {
-    val w = (if (text == null) "" else text.trim).split("\\s+")
-    if (n <= 1) w.toSet
+    // non-empty-token semantics (round-13 fuzz): Java .trim strips all
+    // chars <= 0x20 where the oracle's SQL trim strips spaces only, so
+    // edge newlines produced different token strings cross-engine;
+    // dropping empties is the convention both sides mirror. A doc with
+    // no word content contributes no tokens at all.
+    val w = (if (text == null) "" else text).split("\\s+")
+      .filter(_.nonEmpty)
+    if (w.isEmpty) Set.empty
+    else if (n <= 1) w.toSet
     else if (w.length >= n) w.sliding(n).map(_.mkString(" ")).toSet
     else Set(w.mkString(" "))
   }
@@ -94,7 +101,8 @@ object Dedup {
         longId(idCol).as("id"),
         col("lang"),
         floor(col("n_chars") / lenBucket.toDouble).cast("long").as("blk"),
-        explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("word"))
+        explode(array_distinct(filter(split(trim(col(textCol)), "\\s+"),
+          w => w =!= ""))).as("word"))
     else {
       val spark = docs.sparkSession
       import spark.implicits._

@@ -20,10 +20,13 @@ object TextAnalysis {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword count: alpha runs, digit runs, single punctuation —
-    * the classic pre-tokenizer shape (regex identical under Java regex and
-    * RE2 for the oracle).
+    * the classic pre-tokenizer shape. The negated class spells out
+    * `\x0B` because Java's `\s` contains it and RE2's does not — a
+    * no-op under Java, and exactly what makes the ONE shared pattern
+    * string behave identically in the DuckDB oracle (the round-13 fuzz
+    * caught the divergence on vertical-tab input).
     */
-  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s\\x0B]"
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
 
@@ -124,7 +127,11 @@ object TextAnalysis {
       .select(col(idCol).cast("long").as("id"), col(textCol))
       .as[(Long, String)]
       .map { case (id, t) =>
-        val w = (if (t == null) "" else t.trim).split("\\s+")
+        // non-empty-token semantics (round-13 fuzz): Java .trim strips
+        // ALL chars <= 0x20 where SQL trim strips spaces only, so edge
+        // newlines made the engines count empty tokens differently —
+        // dropping empties entirely is the convention both mirror
+        val w = (if (t == null) "" else t).split("\\s+").filter(_.nonEmpty)
         val n = w.length.toLong
         val topBigram =
           if (n < 2) 0L
@@ -161,7 +168,8 @@ object TextAnalysis {
       .select(col(idCol).cast("long").as("id"), col(textCol))
       .as[(Long, String)]
       .map { case (id, t) =>
-        val w = (if (t == null) "" else t.trim).split("\\s+")
+        // non-empty-token semantics — see [[repetitionStats]]
+        val w = (if (t == null) "" else t).split("\\s+").filter(_.nonEmpty)
         val n = w.length.toLong
         val chars = w.map(_.length.toLong).sum
         val wordLenDeci = if (n > 0) 10L * chars / n else 0L

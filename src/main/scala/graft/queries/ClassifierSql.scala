@@ -35,7 +35,7 @@ object ClassifierSql {
     val seedU = 0x9747b28cL & 0xffffffffL
     s"""WITH RECURSIVE
        toks AS (SELECT doc_id,
-                       unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+                       unnest(regexp_split_to_array(trim(text), '[\\s\\x0B]+')) AS w
                 FROM documents),
        t2 AS (SELECT doc_id, w FROM toks WHERE w <> ''),
        dw(w) AS (SELECT DISTINCT w FROM t2),
@@ -66,7 +66,7 @@ object ClassifierSql {
                                        / ${FrozenClassifier.Scale}.0))),
                     6) AS p,
               CAST(CASE WHEN list_contains(
-                     regexp_split_to_array(trim(text), '\\s+'), 'spark')
+                     regexp_split_to_array(trim(text), '[\\s\\x0B]+'), 'spark')
                    THEN 1 ELSE 0 END AS DOUBLE) AS label
        FROM marg
        ORDER BY doc_id"""

@@ -64,7 +64,7 @@ object HashSql {
            SELECT w, seed, i, h, ${mixk("d")} AS k1
            FROM (
              SELECT w, seed, i, h,
-                    ((unicode(substr(w, i, 1)) << 16)
+                    ((CAST(unicode(substr(w, i, 1)) AS BIGINT) << 16)
                      + unicode(substr(w, i + 1, 1))) AS d
              FROM mur WHERE (i + 1) <= length(w)) AS step1
          ) AS step2
@@ -104,7 +104,7 @@ object HashSql {
     s"""WITH RECURSIVE $corpusCte,
        toks AS (SELECT doc_id,
                        unnest(regexp_split_to_array(coalesce(trim(text), ''),
-                                                    '\\s+')) AS w
+                                                    '[\\s\\x0B]+')) AS w
                 FROM corpus),
        dw(w) AS (SELECT DISTINCT w FROM toks),
        seeds(seed) AS (VALUES (7), (13)),
@@ -163,7 +163,7 @@ object HashSql {
     */
   val countMin: String =
     s"""WITH RECURSIVE toks AS (
-         SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         SELECT unnest(regexp_split_to_array(trim(text), '[\\s\\x0B]+')) AS w
          FROM documents),
        tok AS (SELECT w FROM toks WHERE w <> ''),
        dw(w) AS (SELECT DISTINCT w FROM tok),

@@ -78,7 +78,9 @@ object PipelineQueries {
     """WITH words AS (
          SELECT doc_id AS id, lang,
                 CAST(floor(n_chars / 100.0) AS BIGINT) AS blk,
-                unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS word
+                unnest(list_distinct(list_filter(
+                  regexp_split_to_array(text, '[\s\x0B]+'),
+                  x -> x <> ''))) AS word
          FROM documents),
        counts AS (SELECT id, count(*) AS n_words FROM words GROUP BY id),
        inter AS (
@@ -110,15 +112,18 @@ object PipelineQueries {
     """WITH t AS (
          SELECT doc_id AS id, lang,
                 CAST(floor(n_chars / 100.0) AS BIGINT) AS blk,
-                regexp_split_to_array(trim(text), '\s+') AS toks
+                list_filter(regexp_split_to_array(text, '[\s\x0B]+'),
+                            x -> x <> '') AS toks
          FROM documents),
        g AS (
-         SELECT id, lang, blk,
-                unnest(CASE WHEN len(toks) >= 3
-                  THEN list_distinct([array_to_string(toks[i:i+2], ' ')
-                                      for i in range(1, len(toks) - 1)])
-                  ELSE [array_to_string(toks, ' ')] END) AS word
-         FROM t),
+         SELECT id, lang, blk, word FROM (
+           SELECT id, lang, blk,
+                  unnest(CASE WHEN len(toks) >= 3
+                    THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+                                        for i in range(1, len(toks) - 1)])
+                    ELSE [array_to_string(toks, ' ')] END) AS word
+           FROM t)
+         WHERE word <> ''),
        counts AS (SELECT id, count(*) AS n_words FROM g GROUP BY id),
        inter AS (
          SELECT a.id AS id1, b.id AS id2, count(*) AS n_inter
@@ -592,7 +597,8 @@ object PipelineQueries {
   val q89 = Q.checked(
     "q89_text_gopher_filter",
     s"""WITH t AS (
-         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+         SELECT doc_id, list_filter(regexp_split_to_array(text, '[\\s\\x0B]+'),
+                                    x -> x <> '') AS toks
          FROM documents),
        g AS (
          SELECT doc_id,
@@ -637,7 +643,7 @@ object PipelineQueries {
   // q51, Bloom q62, MinHash/SimHash/SRP).
   val q90 = Q.checked(
     "q90_text_heavy_hitters",
-    """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+    """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '[\s\x0B]+')) AS word
                     FROM documents),
        t2 AS (SELECT word FROM tok WHERE word <> ''),
        c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM t2 GROUP BY word),
@@ -777,7 +783,7 @@ object PipelineQueries {
                FROM m0 GROUP BY norm_url) k
            ON k.norm_url = mu.norm_url AND k.keeper_id = d.doc_id),
        t AS (SELECT doc_id, lang,
-                    regexp_split_to_array(trim(text), '\\s+') AS toks
+                    regexp_split_to_array(trim(text), '[\\s\\x0B]+') AS toks
              FROM survivors),
        c AS (SELECT doc_id, i AS idx,
                     array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS chunk
@@ -793,7 +799,7 @@ object PipelineQueries {
                    FROM kept GROUP BY doc_id),
        cleaned AS (
          SELECT t.doc_id, t.lang, r.clean_text,
-                regexp_split_to_array(trim(r.clean_text), '\\s+') AS ctoks
+                regexp_split_to_array(trim(r.clean_text), '[\\s\\x0B]+') AS ctoks
          FROM t JOIN rebuilt r ON r.doc_id = t.doc_id
          WHERE r.clean_text <> ''),
        g2 AS (
@@ -1039,7 +1045,7 @@ object PipelineQueries {
   val q100 = Q.checked(
     "q100_text_heavy_hitters_grouped",
     """WITH tok AS (SELECT lang AS grp,
-                           unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+                           unnest(regexp_split_to_array(trim(text), '[\s\x0B]+')) AS word
                     FROM documents),
        t2 AS (SELECT grp, word FROM tok WHERE word <> ''),
        c AS (SELECT grp, word, CAST(count(*) AS BIGINT) AS cnt
@@ -1495,7 +1501,7 @@ object PipelineQueries {
     "q55_curation_pack_bins",
     """WITH d AS (
          SELECT doc_id, source,
-                CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                CAST(len(regexp_split_to_array(trim(text), '[\s\x0B]+')) AS BIGINT) AS n_tokens,
                 ('0x' || substr(md5('graft' || text), 1, 8))::BIGINT % 10000 % 8 AS shard
          FROM documents),
        b AS (
@@ -1546,7 +1552,8 @@ object PipelineQueries {
   val q64 = Q.checked(
     "q64_text_repetition",
     """WITH t AS (
-         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+         SELECT doc_id, list_filter(regexp_split_to_array(text, '[\s\x0B]+'),
+                                    x -> x <> '') AS toks
          FROM documents),
        g AS (
          SELECT doc_id,
@@ -1562,8 +1569,12 @@ object PipelineQueries {
                 CAST(len(list_distinct(toks)) AS BIGINT) AS nd
          FROM t LEFT JOIN topb ON t.doc_id = topb.doc_id)
        SELECT doc_id, n_tokens, top_bigram_n,
-              CAST(2000 * top_bigram_n // n_tokens AS BIGINT) AS bigram_permille,
-              CAST(1000 * (n_tokens - nd) // n_tokens AS BIGINT) AS dup_token_permille
+              CAST(CASE WHEN n_tokens > 0
+                   THEN 2000 * top_bigram_n // n_tokens
+                   ELSE 0 END AS BIGINT) AS bigram_permille,
+              CAST(CASE WHEN n_tokens > 0
+                   THEN 1000 * (n_tokens - nd) // n_tokens
+                   ELSE 0 END AS BIGINT) AS dup_token_permille
        FROM m
        ORDER BY doc_id""") { (s, d) =>
     graft.operators.TextAnalysis.repetitionStats(Tables.documents(s, d))
@@ -1620,7 +1631,8 @@ object PipelineQueries {
   val q66 = Q.checked(
     "q66_decontaminate",
     """WITH t AS (
-         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+         SELECT doc_id, list_filter(regexp_split_to_array(text, '[\s\x0B]+'),
+                                    x -> x <> '') AS toks
          FROM documents),
        g AS (
          SELECT doc_id,
@@ -1668,7 +1680,7 @@ object PipelineQueries {
     """WITH RECURSIVE words AS (
          SELECT doc_id AS id, lang,
                 CAST(floor(n_chars / 100.0) AS BIGINT) AS blk,
-                unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS word
+                unnest(list_distinct(regexp_split_to_array(trim(text), '[\s\x0B]+'))) AS word
          FROM documents),
        counts AS (SELECT id, count(*) AS n_words FROM words GROUP BY id),
        inter AS (
@@ -1778,7 +1790,7 @@ object PipelineQueries {
   val q71 = Q.checked(
     "q71_text_token_df",
     """SELECT word, CAST(count(*) AS BIGINT) AS df
-       FROM (SELECT unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS word
+       FROM (SELECT unnest(list_distinct(regexp_split_to_array(trim(text), '[\s\x0B]+'))) AS word
              FROM documents)
        GROUP BY word
        ORDER BY df DESC, word
@@ -1811,7 +1823,7 @@ object PipelineQueries {
   val q75 = Q.checked(
     "q75_tfidf_top_terms",
     """WITH tok AS (SELECT doc_id,
-                unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+                unnest(regexp_split_to_array(trim(lower(text)), '[\s\x0B]+')) AS term
          FROM documents),
        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
               FROM tok WHERE term <> '' GROUP BY doc_id, term),
@@ -1842,7 +1854,7 @@ object PipelineQueries {
       }.mkString(",\n                  ")
       val total = Bm25Terms.indices.map(i => s"c$i").mkString(" + ")
       s"""WITH d AS (SELECT doc_id,
-                 regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                 regexp_split_to_array(trim(lower(text)), '[\\s\\x0B]+') AS toks
           FROM documents),
         dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
         stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
@@ -1917,7 +1929,7 @@ object PipelineQueries {
                 QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
          words AS (SELECT doc_id AS id, lang,
                           CAST(floor(n_chars / 100.0) AS BIGINT) AS blk,
-                          unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS word
+                          unnest(list_distinct(regexp_split_to_array(trim(text), '[\\s\\x0B]+'))) AS word
                    FROM c1),
          counts AS (SELECT id, count(*) AS n_words FROM words GROUP BY id),
          inter AS (SELECT a.id AS id1, b.id AS id2, count(*) AS n_inter
@@ -1943,12 +1955,12 @@ object PipelineQueries {
                 WHERE NOT EXISTS (SELECT 1 FROM comp
                                   WHERE comp.id = x.doc_id
                                     AND comp.component <> x.doc_id)),
-         ct AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM c2),
+         ct AS (SELECT doc_id, regexp_split_to_array(trim(text), '[\\s\\x0B]+') AS toks FROM c2),
          cg AS (SELECT doc_id,
                        unnest([array_to_string(toks[i:i+7], ' ')
                                for i in range(1, len(toks) - 6)]) AS gram
                 FROM ct WHERE len(toks) >= 8),
-         bt AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+         bt AS (SELECT regexp_split_to_array(trim(text), '[\\s\\x0B]+') AS toks
                 FROM documents WHERE doc_id % 37 = 0),
          bg AS (SELECT DISTINCT unnest([array_to_string(toks[i:i+7], ' ')
                                         for i in range(1, len(toks) - 6)]) AS gram
@@ -1974,7 +1986,7 @@ object PipelineQueries {
                                   WHEN 'src2' THEN 2000
                                   ELSE 1000 END),
          d AS (SELECT doc_id, source,
-                      CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+                      CAST(len(regexp_split_to_array(trim(text), '[\\s\\x0B]+')) AS BIGINT) AS n_tokens,
                       ('0x' || substr(md5('graft' || text), 1, 8))::BIGINT % 10000 % 8 AS shard
                FROM c5),
          b AS (SELECT source, shard, n_tokens,
@@ -2030,13 +2042,13 @@ object PipelineQueries {
   // (the ln/perplexity variant is unit-pinned in TextAnalysisSpec).
   val q79 = Q.checked(
     "q79_text_lm_quality",
-    """WITH rt AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+    """WITH rt AS (SELECT unnest(regexp_split_to_array(trim(text), '[\s\x0B]+')) AS token
                    FROM documents WHERE doc_id % 11 = 0),
        rc AS (SELECT token, CAST(count(*) AS BIGINT) AS c_ref
               FROM rt WHERE token <> '' GROUP BY token),
        st AS (SELECT CAST(sum(c_ref) AS BIGINT) AS lm_t,
                      CAST(count(*) AS BIGINT) AS lm_v FROM rc),
-       dt AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+       dt AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[\s\x0B]+')) AS token
               FROM documents),
        j AS (SELECT d.doc_id, coalesce(rc.c_ref, 0) + 1 AS sh
              FROM dt d LEFT JOIN rc ON rc.token = d.token
@@ -2062,7 +2074,7 @@ object PipelineQueries {
   // signal is non-trivial without a doctored corpus.
   val q80 = Q.checked(
     "q80_dedup_passages",
-    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '[\s\x0B]+') AS toks
                   FROM documents),
        g AS (SELECT doc_id, i - 1 AS pos,
                     array_to_string(toks[i:i+4], ' ') AS gram
@@ -2101,7 +2113,7 @@ object PipelineQueries {
   // whose every chunk was boilerplate.
   val q81 = Q.checked(
     "q81_dedup_chunks",
-    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '[\s\x0B]+') AS toks
                   FROM documents),
        c AS (SELECT doc_id, i AS idx,
                     array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS chunk
@@ -2291,9 +2303,9 @@ object PipelineQueries {
   // is unit-pinned in NgramLmSpec.
   val q112 = Q.checked(
     "q112_bigram_lm_backoff",
-    """WITH tr AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+    """WITH tr AS (SELECT doc_id, regexp_split_to_array(trim(text), '[\s\x0B]+') AS t
                    FROM documents WHERE doc_id % 7 = 0),
-       al AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+       al AS (SELECT doc_id, regexp_split_to_array(trim(text), '[\s\x0B]+') AS t
               FROM documents),
        big AS (SELECT t[i] AS w1, t[i+1] AS w2,
                       CAST(count(*) AS BIGINT) AS cb
@@ -2339,11 +2351,11 @@ object PipelineQueries {
   // more target-like than the corpus average.
   val q113 = Q.checked(
     "q113_dsir_importance",
-    """WITH tgt AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+    """WITH tgt AS (SELECT unnest(regexp_split_to_array(trim(text), '[\s\x0B]+')) AS token
                     FROM documents WHERE lang = 'en'),
        ct AS (SELECT token, CAST(count(*) AS BIGINT) AS c_t
               FROM tgt WHERE token <> '' GROUP BY token),
-       rawt AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+       rawt AS (SELECT unnest(regexp_split_to_array(trim(text), '[\s\x0B]+')) AS token
                 FROM documents),
        cr AS (SELECT token, CAST(count(*) AS BIGINT) AS c_r
               FROM rawt WHERE token <> '' GROUP BY token),
@@ -2357,7 +2369,7 @@ object PipelineQueries {
                          (1000000 * (c_t + 1) * (n_r + v)) // ((c_r + 1) * (n_t + v))
                            - 1000000 AS lr_micro
                   FROM vocab CROSS JOIN norms),
-       dt AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+       dt AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[\s\x0B]+')) AS token
               FROM documents)
        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
               CAST(sum(lr_micro) AS BIGINT) AS w_micro
@@ -2561,7 +2573,7 @@ object PipelineQueries {
     */
   val q120 = Q.checked(
     "q120_drop_repeated_ngrams",
-    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '[\s\x0B]+') AS toks
                   FROM documents),
        tok0 AS (SELECT doc_id, toks,
                        unnest(generate_series(1, CAST(len(toks) AS BIGINT)))
@@ -2699,7 +2711,7 @@ object PipelineQueries {
     */
   val q123 = Q.checked(
     "q123_decontaminate_mask_spans",
-    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '[\s\x0B]+') AS toks
                   FROM documents),
        tok0 AS (SELECT doc_id, toks,
                        unnest(generate_series(1, CAST(len(toks) AS BIGINT)))
@@ -2787,7 +2799,7 @@ object PipelineQueries {
     """WITH d AS (SELECT doc_id,
                     ('0x' || substr(md5('graft' || text), 1, 8))::BIGINT
                       % 10000 % 8 AS shard,
-                    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                    CAST(len(regexp_split_to_array(trim(text), '[\s\x0B]+'))
                       AS BIGINT) AS n_toks
               FROM documents),
        s AS (SELECT doc_id, shard, n_toks,
@@ -2834,14 +2846,14 @@ object PipelineQueries {
                 nfc_normalize(text || ' caf' || chr(101) || chr(769)
                   || ' ' || chr(7)),
                 '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
-                '\s+', ' ', 'g')) AS norm_text,
+                '[\s\x0B]+', ' ', 'g')) AS norm_text,
               CAST(length(text || ' caf' || chr(101) || chr(769) || ' '
                   || chr(7))
                 - length(trim(regexp_replace(regexp_replace(
                     nfc_normalize(text || ' caf' || chr(101) || chr(769)
                       || ' ' || chr(7)),
                     '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
-                    '\s+', ' ', 'g'))) AS BIGINT) AS removed_chars
+                    '[\s\x0B]+', ' ', 'g'))) AS BIGINT) AS removed_chars
        FROM documents ORDER BY doc_id""") { (s, d) =>
     graft.functions.GraftFunctions.register(s)
     val planted = Tables.documents(s, d).select(col("doc_id"),
@@ -3193,7 +3205,7 @@ object PipelineQueries {
   val q140 = Q.checked(
     "q140_dsir_importance_select",
     """WITH tok AS (SELECT doc_id, lang,
-              unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+              unnest(regexp_split_to_array(trim(lower(text)), '[\s\x0B]+')) AS term
             FROM documents),
        tf AS (SELECT doc_id, term,
               max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS is_t,
@@ -3308,7 +3320,7 @@ object PipelineQueries {
   val q144 = Q.checked(
     "q144_pmi_collocations",
     """WITH d AS (SELECT list_filter(
-              regexp_split_to_array(trim(lower(text)), '\s+'),
+              regexp_split_to_array(trim(lower(text)), '[\s\x0B]+'),
               t -> t <> '') AS toks FROM documents),
        uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c
               FROM (SELECT unnest(toks) AS w FROM d) GROUP BY w),
@@ -3374,7 +3386,7 @@ object PipelineQueries {
       }.mkString(",\n                  ")
       val total = Bm25Terms.indices.map(i => s"c$i").mkString(" + ")
       s"""WITH d AS (SELECT doc_id,
-                 regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                 regexp_split_to_array(trim(lower(text)), '[\\s\\x0B]+') AS toks
           FROM documents),
         dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
         stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
@@ -3470,7 +3482,7 @@ object PipelineQueries {
   // itself is hash-compared, not just the counts.
   val q149 = Q.checked(
     "q149_passage_span_removal",
-    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '[\s\x0B]+') AS toks
                   FROM documents),
        g AS (SELECT doc_id, i - 1 AS pos,
                     array_to_string(toks[i:i+4], ' ') AS gram
@@ -3574,7 +3586,7 @@ object PipelineQueries {
   val q152 = Q.checked(
     "q152_source_overlap_matrix",
     """WITH t AS (SELECT doc_id, source,
-                    regexp_split_to_array(trim(text), '\s+') AS toks
+                    regexp_split_to_array(trim(text), '[\s\x0B]+') AS toks
                   FROM documents),
        g AS (SELECT DISTINCT source,
                array_to_string(toks[i:i+4], ' ') AS gram
@@ -3619,7 +3631,7 @@ object PipelineQueries {
                     regexp_split_to_array(text, '[.!?]+') AS segs
                   FROM corpus),
        s0 AS (SELECT doc_id, i - 1 AS pos,
-                trim(regexp_replace(lower(segs[i]), '\s+', ' ', 'g')) AS norm
+                trim(regexp_replace(lower(segs[i]), '[\s\x0B]+', ' ', 'g')) AS norm
               FROM (SELECT doc_id, segs,
                       unnest(range(1, len(segs) + 1)) AS i FROM t)),
        s AS (SELECT * FROM s0 WHERE norm <> ''),
@@ -3843,9 +3855,9 @@ object PipelineQueries {
     */
   val q157 = Q.checked(
     "q157_ccnet_perplexity_buckets",
-    """WITH tr AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+    """WITH tr AS (SELECT doc_id, regexp_split_to_array(trim(text), '[\s\x0B]+') AS t
                    FROM documents WHERE doc_id % 7 = 0),
-       al AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+       al AS (SELECT doc_id, regexp_split_to_array(trim(text), '[\s\x0B]+') AS t
               FROM documents),
        big AS (SELECT t[i] AS w1, t[i+1] AS w2,
                       CAST(count(*) AS BIGINT) AS cb
@@ -4292,7 +4304,7 @@ object BpeEncodeSql {
     }
     val last = s"s${merges.size}"
     s"""WITH words AS (
-         SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[\\s\\x0B]+')) AS w
          FROM documents),
        wf AS (SELECT doc_id, w FROM words WHERE w <> ''),
        dw AS (SELECT DISTINCT w FROM wf),
@@ -4324,7 +4336,7 @@ object BpeEncodeSql {
     val last = s"s${merges.size}"
     s"""WITH words AS (
          SELECT doc_id, source,
-                unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+                unnest(regexp_split_to_array(trim(text), '[\\s\\x0B]+')) AS w
          FROM documents),
        wf AS (SELECT doc_id, source, w FROM words WHERE w <> ''),
        dw AS (SELECT DISTINCT w FROM wf),
@@ -4366,7 +4378,7 @@ object BpeTrainSql {
   val sql: String = {
     val parts = Seq.newBuilder[String]
     parts += """words AS (
-      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      SELECT unnest(regexp_split_to_array(trim(text), '[\s\x0B]+')) AS w
       FROM documents)"""
     parts += """hist AS MATERIALIZED (
       SELECT w, count(*) AS f FROM words WHERE w <> '' GROUP BY w)"""
@@ -4429,7 +4441,7 @@ object WordPieceEncodeSql {
            FROM m$i)""")
     }
     s"""WITH words AS (
-         SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[\\s\\x0B]+')) AS w
          FROM documents),
        wf AS (SELECT doc_id, w FROM words WHERE w <> ''),
        dw AS (SELECT DISTINCT w FROM wf),
@@ -4466,14 +4478,14 @@ object TextAnalysisSql {
     val stopArr = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
     s"""WITH t AS (
          SELECT doc_id, text,
-                regexp_split_to_array(trim(text), '\\s+') AS toks
+                regexp_split_to_array(trim(text), '[\\s\\x0B]+') AS toks
          FROM documents),
        m AS (
          SELECT doc_id, text,
                 len(toks) AS n_tokens,
                 len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}')) AS n_subwords,
                 len(list_filter(toks, w -> list_contains($stopArr, w))) AS n_stop,
-                length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace,
+                length(regexp_replace(text, '[\\s\\x0B]+', '', 'g')) AS n_nonspace,
                 length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
                 length(text) AS n_chars
          FROM t),
@@ -4522,7 +4534,7 @@ object UnigramEncodeSql {
     s"""WITH RECURSIVE vocab(piece, logp) AS (
          VALUES $rows),
        words AS (
-         SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[\\s\\x0B]+')) AS w
          FROM documents),
        wf AS (SELECT doc_id, w FROM words WHERE w <> ''),
        dw AS (SELECT DISTINCT w FROM wf),

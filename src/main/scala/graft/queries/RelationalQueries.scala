@@ -414,7 +414,7 @@ object RelationalQueries {
   val q18 = Q.checked(
     "q18_explode_wordcount",
     """SELECT word, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
-       FROM (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS word
+       FROM (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '[\s\x0B]+'))) AS word
              FROM documents)
        GROUP BY word
        HAVING count(*) >= 5

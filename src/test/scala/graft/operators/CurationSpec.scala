@@ -84,7 +84,11 @@ class CurationSpec extends AnyFunSuite {
     assert(got(1L) == ((6L, 3L, 1000L, 666L))) // 2000*3/6, 1000*4/6
     assert(got(2L) == ((3L, 1L, 666L, 0L)))
     assert(got(3L) == ((1L, 0L, 0L, 0L)))
-    assert(got(4L) == ((1L, 0L, 0L, 0L))) // "" splits to one empty token
+    // non-empty-token semantics (round 13): empty/whitespace-only text
+    // contributes ZERO tokens — the convention the SQL twin mirrors
+    // with list_filter (Java .trim vs SQL trim made the old
+    // one-empty-token contract diverge cross-engine on edge newlines)
+    assert(got(4L) == ((0L, 0L, 0L, 0L)))
   }
 
   test("blocklistFilter is exact even with a tiny, high-FPP bloom") {

@@ -126,7 +126,7 @@ object FrozenSketchSql {{
          SELECT source, CAST(doc_id AS VARCHAR) || ':' || term AS item
          FROM (SELECT source, doc_id,
                       unnest(regexp_split_to_array(trim(lower(text)),
-                                                   '\\s+')) AS term
+                                                   '[\\s\\x0B]+')) AS term
                FROM documents)
          WHERE term <> ''),
        exact AS (SELECT source, count(DISTINCT item) AS n_exact
