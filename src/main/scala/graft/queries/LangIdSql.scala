@@ -46,6 +46,13 @@ object LangIdSql {
     val b3 = s"((unicode(substr(lid_t, i, 1)) * ${LangId.GramB} + " +
       s"unicode(substr(lid_t, i + 1, 1))) * ${LangId.GramB} + " +
       s"unicode(substr(lid_t, i + 2, 1))) % $d"
+    // 4-gram hash peaks at ~2.02e9 for BMP chars — within 6% of INT32
+    // max, so accumulate in BIGINT from the first multiply (the
+    // murmur3-CJK INT32-overflow class the round-13 fuzz caught)
+    val b4 = s"(((CAST(unicode(substr(lid_t, i, 1)) AS BIGINT) * ${LangId.GramB} + " +
+      s"unicode(substr(lid_t, i + 1, 1))) * ${LangId.GramB} + " +
+      s"unicode(substr(lid_t, i + 2, 1))) * ${LangId.GramB} + " +
+      s"unicode(substr(lid_t, i + 3, 1))) % $d"
     val sumCols = langs.map(l =>
       s"sum(coalesce(w.d_$l, 0)) AS dsum_$l").mkString(",\n                ")
     val scoreCols = langs.zipWithIndex.map { case (l, li) =>
@@ -68,7 +75,9 @@ object LangIdSql {
          UNION ALL
          SELECT doc_id, $b2 AS b FROM lid_pos WHERE i + 1 <= length(lid_t)
          UNION ALL
-         SELECT doc_id, $b3 AS b FROM lid_pos WHERE i + 2 <= length(lid_t)),
+         SELECT doc_id, $b3 AS b FROM lid_pos WHERE i + 2 <= length(lid_t)
+         UNION ALL
+         SELECT doc_id, $b4 AS b FROM lid_pos WHERE i + 3 <= length(lid_t)),
        lid_w AS (
          SELECT * FROM (VALUES
            $weightsValues

@@ -29,6 +29,28 @@ class LangIdSpec extends AnyFunSuite {
         s"[$l -> ${LangId.predict(t)}] ${t.take(40)}" }.mkString("; ")}")
   }
 
+  test("per-language held-out gate: every language has 8 sentences, all correct") {
+    val byLang = LangId.HeldOut.groupBy(_._1)
+    assert(byLang.keySet == LangId.Langs.toSet,
+      s"held-out language set drifted: ${byLang.keySet}")
+    byLang.foreach { case (lang, sents) =>
+      assert(sents.size == 8, s"$lang has ${sents.size} held-out sentences")
+      val wrong = sents.filterNot { case (_, t) => LangId.predict(t) == lang }
+      assert(wrong.isEmpty,
+        s"$lang: ${wrong.size}/8 held-out misclassified: " +
+          wrong.map { case (_, t) =>
+            s"[-> ${LangId.predict(t)}] ${t.take(40)}" }.mkString("; "))
+    }
+  }
+
+  test("per-language seed counts: 30 per language, so priors stay uniform") {
+    val byLang = LangId.SeedCorpus.groupBy(_._1)
+    assert(byLang.keySet == LangId.Langs.toSet)
+    byLang.foreach { case (lang, sents) =>
+      assert(sents.size == 30, s"$lang has ${sents.size} seed sentences")
+    }
+  }
+
   test("training sentences classify to their own language") {
     val wrong = LangId.SeedCorpus.filter { case (lang, text) =>
       LangId.predict(text) != lang
@@ -43,12 +65,13 @@ class LangIdSpec extends AnyFunSuite {
     assert(LangId.scores("  ")._1 == 0L)
   }
 
-  test("gram count closed form: 3*len - 3 for len >= 3") {
+  test("gram count closed form: 4*len - 6 for len >= 4") {
     val t = "abcdef"
     val (n, _) = LangId.scores(t)
-    assert(n == 3L * t.length - 3)
+    assert(n == 4L * t.length - 6)
     assert(LangId.scores("a")._1 == 1L) // only the 1-gram
     assert(LangId.scores("ab")._1 == 3L) // two 1-grams + one 2-gram
+    assert(LangId.scores("abc")._1 == 6L) // + two 2-grams, one 3-gram
   }
 
   test("normalization collapses whitespace and lowercases before gramming") {
@@ -74,20 +97,23 @@ class LangIdSpec extends AnyFunSuite {
 
   test("golden weight pins: a recipe change fails loudly") {
     val m = LangId.model
-    // bucket of the 1-gram "e" = 'e'.toInt % 1024 = 101
+    // bucket of the 1-gram "e" = 'e'.toInt % 4096 = 101
     assert(('e'.toInt % LangId.Dim) == 101)
     val en = LangId.Langs.indexOf("en")
     val zh = LangId.Langs.indexOf("zh")
     // 'e' is frequent in English training text; bucket 101 only sees
-    // zh mass through hash collisions (one CJK char at this Dim), so
-    // the en delta dominates by an order of magnitude
+    // zh mass through hash collisions (a handful of CJK codepoints at
+    // this Dim), so the en delta dominates by an order of magnitude
     assert(m.deltas(en)(101) > 0L)
     assert(m.deltas(en)(101) > 5 * m.deltas(zh)(101))
     // exact pins (computed from the committed corpus; any change to
-    // corpus, Dim, GramB, Scale or the smoothing formula moves these)
-    assert(m.floors(en) == -8435766L,
+    // corpus, Dim, GramB, Scale or the smoothing formula moves these).
+    // Re-pinned in round 14: (Dim 1024 -> 4096, MaxN 3 -> 4, 6 new
+    // seed themes per language) was a deliberate recipe change (see
+    // LangId.Dim scaladoc), so both pins moved with it.
+    assert(m.floors(en) == -9201905L,
       s"en floor moved: ${m.floors(en)}")
-    assert(m.deltas(en)(101) == 5087596L,
+    assert(m.deltas(en)(101) == 5288267L,
       s"en delta('e') moved: ${m.deltas(en)(101)}")
   }
 
@@ -109,13 +135,18 @@ class LangIdSpec extends AnyFunSuite {
     val docs = LangId.HeldOut.zipWithIndex
       .map { case ((_, t), i) => (i.toLong, t) }
       .toDF("doc_id", "text")
-    val got = LangId.predictDocs(docs).orderBy("doc_id").collect()
+    val out = LangId.predictDocs(docs)
+    // schema is built from Langs (ADVICE r13): id, n_grams, one score
+    // column per language, lang_pred — for ANY language-set size
+    assert(out.columns.toSeq ==
+      ("doc_id" +: "n_grams" +: LangId.Langs.map(l => s"s_$l")) :+ "lang_pred")
+    val got = out.orderBy("doc_id").collect()
+    val nL = LangId.Langs.length
     got.zip(LangId.HeldOut).foreach { case (row, (lang, text)) =>
       val (n, s) = LangId.scores(text)
       assert(row.getLong(1) == n)
-      assert(Seq(2, 3, 4, 5, 6).map(row.getLong) ==
-        s.toSeq)
-      assert(row.getString(7) == lang)
+      assert((2 until 2 + nL).map(row.getLong) == s.toSeq)
+      assert(row.getString(2 + nL) == lang)
     }
   }
 }
