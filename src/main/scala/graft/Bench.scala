@@ -930,18 +930,33 @@ object Bench {
         s""""${esc(k)}":[${ms.map(m => s""""${esc(m)}"""").mkString(",")}]"""
       }
       .mkString("{", ",", "}")
+    // exonerated flags stay visible at summary level (ADVICE r13): the
+    // gate deliberately downgrades contention-only flags, but a repeat
+    // exoneration across rounds is itself a signal worth seeing without
+    // opening the full adjudications map
+    val nFlagged = adjudications.size
+    val nExonerated = adjudications.count(!_._5)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"load":$loadR,"queries":$qs,"spread":$sp,"inner":$ik,"composites":$cx,"errors":$es,"regressions":$rs,"adjudications":$adj,"n_ok":${timings.size},"n_err":${errors.size},"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"load":$loadR,"queries":$qs,"spread":$sp,"inner":$ik,"composites":$cx,"errors":$es,"regressions":$rs,"adjudications":$adj,"n_flagged":$nFlagged,"n_exonerated":$nExonerated,"n_ok":${timings.size},"n_err":${errors.size},"sf":"${esc(sfDir)}"}"""
     Files.writeString(Paths.get("bench.json"), json + "\n")
+    // a few-hundred-byte summary twin: the r13 official artifact's tail
+    // window started mid-way through the full JSON line, so `parsed`
+    // came out null even though the marker line printed (VERDICT r13
+    // "what's wrong" #1). The compact line carries the headline fields
+    // and, being tiny AND last, survives any tail window.
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","load":$loadR,"n_ok":${timings.size},"n_err":${errors.size},"n_flagged":$nFlagged,"n_exonerated":$nExonerated,"regressions":$rs,"sf":"${esc(sfDir)}"}"""
     // stop Spark BEFORE printing: executor/shutdown log lines racing the
     // same stdout were the likeliest cause of the driver's two
     // unparseable official artifacts (BENCH_r11/r12 "parsed": null).
     // The marker-prefixed twin line gives the extraction a second,
-    // unambiguous anchor; the bare line stays last for line-oriented
-    // JSON parsers.
+    // unambiguous anchor; the bare full line stays for line-oriented
+    // JSON parsers, and the compact summary is the very last line.
     spark.stop()
     println("GRAFT_BENCH_JSON " + json)
     println(json)
+    println("GRAFT_BENCH_SUMMARY " + summary)
+    println(summary)
     System.out.flush()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -909,6 +909,7 @@ object Multimodal {
     */
   def decodeGifFramesStrided(bytes: Array[Byte],
       stride: Int): Option[(Int, Seq[(Int, Decoded)])] = {
+    require(stride > 0, s"stride must be positive: $stride")
     if (bytes == null || bytes.isEmpty) return None
     val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
     if (!readers.hasNext) return None
@@ -1140,6 +1141,8 @@ object Multimodal {
     var totalFrames = -1
     var bitCount = -1
     var compression = -1
+    var strfWidth = -1
+    var strfHeight = -1
     var palette: Array[Int] = null // packed rgb per index
     val frameOffsets = IndexedSeq.newBuilder[(Int, Int)] // (offset, size)
 
@@ -1166,6 +1169,8 @@ object Multimodal {
           height = bb.getInt(off + 8 + 36)
         } else if (id == fcc("strf")) {
           if (size < 40) return false
+          strfWidth = bb.getInt(off + 8 + 4)
+          strfHeight = bb.getInt(off + 8 + 8)
           bitCount = bb.getShort(off + 8 + 14).toInt
           compression = bb.getInt(off + 8 + 16)
           if (bitCount == 8) {
@@ -1189,11 +1194,20 @@ object Multimodal {
 
     if (width <= 0 || height <= 0 || totalFrames < 0) return None
     if (bitCount != 8 || compression != 0 || palette == null) return None
+    // strf carries its own biWidth/biHeight — a forged container whose
+    // stream header disagrees with avih is rejected, not mis-sliced
+    if (strfWidth != width || strfHeight != height) return None
     val frames = frameOffsets.result()
     if (frames.size != totalFrames) return None
-    val rowStride = (width + 3) & ~3
-    val fds = rowStride * height
-    if (frames.exists(_._2 != fds)) return None
+    // frame-size arithmetic in Long: a forged avih with huge dims must
+    // not Int-overflow fds to a small value that then passes the
+    // chunk-size check and crashes decodeAviFrame on negative offsets
+    // (ADVICE r13). fds <= Int.MaxValue also bounds every later Int
+    // computation ((height-1)*rowStride, width*height).
+    val rowStrideL = (width.toLong + 3L) & ~3L
+    val fds = rowStrideL * height.toLong
+    if (fds <= 0L || fds > Int.MaxValue.toLong) return None
+    if (frames.exists(_._2.toLong != fds)) return None
     Some(AviClip(width, height, palette, frames.map(_._1)))
   }
 
