@@ -182,8 +182,10 @@ object Bpe {
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
-        val words = (if (text == null) "" else text.trim)
-          .split("\\s+").filter(_.nonEmpty)
+        // spaces-only trim (round 14): Java String.trim stripped edge
+        // control chars the BpeEncodeSql oracle's SQL trim keeps —
+        // q114's own roundtrip require caught the divergence in-engine
+        val words = graft.text.SqlText.tokens(text)
         val segs = words.map(w => segment(w, bc.value))
         (id, words.length.toLong,
           segs.iterator.map(_.length.toLong).sum,

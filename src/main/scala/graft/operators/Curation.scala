@@ -470,7 +470,12 @@ object Curation {
     import spark.implicits._
     val u = ((col(idCol).cast("long") * lit(48271L) + lit(11L)) %
       lit(2147483647L)).cast("double") / lit(2147483647.0)
-    val key = pow(u, lit(1.0) / col(weightCol).cast("double"))
+    // zero/negative weight -> key 0 (the u^(1/w) limit as w -> 0+ for
+    // u < 1): an empty document is the least-likely draw, not an ANSI
+    // DIVIDE_BY_ZERO task failure (round-14 fuzz, empty fuzz docs).
+    // The q122 oracle mirrors with the same CASE.
+    val w = col(weightCol).cast("double")
+    val key = when(w > 0d, pow(u, lit(1.0) / w)).otherwise(lit(0.0))
     docs
       .select(col(groupCol).as("grp"), col(idCol).cast("long").as("id"),
         key.as("key"))

@@ -51,7 +51,10 @@ object Passages {
       .select(Ids.longId(idCol).as("id"), col(textCol).as("t"))
       .as[(Long, String)]
       .flatMap { case (id, t) =>
-        val w = (if (t == null) "" else t.trim).split("\\s+")
+        // exact SQL-split mirror (round 14): spaces-only trim + keep
+        // edge empty tokens, matching the q80/q149/q152 oracles'
+        // regexp_split_to_array(trim(text), ...) on control-char edges
+        val w = graft.text.SqlText.tokensExact(t)
         if (w.length < n) Iterator.empty
         else (0 to w.length - n).iterator
           .map(i => (id, i, w.slice(i, i + n).mkString(" ")))
@@ -183,7 +186,9 @@ object Passages {
       .select(Ids.longId(idCol).as("id"), col(textCol).as("t"))
       .as[(Long, String)]
       .flatMap { case (id, t) =>
-        (if (t == null) "" else t.trim).split("\\s+")
+        // exact SQL-split mirror (round 14) — see posGrams; preserves
+        // the documented empty-chunk behavior ('' -> one '' chunk)
+        graft.text.SqlText.tokensExact(t)
           .grouped(width).zipWithIndex
           .map { case (ws, i) => (id, i, ws.mkString(" ")) }
       }

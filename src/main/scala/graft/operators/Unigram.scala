@@ -177,8 +177,9 @@ object Unigram {
     val bc = spark.sparkContext.broadcast(table)
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .map { case (id, text) =>
-        val words = (if (text == null) "" else text.trim)
-          .split("\\s+").toSeq.filter(_.nonEmpty)
+        // spaces-only trim (round 14): exact oracle parity on edge
+        // control chars — see graft.text.SqlText
+        val words = graft.text.SqlText.tokens(text).toSeq
         val pieces = words.flatMap(segmentWord(_, bc.value, maxPieceLen))
         (id, words.size.toLong, pieces.size.toLong, pieces.mkString(" "))
       }

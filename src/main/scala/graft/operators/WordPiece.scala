@@ -249,8 +249,9 @@ object WordPiece {
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
-        val words = (if (text == null) "" else text.trim)
-          .split("\\s+").filter(_.nonEmpty)
+        // spaces-only trim (round 14): exact oracle parity on edge
+        // control chars — see graft.text.SqlText
+        val words = graft.text.SqlText.tokens(text)
         val segs = words.map(w => segment(w, bc.value))
         (id, words.length.toLong,
           segs.iterator.map(_.length.toLong).sum,

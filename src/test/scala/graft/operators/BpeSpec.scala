@@ -128,4 +128,29 @@ class BpeSpec extends AnyFunSuite {
     // empty doc: zero words, zero subwords
     assert(got(2L) == ((2L, 0L, 0L, "")))
   }
+
+  test("engine has no in-band markers: U+0001/U+0002 and edge control chars segment fine") {
+    import spark.implicits._
+    // the BpeEncodeSql ORACLE wraps symbols in chr(1)/chr(2) and so
+    // carries a documented text-free-of-U+0001/U+0002 precondition;
+    // the ENGINE must have no such restriction — and edge control
+    // chars must survive as token chars (SQL-trim parity, round 14)
+    val docs = Seq(
+      (0L, "ab cd"),
+      (1L, "abc def")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(Seq((9L, "plain text")).toDF("doc_id", "text"), 4)
+    val got = Bpe.encodeDocs(docs, merges)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L)._2 == 2L, "U+0001/U+0002 words tokenized")
+    // stripSuffix, not Java trim: trim would strip the very control
+    // chars this test exists to protect
+    val back0 = got(0L)._4.replace(" ", "").replace(Bpe.EndMark, " ")
+      .stripSuffix(" ")
+    assert(back0 == "ab cd", "marker chars round-trip untouched")
+    assert(got(1L)._2 == 2L)
+    val back1 = got(1L)._4.replace(" ", "").replace(Bpe.EndMark, " ")
+      .stripSuffix(" ")
+    assert(back1 == "abc def",
+      "edge control chars are token chars, not trimmed")
+  }
 }

@@ -5,7 +5,11 @@ oracle fuzzing (round 13). Copies every table verbatim except
 strings — mixed-case ASCII, CJK, accented words, tab/newline/U+000B
 whitespace, HTML-ish punctuation, repeated phrases, boilerplate
 sentences, and empty/whitespace-only docs — with `n_chars` recomputed
-to stay self-consistent.
+to stay self-consistent. Round 14 adds edge control chars (\\x01/\\x07/
+\\x1b/\\x7f — the Java-trim-vs-SQL-trim class ADVICE r13 flagged) and
+exotic whitespace-lookalikes (NBSP/U+3000/ZWSP), and the sweep's
+tokenization-sensitive core now runs on every preflight
+(tools/preflight.sh FUZZ_QUERIES).
 
 This probe found three latent cross-engine divergences the real
 fixtures (ASCII, no control whitespace) could never reach: the
@@ -38,7 +42,35 @@ def fuzz_text(i, random):
     cjk = list('今天天气很好我们应该出去走走的是了在有和人这中大为上')
     accents = ['café', 'über', 'años', 'réponse', 'straße', 'niño',
                'être', 'müde']
-    kind = i % 10
+    kind = i % 12
+    if kind == 10:
+        # round 14 (ADVICE r13): control chars AT THE EDGES. These are
+        # NOT \s in either engine, but Java String.trim strips every
+        # char <= U+0020 while SQL trim strips only spaces — the parity
+        # class that survived the round-13 sweep because no generator
+        # emitted them. Kernels must treat them as ordinary token chars.
+        # no \x01/\x02: those are the BpeEncodeSql oracle's IN-BAND
+        # segmentation markers (documented precondition there); the
+        # engine itself handles them (BpeSpec), but the SQL twin cannot
+        # represent them, so emitting them would fail the oracle compare
+        # without indicating an engine bug.
+        ctl = random.choice(['\x07', '\x1b', '\x7f'])
+        core = ' '.join(random.choices(ascii_words, k=random.randint(2, 8)))
+        shape = i // 12 % 3
+        if shape == 0:
+            return ctl + core
+        if shape == 1:
+            return core + ctl
+        return (ctl + core + '\x07' + random.choice(accents) + ' '
+                + ''.join(random.choices(cjk, k=3)) + ctl)
+    if kind == 11:
+        # exotic whitespace-lookalikes (NBSP, ideographic space U+3000,
+        # zero-width space): \s in NEITHER Java's default classes NOR
+        # RE2 — both engines must keep them INSIDE tokens, so any
+        # tokenizer that Unicode-widens its whitespace class on one
+        # side only diverges here.
+        return ('a\u00a0b ' + random.choice(ascii_words) + '\u3000'
+                + random.choice(cjk) + '\u200bz tail ' + str(i))
     if kind == 0:
         return ' '.join(random.choices(ascii_words, k=random.randint(3, 40)))
     if kind == 1:

@@ -30,5 +30,18 @@ sbt -batch compile test
 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/preflight_verify"
 python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/preflight_verify
 
+# Adversarial-text fuzz gate (round 14, VERDICT r13 #8): the fixed-seed
+# fuzz fixture swept over the tokenization-sensitive core, so the
+# Java/RE2/trim parity the round-13 sweep locked in cannot silently
+# regress. Full-sweep recipe stays in tools/fuzz_corpus.py's docstring.
+FUZZ_QUERIES="q162_langid_model,q37_text_analysis,q38_text_fingerprint,\
+q53_dedup_ngram_jaccard,q64_text_repetition,q66_decontaminate,\
+q71_text_token_df,q89_text_gopher_filter,q90_text_heavy_hitters,\
+q120_drop_repeated_ngrams,q140_dsir_importance_select,\
+q157_ccnet_perplexity_buckets"
+python3 tools/fuzz_corpus.py /root/testdata/sf0.01 /tmp/preflight_fuzz
+sbt -batch "runMain graft.Verify /tmp/preflight_fuzz /tmp/preflight_fuzz_verify $FUZZ_QUERIES"
+python3 tools/check_oracle.py /tmp/preflight_fuzz /tmp/preflight_fuzz_verify
+
 state_hash > .preflight_green
 echo "preflight: GREEN ($(cat .preflight_green))"
