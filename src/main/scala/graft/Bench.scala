@@ -279,7 +279,12 @@ object Bench {
       "q52_multimodal_image_decode", "q65_multimodal_audio_decode",
       "q106_multimodal_image_dedup", "q107_multimodal_audio_dedup",
       "q138_multimodal_image_resize",
-      "q139_multimodal_video_frame_sample"))
+      "q139_multimodal_video_frame_sample"),
+    // round 14: the commit-log table format (create + MERGE + time
+    // travel + conflict retry) — a NEW composite so the existing pins
+    // never move; first pinned by the r14 quiet-run re-baseline
+    "cx_table_format" -> Seq("q163_table_time_travel",
+      "q164_table_conflict_isolation"))
 
   /** The four dedup-graph queries folded into ONE composed timed body
     * (replacing round 10's cross-entry `componentRunners` state): the

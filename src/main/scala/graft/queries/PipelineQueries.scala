@@ -4142,6 +4142,124 @@ object PipelineQueries {
     graft.operators.LangId.predictDocs(Tables.documents(s, d))
       .orderBy("doc_id")
   }
+
+  /** Table-format time travel (q163, VERDICT r13 #3): build a
+    * [[graft.operators.GraftTable]] in a temp root — version 0 CREATE
+    * from orders, version 1 an ACID MERGE of a changelog derived
+    * closed-form from the same rows (delete keys ≡3 mod 17, double the
+    * price of remaining keys ≡0 mod 10, insert key+10M copies of keys
+    * ≡5 mod 23 at price+1000) — then read BOTH versions back through
+    * the commit log. The oracle recomputes each snapshot as pure SQL
+    * over orders, so a torn commit, a mis-carried manifest, or a
+    * latest-wins bug all surface as a hash mismatch. Arithmetic is
+    * float-exact (×2 and +1000 on parquet doubles).
+    */
+  val q163 = Q.checked(
+    "q163_table_time_travel",
+    """WITH b AS (SELECT o_orderkey, o_totalprice FROM orders),
+       v1 AS (
+         SELECT o_orderkey,
+                CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+                     ELSE o_totalprice END AS o_totalprice
+         FROM b WHERE o_orderkey % 17 <> 3
+         UNION ALL
+         SELECT o_orderkey + 10000000, o_totalprice + 1000
+         FROM b WHERE o_orderkey % 23 = 5)
+       SELECT CAST(0 AS BIGINT) AS version, o_orderkey,
+              round(o_totalprice, 2) AS o_totalprice
+       FROM b
+       UNION ALL
+       SELECT 1, o_orderkey, round(o_totalprice, 2) FROM v1
+       ORDER BY version, o_orderkey""") { (s, d) =>
+    val root = s"${sys.props("java.io.tmpdir")}/graft_ttl_${ProcessHandle.current().pid()}"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val base = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+    val v0 = graft.operators.GraftTable.create(base, root)
+    val k = col("o_orderkey")
+    val del = base.filter(k % 17 === 3)
+      .select(k, col("o_totalprice"), lit("D").as("op"))
+    val upd = base.filter(k % 17 =!= 3 && k % 10 === 0)
+      .select(k, (col("o_totalprice") * 2).as("o_totalprice"),
+        lit("U").as("op"))
+    val ins = base.filter(k % 23 === 5)
+      .select((k + 10000000L).as("o_orderkey"),
+        (col("o_totalprice") + 1000).as("o_totalprice"),
+        lit("I").as("op"))
+    val changes = del.unionByName(upd).unionByName(ins)
+      .withColumn("seq", lit(1L))
+    graft.operators.GraftTable.merge(root, changes, key = "o_orderkey",
+      ordering = Seq("seq"), expectedVersion = v0)
+    val read0 = graft.operators.GraftTable.readVersion(s, root, 0L)
+    val read1 = graft.operators.GraftTable.readVersion(s, root, 1L)
+    read0.select(lit(0L).as("version"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .unionByName(read1.select(lit(1L).as("version"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice")))
+      .orderBy("version", "o_orderkey")
+  }
+
+  /** Concurrent-writer isolation (q164): two writers race MERGEs at
+    * the same expected version; the commit-log CAS must reject the
+    * stale writer (its un-published data invisible to every reader),
+    * and the retry against the observed latest must serialize AFTER
+    * the winner. Output = per-version history with row counts and a
+    * content probe (suffixed-name count), all recomputed closed-form by
+    * the oracle — the in-query intercept REQUIREs the conflict
+    * actually fired, so a lost update fails the query rather than
+    * producing plausible rows.
+    */
+  val q164 = Q.checked(
+    "q164_table_conflict_isolation",
+    """WITH b AS (SELECT n_nationkey, n_name FROM nation)
+       SELECT CAST(0 AS BIGINT) AS version, 'CREATE' AS op,
+              (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_rows,
+              CAST(0 AS BIGINT) AS n_suffixed
+       UNION ALL
+       SELECT 1, 'MERGE',
+              (SELECT CAST(count(*) AS BIGINT) FROM b),
+              (SELECT CAST(count(*) AS BIGINT) FROM b
+               WHERE n_nationkey % 2 = 0)
+       UNION ALL
+       SELECT 2, 'MERGE',
+              (SELECT CAST(count(*) AS BIGINT) FROM b
+               WHERE n_nationkey % 3 <> 0),
+              (SELECT CAST(count(*) AS BIGINT) FROM b
+               WHERE n_nationkey % 2 = 0 AND n_nationkey % 3 <> 0)
+       ORDER BY version""") { (s, d) =>
+    import s.implicits._
+    val root = s"${sys.props("java.io.tmpdir")}/graft_cfl_${ProcessHandle.current().pid()}"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val base = Tables.nation(s, d).select("n_nationkey", "n_name")
+    graft.operators.GraftTable.create(base, root)
+    val k = col("n_nationkey")
+    // writer A: suffix every even key's name
+    val a = base.filter(k % 2 === 0)
+      .select(k, concat(col("n_name"), lit("_a")).as("n_name"),
+        lit("U").as("op"), lit(1L).as("seq"))
+    // writer B: delete keys divisible by 3
+    val b = base.filter(k % 3 === 0)
+      .select(k, col("n_name"), lit("D").as("op"), lit(1L).as("seq"))
+    graft.operators.GraftTable.merge(root, a, "n_nationkey", Seq("seq"), 0L)
+    // B races with the stale expected version and MUST lose
+    val conflicted =
+      try { graft.operators.GraftTable.merge(root, b, "n_nationkey",
+        Seq("seq"), 0L); false }
+      catch { case _: graft.operators.GraftTable.ConflictException => true }
+    require(conflicted, "stale-version merge did not conflict")
+    // retry against the observed latest serializes after A
+    graft.operators.GraftTable.merge(root, b, "n_nationkey", Seq("seq"), 1L)
+    val rows = graft.operators.GraftTable.history(s, root).map { c =>
+      val snap = graft.operators.GraftTable.readVersion(s, root, c.version)
+      (c.version, c.op, snap.count(),
+        snap.filter(col("n_name").endsWith("_a")).count())
+    }
+    rows.toDF("version", "op", "n_rows", "n_suffixed")
+      .orderBy("version")
+  }
 }
 
 /** Planted biarc corpus for the self-verifying q40: 100 verb groups,

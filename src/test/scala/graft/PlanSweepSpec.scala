@@ -15,7 +15,7 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   * Runs the plans at sf0.01 (some query bodies compute eager require
   * gates, so this sweep costs a few minutes — the price of auditing
-  * all 162 plans; targeted per-query shape assertions live in
+  * every declared plan; targeted per-query shape assertions live in
   * PlanAuditSpec).
   */
 class PlanSweepSpec extends AnyFunSuite {
