@@ -281,10 +281,12 @@ object Bench {
       "q138_multimodal_image_resize",
       "q139_multimodal_video_frame_sample"),
     // round 14: the commit-log table format (create + MERGE + time
-    // travel + conflict retry) — a NEW composite so the existing pins
-    // never move; first pinned by the r14 quiet-run re-baseline
+    // travel + conflict retry) and the MJPEG codec path — NEW
+    // composites so the existing pins never move; first pinned by the
+    // r14 quiet-run re-baseline
     "cx_table_format" -> Seq("q163_table_time_travel",
-      "q164_table_conflict_isolation"))
+      "q164_table_conflict_isolation"),
+    "cx_mjpeg" -> Seq("q165_multimodal_mjpeg_frame_sample"))
 
   /** The four dedup-graph queries folded into ONE composed timed body
     * (replacing round 10's cross-entry `componentRunners` state): the

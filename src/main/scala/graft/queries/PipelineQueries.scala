@@ -4154,6 +4154,36 @@ object PipelineQueries {
     * latest-wins bug all surface as a hash mismatch. Arithmetic is
     * float-exact (×2 and +1000 on parquet doubles).
     */
+  /** Motion-JPEG frame sampling (q165, VERDICT r13 #5): the q139
+    * pipeline over [[graft.operators.Multimodal.syntheticMjpegAviTable]]
+    * — the first COMPRESSED video codec at the ingest edge, each frame
+    * chunk a complete ImageIO JPEG inside the standard MJPG AVI
+    * container. Solid-gray JPEG roundtrips bit-exactly at quality 1.0
+    * (all-ones quantization tables; probed over all 256 grays), so the
+    * closed-form q139 oracle covers this table VERBATIM — the real
+    * JPEG codec runs under a hash-match gate, no tolerance band.
+    * Rejection hygiene (non-JPEG chunks, dims mismatch, truncation)
+    * and MJPG==DIB==GIF cross-container agreement are pinned in
+    * MultimodalAviSpec.
+    */
+  val q165 = Q.checked(
+    "q165_multimodal_mjpeg_frame_sample",
+    """SELECT doc_id, frame_idx,
+       16 + doc_id % 16 AS width,
+       16 + doc_id % 8 AS height,
+       8 + doc_id % 8 AS n_frames,
+       (doc_id + 7 * frame_idx) % 256 AS mean_luma
+       FROM (SELECT doc_id,
+               unnest(generate_series(0, 7 + doc_id % 8, 3)) AS frame_idx
+             FROM documents) t
+       ORDER BY doc_id, frame_idx""") { (s, d) =>
+    graft.operators.Multimodal.aviFrameSample(
+      graft.operators.Multimodal.syntheticMjpegAviTable(
+        Tables.documents(s, d)),
+      stride = 3)
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val q163 = Q.checked(
     "q163_table_time_travel",
     """WITH b AS (SELECT o_orderkey, o_totalprice FROM orders),

@@ -93,6 +93,68 @@ class MultimodalAviSpec extends AnyFunSuite {
     assert(avi == grv)
   }
 
+  test("MJPEG: solid-gray roundtrip is exact through the real JPEG codec") {
+    val frames = Seq(0, 7, 128, 255).map(g =>
+      Multimodal.encodeJpegGray(5, 3, g))
+    val clip = Multimodal.encodeAviMjpeg(5, 3, frames)
+    val ds = Multimodal.decodeAviFrames(clip).get
+    assert(ds.size == 4)
+    assert(ds.forall(d => d.width == 5 && d.height == 3))
+    assert(ds.map(_.mean_luma) == Seq(0, 7, 128, 255))
+    val parsed = Multimodal.parseAvi(clip).get
+    assert(parsed.codec == Multimodal.CodecMjpg)
+  }
+
+  test("MJPEG rejection: non-JPEG chunks, dim mismatch, truncation, stray codec") {
+    val good = Multimodal.encodeAviMjpeg(5, 3,
+      Seq(Multimodal.encodeJpegGray(5, 3, 10)))
+    assert(Multimodal.decodeAviFrames(good).isDefined)
+    // truncation and size forgery reject exactly like the DIB path
+    assert(Multimodal.decodeAviFrames(good.dropRight(1)).isEmpty)
+    assert(Multimodal.decodeAviFrames(good ++ Array(0.toByte)).isEmpty)
+    // a frame chunk that is not SOI..EOI-delimited must reject at parse
+    val notJpeg = good.clone()
+    val soi = indexOfChunk(notJpeg, "00dc") + 8
+    notJpeg(soi) = 0 // clobber the SOI magic
+    assert(Multimodal.parseAvi(notJpeg).isEmpty)
+    // a JPEG whose internal dims disagree with the container headers:
+    // the container parses (the chunk IS a complete JPEG) but decode
+    // must drop the payload (all-or-nothing), never emit mis-sized rows
+    val mismatch = Multimodal.encodeAviMjpeg(5, 3,
+      Seq(Multimodal.encodeJpegGray(4, 4, 10)))
+    assert(Multimodal.parseAvi(mismatch).isDefined)
+    assert(Multimodal.decodeAviFrames(mismatch).isEmpty)
+    // an unknown biCompression fourcc rejects at parse
+    val strange = good.clone()
+    val strfOff = indexOfChunk(strange, "strf") + 8
+    strange(strfOff + 16) = 'X'.toByte // biCompression first byte
+    assert(Multimodal.parseAvi(strange).isEmpty)
+  }
+
+  test("cross-container agreement: MJPEG == DIB AVI frame samples") {
+    import spark.implicits._
+    val docs = (0L until 40L).toDF("doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "frame_idx").collect().map(_.toSeq).toSeq
+    val mjpg = rows(Multimodal.aviFrameSample(
+      Multimodal.syntheticMjpegAviTable(docs), stride = 3))
+    val dib = rows(Multimodal.aviFrameSample(
+      Multimodal.syntheticAviTable(docs), stride = 3))
+    assert(mjpg.nonEmpty)
+    assert(mjpg == dib)
+  }
+
+  private def indexOfChunk(bytes: Array[Byte], fourcc: String): Int = {
+    val pat = fourcc.getBytes("US-ASCII")
+    var i = 0
+    while (i + 4 <= bytes.length) {
+      if (bytes(i) == pat(0) && bytes(i + 1) == pat(1) &&
+        bytes(i + 2) == pat(2) && bytes(i + 3) == pat(3)) return i
+      i += 1
+    }
+    sys.error(s"chunk $fourcc not found")
+  }
+
   test("the payload is a well-formed RIFF file byte-for-byte re-walkable") {
     val clip = Multimodal.encodeAvi(16, 16, Seq(solid(16, 16, 100)))
     // RIFF size field must cover exactly the rest of the file
