@@ -687,22 +687,24 @@ object RelationalQueries {
 
   // A-family approximate percentiles: Spark's Greenwald-Khanna sketch is
   // algorithm-specific (DuckDB's approx_quantile is a t-digest), so no
-  // recomputation oracle exists — but the estimate is deterministic for
-  // the fixed fixture scan (verified run-stable 10/10 within a config),
-  // so round 13 pins it via the committed frozen table
-  // (tools/freeze_sketches.py): the oracle recomputes the EXACT
-  // percentile brackets at q ± 0.005 live (quantile_cont — 5× the n/a
-  // rank-error guarantee at accuracy 1000, interpolation slack) and
-  // band-checks the frozen estimate in DuckDB. LAYOUT CONTRACT: unlike
-  // the commutative HLL pins, GK's merge is partition-structure-
-  // sensitive (a local[8] probe produced different p25 values), so the
-  // pin is valid under the canonical Verify layout (local[4], 4 shuffle
-  // partitions — the only layout the driver has ever used, confirmed
-  // against its own dump); FrozenSketchSpec is the canary, and a layout
-  // change regenerates the pin with one freeze_sketches.py run. The
-  // in-query raise_error gate stays, SF- and layout-agnostic, proving
-  // the ε bound at every scale Bench runs; the unit spec proves it on
-  // synthetic data.
+  // recomputation oracle exists — round 13 pins the estimates via the
+  // committed frozen table (tools/freeze_sketches.py): the oracle
+  // recomputes the EXACT percentile brackets at q ± 0.005 live
+  // (quantile_cont — 5× the rank-error guarantee at accuracy 1000,
+  // interpolation slack) and band-checks the frozen estimate in DuckDB.
+  // LAYOUT INDEPENDENCE (round 14, VERDICT r13 #7): GK's merge is
+  // partition-structure-sensitive, so the query pins its OWN layout —
+  // repartition(4) on the group key puts each group's rows in exactly
+  // one partition (no partial-sketch merge at all) and the total
+  // sortWithinPartitions order makes the insert sequence a pure
+  // function of the data. The pin now survives any session parallelism
+  // / shuffle-partition / file-split configuration (FrozenSketchSpec
+  // asserts an alternate layout reproduces it bit-for-bit). Scale note:
+  // the same agg already computes EXACT percentile() brackets, which
+  // necessarily funnels each group's rows through its reducer — the
+  // fixed repartition matches that inherent |groups|-way shape rather
+  // than adding a bottleneck. The in-query raise_error gate stays, SF-
+  // and layout-agnostic, proving the ε bound at every scale Bench runs.
   val q51 = Q.checked("q51_approx_percentile",
     FrozenSketchSql.q51) { (s, d) =>
     // accuracy 1000 → rank ε 0.001; exact-percentile brackets at ±0.005
@@ -725,6 +727,8 @@ object RelationalQueries {
       bracket("l_extendedprice", 0.25,
         expr("approx_percentile(l_extendedprice, 0.25, 1000)"))
     Tables.lineitem(s, d)
+      .repartition(4, col("l_returnflag"))
+      .sortWithinPartitions("l_returnflag", "l_orderkey", "l_linenumber")
       .groupBy("l_returnflag")
       .agg(checks.head, checks.tail: _*)
       .orderBy("l_returnflag")

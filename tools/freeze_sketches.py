@@ -18,12 +18,15 @@ recomputed LIVE in DuckDB, so the committed pin is cross-checked against
 the published accuracy contract by the oracle itself, and the in-query
 raise_error gates (SF-agnostic) stay in the Spark bodies.
 
-LAYOUT CONTRACT: the HLL pins (q14/q147) are layout-independent
-(commutative register-max merge); the GK pin (q51) is valid only under
-the layout that generated it — the canonical Verify session (local[4],
-4 shuffle partitions, env defaults). FrozenSketchSpec re-runs all three
-under that layout as the in-CI canary; if the Verify layout ever
-changes, regenerate with one run of this script against a fresh dump.
+LAYOUT CONTRACT (round 14): ALL pins are now layout-independent. The
+HLL pins (q14/q147) always were (commutative register-max merge); the
+GK pin (q51) became so when the query started pinning its own layout —
+repartition(4) on the group key (each group's sketch built in exactly
+one partition, no partial merge) plus a total sortWithinPartitions
+(insert order a pure function of the data). FrozenSketchSpec asserts
+reproduction under the Verify layout, an alternate session layout, AND
+an adversarially repartitioned input. Regenerate with one run of this
+script against a fresh dump only after a deliberate recipe change.
 
 Usage: python3 tools/freeze_sketches.py [verify_out_dir]
   verify_out_dir defaults to /tmp/verify_out — a fresh
