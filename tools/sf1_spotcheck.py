@@ -27,6 +27,15 @@ SF1 = "/tmp/graft_sf1"
 QUERIES = ["q32_dedup_jaccard", "q68_dedup_components",
            "q78_curate_corpus_pipeline", "q110_fuzzy_join_editdist",
            "q151_dedup_sentences"]
+# round 14 (VERDICT r13 #6): the round-12/13 additions — web-ingest
+# family, Aho-Corasick keyword tagging, trained lang-ID — pinned at 10x
+# like the older heavy family. Lighter entries, so reps=2 on the sf1
+# side is affordable and tames single-shot noise.
+NEW_QUERIES = ["q154_html_extract_text", "q155_html_boilerplate_blocks",
+               "q156_warc_parse", "q157_ccnet_perplexity_buckets",
+               "q158_ingest_pipeline", "q159_prefix_match_join",
+               "q160_dedup_cdc_chunks", "q141_keyword_tag_ac",
+               "q162_langid_model"]
 PLANTED_SMALL = 41667   # the bench entry's group count (2,000,016 lines)
 PLANTED_BIG = 416670    # 10x (20,000,160 lines)
 
@@ -69,6 +78,9 @@ def main() -> None:
 
     small = bench_one(SF01, QUERIES, reps=3, cache_key="small")
     big = bench_one(SF1, QUERIES, reps=1, cache_key="big")
+    small.update(bench_one(SF01, NEW_QUERIES, reps=3,
+                           cache_key="small_r14"))
+    big.update(bench_one(SF1, NEW_QUERIES, reps=2, cache_key="big_r14"))
 
     pl_small = bench_one(SF01, [f"dirt_planted_{PLANTED_SMALL * 48}"],
                          reps=1, cache_key="planted_small",
@@ -80,7 +92,7 @@ def main() -> None:
                                   str(PLANTED_BIG)})
 
     entries = {}
-    for q in QUERIES:
+    for q in QUERIES + NEW_QUERIES:
         entries[q] = {
             "sec_sf01": small[q], "sec_sf1": big[q],
             "exponent": round(math.log(big[q] / small[q]) / math.log(10), 3),
@@ -95,9 +107,11 @@ def main() -> None:
     doc = {
         "metric": "sf1_spotcheck",
         "method": ("BenchOne local[32]; sf0.1 reps=3 min, sf1/10x reps=1 "
-                   "single-shot (minute-scale entries); fixture from "
-                   "tools/gen_sf1.py (50k docs / 150k customers, "
-                   "distributions derived from sf0.1, seed 42)"),
+                   "single-shot for the minute-scale pair-heavy entries "
+                   "and reps=2 for the round-14 lighter additions; "
+                   "fixture from tools/gen_sf1.py (50k docs / 150k "
+                   "customers, distributions derived from sf0.1, "
+                   "seed 42)"),
         "entries": entries,
     }
     with open("tools/evidence/bench_sf1_spotcheck.json", "w") as f:
