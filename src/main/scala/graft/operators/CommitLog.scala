@@ -48,9 +48,13 @@ import org.apache.spark.sql.types.StructType
   */
 object GraftTable {
 
-  /** One committed version: files are root-relative. */
+  /** One committed version: files are root-relative; `batch` carries
+    * the streaming micro-batch id for commits published through
+    * [[appendBatchIdempotent]] (the exactly-once replay check).
+    */
   final case class Commit(version: Long, parent: Long, op: String,
-      schemaDdl: String, files: Seq[String])
+      schemaDdl: String, files: Seq[String],
+      batch: Option[Long] = None)
 
   /** Optimistic-concurrency failure: another writer published
     * `actual` while this writer expected to commit `expected + 1`.
@@ -108,7 +112,8 @@ object GraftTable {
       parent = field("parent").toLong,
       op = field("op"),
       schemaDdl = field("schema"),
-      files = lines.filter(_.startsWith("file:")).map(_.drop(5)))
+      files = lines.filter(_.startsWith("file:")).map(_.drop(5)),
+      batch = lines.find(_.startsWith("batch:")).map(_.drop(6).toLong))
   }
 
   /** Stage `df` as parquet and atomically publish it as version
@@ -116,7 +121,8 @@ object GraftTable {
     * [[ConflictException]] when another writer got there first.
     */
   private def commitVersion(df: DataFrame, root: String, op: String,
-      expected: Long, carryFiles: Seq[String]): Long = {
+      expected: Long, carryFiles: Seq[String],
+      batch: Option[Long] = None): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     val next = expected + 1
@@ -140,6 +146,7 @@ object GraftTable {
       .append(s"parent:$expected\n")
       .append(s"op:$op\n")
       .append(s"schema:${df.schema.toDDL}\n")
+    batch.foreach(b => manifest.append(s"batch:$b\n"))
     (carryFiles ++ parts).foreach(p => manifest.append(s"file:$p\n"))
 
     val tmp = new Path(s"$root/$LogDir/.tmp-v$next-$token")
@@ -173,6 +180,62 @@ object GraftTable {
   def append(df: DataFrame, root: String, expectedVersion: Long): Long = {
     val parent = readManifest(df.sparkSession, root, expectedVersion)
     commitVersion(df, root, "APPEND", expectedVersion, parent.files)
+  }
+
+  /** Exactly-once streaming sink primitive: append a micro-batch as a
+    * new version, recording `batchId` in the manifest so a Structured
+    * Streaming replay of the same batch (at-least-once delivery after
+    * a crash) detects the prior commit and becomes a no-op — the q93
+    * `writeBatchIdempotent` discipline upgraded from marker files to
+    * transactional versions, so a reader NEVER sees a torn batch and
+    * concurrent table writers serialize through the same CAS. Creates
+    * the table when the root is empty. Returns true when the batch was
+    * committed, false when it had already landed.
+    *
+    * A [[ConflictException]] from another writer is retried after
+    * re-checking the log (our batch may have been the winner), bounded
+    * at 5 attempts.
+    */
+  def appendBatchIdempotent(df: DataFrame, batchId: Long,
+      root: String): Boolean = {
+    val spark = df.sparkSession
+    var attempts = 0
+    while (true) {
+      val latest = latestVersion(spark, root)
+      if (latest >= 0 &&
+        history(spark, root).exists(_.batch.contains(batchId)))
+        return false
+      try {
+        if (latest == -1L)
+          commitVersion(df, root, "CREATE", -1L, Nil, Some(batchId))
+        else {
+          val parent = readManifest(spark, root, latest)
+          commitVersion(df, root, "APPEND", latest, parent.files,
+            Some(batchId))
+        }
+        return true
+      } catch {
+        case e: ConflictException =>
+          attempts += 1
+          if (attempts >= 5) throw e
+      }
+    }
+    false // unreachable
+  }
+
+  /** Small-file compaction (OPTIMIZE): rewrite the snapshot at
+    * `expectedVersion` into `numFiles` files as a new COMPACT version —
+    * same rows, fewer files, committed through the same CAS so readers
+    * and concurrent writers are unaffected. Earlier versions keep
+    * reading their own (untouched) files; [[vacuum]] never removes
+    * them because their manifests still reference them.
+    */
+  def compact(spark: SparkSession, root: String, expectedVersion: Long,
+      numFiles: Int = 1): Long = {
+    require(numFiles > 0, s"numFiles must be positive: $numFiles")
+    val snap = readVersion(spark, root, expectedVersion)
+    commitVersion(snap.repartition(numFiles), root, "COMPACT",
+      expectedVersion, Nil)
   }
 
   /** ACID MERGE: apply a changelog (op I/U/D, latest-wins by

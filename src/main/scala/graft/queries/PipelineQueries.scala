@@ -4154,6 +4154,74 @@ object PipelineQueries {
     * latest-wins bug all surface as a hash mismatch. Arithmetic is
     * float-exact (×2 and +1000 on parquet doubles).
     */
+  /** Exactly-once streaming ingestion into the transactional table
+    * (q166): the events table file-streamed (AvailableNow, one file
+    * per micro-batch) through foreachBatch into
+    * [[graft.operators.GraftTable.appendBatchIdempotent]] — each batch
+    * one atomic version carrying its batch id. In-query gates: a
+    * manual REPLAY of batch 0 (the post-crash at-least-once case) must
+    * be a no-op (no version, no rows), and a COMPACT afterwards must
+    * preserve the row set while the history reads
+    * CREATE/APPEND.../COMPACT. The final table must equal the plain
+    * events table — exactly-once end to end, the q93 discipline
+    * upgraded from marker directories to transactional versions.
+    */
+  val q166 = Q.checked(
+    "q166_table_stream_ingest",
+    """SELECT event_id, user_id, event_type, value
+       FROM events ORDER BY event_id""") { (s, d) =>
+    val out = s"${sys.props("java.io.tmpdir")}/graft_tsi_${ProcessHandle.current().pid()}"
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    // stage the fixture as 4 files -> 4 micro-batches
+    val inDir = s"$out/in"
+    s.read.schema(schema).parquet(s"$d/events.parquet")
+      .repartition(4).write.parquet(inDir)
+    val root = s"$out/table"
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+    val q = stream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$out/_ckpt")
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        graft.operators.GraftTable.appendBatchIdempotent(df, id, root)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val gt = graft.operators.GraftTable
+    val nVersions = gt.latestVersion(s, root) + 1
+    val nRows = gt.read(s, root).count()
+    // at-least-once replay of batch 0 must be a no-op
+    val replayed = gt.appendBatchIdempotent(
+      s.read.schema(schema).parquet(inDir).limit(10), 0L, root)
+    require(!replayed, "batch 0 replay was not detected as committed")
+    require(gt.latestVersion(s, root) + 1 == nVersions,
+      "replay added a version")
+    require(gt.read(s, root).count() == nRows, "replay added rows")
+    // maintenance: compaction preserves the row set
+    gt.compact(s, root, gt.latestVersion(s, root))
+    require(gt.read(s, root).count() == nRows, "compaction changed rows")
+    val ops = gt.history(s, root).map(_.op)
+    require(ops.head == "CREATE" && ops.last == "COMPACT" &&
+      ops.tail.dropRight(1).forall(_ == "APPEND"),
+      s"unexpected history: $ops")
+    gt.read(s, root)
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   /** Motion-JPEG frame sampling (q165, VERDICT r13 #5): the q139
     * pipeline over [[graft.operators.Multimodal.syntheticMjpegAviTable]]
     * — the first COMPRESSED video codec at the ingest edge, each frame

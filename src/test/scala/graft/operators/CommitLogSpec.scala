@@ -149,6 +149,42 @@ class CommitLogSpec extends AnyFunSuite {
     assert(GraftTable.read(spark, root).count() == 1L)
   }
 
+  test("appendBatchIdempotent: replays are no-ops, first writes create the table") {
+    val root = freshRoot()
+    // batch 0 creates the table
+    assert(GraftTable.appendBatchIdempotent(
+      table3(Seq((1L, "a", 1.0))), 0L, root))
+    assert(GraftTable.appendBatchIdempotent(
+      table3(Seq((2L, "b", 2.0))), 1L, root))
+    assert(GraftTable.read(spark, root).count() == 2L)
+    // exact replay of batch 1 (post-crash at-least-once delivery):
+    // detected via the manifest batch id, no new version, no new rows
+    assert(!GraftTable.appendBatchIdempotent(
+      table3(Seq((2L, "b", 2.0))), 1L, root))
+    assert(GraftTable.latestVersion(spark, root) == 1L)
+    assert(GraftTable.read(spark, root).count() == 2L)
+    assert(GraftTable.history(spark, root).map(_.batch) ==
+      Seq(Some(0L), Some(1L)))
+  }
+
+  test("compact rewrites into fewer files with identical rows; old versions unaffected") {
+    val root = freshRoot()
+    GraftTable.create(table3(Seq((1L, "a", 1.0))), root)
+    GraftTable.append(table3(Seq((2L, "b", 2.0))), root, 0L)
+    GraftTable.append(table3(Seq((3L, "c", 3.0))), root, 1L)
+    assert(GraftTable.history(spark, root).last.files.size >= 3)
+    val v3 = GraftTable.compact(spark, root, expectedVersion = 2L)
+    val c = GraftTable.history(spark, root).last
+    assert(c.op == "COMPACT" && c.version == v3 && c.files.size == 1)
+    assert(GraftTable.readVersion(spark, root, v3).orderBy("k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // the compacted files are new; v2 still reads its own
+    assert(GraftTable.readVersion(spark, root, 2L).count() == 3L)
+    // vacuum keeps everything: every data dir is referenced by SOME
+    // manifest (v0-v2's by theirs, the compacted dir by v3's)
+    assert(GraftTable.vacuum(spark, root).isEmpty)
+  }
+
   test("pushdown survives the versioning layer: filter reaches the parquet scan") {
     val root = freshRoot()
     GraftTable.create(table3((1L to 100L).map(i => (i, s"n$i", i * 1.0))),
