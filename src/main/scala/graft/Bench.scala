@@ -285,7 +285,8 @@ object Bench {
     // composites so the existing pins never move; first pinned by the
     // r14 quiet-run re-baseline
     "cx_table_format" -> Seq("q163_table_time_travel",
-      "q164_table_conflict_isolation", "q166_table_stream_ingest"),
+      "q164_table_conflict_isolation", "q166_table_stream_ingest",
+      "q167_table_schema_evolution"),
     "cx_mjpeg" -> Seq("q165_multimodal_mjpeg_frame_sample"))
 
   /** The four dedup-graph queries folded into ONE composed timed body

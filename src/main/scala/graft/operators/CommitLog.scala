@@ -68,6 +68,28 @@ object GraftTable {
 
   private val LogDir = "_graft_log"
 
+  /** Schema comparison key: names + types, nullability-normalized — a
+    * NOT-NULL batch appended into a nullable table is safe (the
+    * reverse too: the committed schema stays the table's), and typed
+    * Dataset sources routinely produce non-nullable primitive fields
+    * where a join output is nullable.
+    */
+  private def normalize(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map(f =>
+        f.copy(dataType = normalize(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = normalize(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = normalize(m.keyType),
+        valueType = normalize(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  private def schemaKey(s: StructType): String =
+    normalize(s).asInstanceOf[StructType].toDDL
+
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -175,11 +197,48 @@ object GraftTable {
   }
 
   /** Append `df`'s rows as a new version: the manifest carries the
-    * parent's files plus the new ones — no data is rewritten.
+    * parent's files plus the new ones — no data is rewritten. The
+    * schema must match the table's exactly — a typo'd or re-typed
+    * column must fail loudly here, not silently null-fill historic
+    * rows at read time; deliberate column ADDITION goes through
+    * [[appendEvolve]].
     */
   def append(df: DataFrame, root: String, expectedVersion: Long): Long = {
     val parent = readManifest(df.sparkSession, root, expectedVersion)
+    require(schemaKey(df.schema) ==
+      schemaKey(StructType.fromDDL(parent.schemaDdl)),
+      s"schema mismatch: table has [${parent.schemaDdl}], append has " +
+        s"[${df.schema.toDDL}] — use appendEvolve to add columns")
     commitVersion(df, root, "APPEND", expectedVersion, parent.files)
+  }
+
+  /** Schema-evolving append (ALTER TABLE ADD COLUMNS + APPEND in one
+    * atomic commit): `df` must carry every existing column with its
+    * exact type and may add new ones. The committed schema lists the
+    * parent's columns first (in their original order) then the added
+    * ones, and the new version's explicit-schema read null-fills the
+    * added columns for every historic file — while time-travel reads
+    * of earlier versions keep their own narrower schema, so evolution
+    * never bleeds backwards. Dropping or re-typing a column is
+    * rejected — those rewrite history and belong to a MERGE/rewrite,
+    * not an append.
+    */
+  def appendEvolve(df: DataFrame, root: String,
+      expectedVersion: Long): Long = {
+    import org.apache.spark.sql.functions.col
+    val parent = readManifest(df.sparkSession, root, expectedVersion)
+    val p = StructType.fromDDL(parent.schemaDdl)
+    p.fields.foreach { f =>
+      val c = df.schema.find(_.name == f.name)
+      require(c.isDefined, s"evolution cannot drop column ${f.name}")
+      require(normalize(c.get.dataType) == normalize(f.dataType),
+        s"evolution cannot retype ${f.name}: " +
+          s"${f.dataType.sql} -> ${c.get.dataType.sql}")
+    }
+    val added = df.schema.filterNot(f => p.fieldNames.contains(f.name))
+    val ordered = df.select(
+      (p.fields.map(f => col(f.name)) ++ added.map(f => col(f.name))): _*)
+    commitVersion(ordered, root, "APPEND", expectedVersion, parent.files)
   }
 
   /** Exactly-once streaming sink primitive: append a micro-batch as a
@@ -210,6 +269,10 @@ object GraftTable {
           commitVersion(df, root, "CREATE", -1L, Nil, Some(batchId))
         else {
           val parent = readManifest(spark, root, latest)
+          require(schemaKey(df.schema) ==
+            schemaKey(StructType.fromDDL(parent.schemaDdl)),
+            s"schema mismatch: table has [${parent.schemaDdl}], batch " +
+              s"$batchId has [${df.schema.toDDL}]")
           commitVersion(df, root, "APPEND", latest, parent.files,
             Some(batchId))
         }

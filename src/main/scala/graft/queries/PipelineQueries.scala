@@ -4222,6 +4222,43 @@ object PipelineQueries {
       .orderBy("event_id")
   }
 
+  /** Table-format schema evolution (q167): ALTER-ADD-COLUMNS + APPEND
+    * as one atomic commit — version 0 is (c_custkey, c_name) from
+    * customer, version 1 appends rows carrying an extra c_acctbal
+    * column via [[graft.operators.GraftTable.appendEvolve]]. The
+    * latest read must null-fill the historic rows' new column while a
+    * time-travel read of version 0 keeps the narrow schema (in-query
+    * REQUIRE); the oracle reconstructs the evolved snapshot with a
+    * UNION of a NULL-extended base and the typed appended slice.
+    */
+  val q167 = Q.checked(
+    "q167_table_schema_evolution",
+    """SELECT c_custkey, c_name, c_acctbal FROM (
+         SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal
+         FROM customer
+         UNION ALL
+         SELECT c_custkey + 1000000, c_name, c_acctbal
+         FROM customer WHERE c_custkey % 3 = 0)
+       ORDER BY c_custkey""") { (s, d) =>
+    val root = s"${sys.props("java.io.tmpdir")}/graft_sev_${ProcessHandle.current().pid()}"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val cust = Tables.customer(s, d)
+    val gt = graft.operators.GraftTable
+    gt.create(cust.select("c_custkey", "c_name"), root)
+    val wide = cust.filter(col("c_custkey") % 3 === 0)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        col("c_name"), col("c_acctbal"))
+    gt.appendEvolve(wide, root, expectedVersion = 0L)
+    require(gt.readVersion(s, root, 0L).columns.toSeq ==
+      Seq("c_custkey", "c_name"),
+      "evolution bled backwards into version 0")
+    gt.read(s, root)
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
   /** Motion-JPEG frame sampling (q165, VERDICT r13 #5): the q139
     * pipeline over [[graft.operators.Multimodal.syntheticMjpegAviTable]]
     * — the first COMPRESSED video codec at the ingest edge, each frame

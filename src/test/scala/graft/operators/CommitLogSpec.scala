@@ -185,6 +185,35 @@ class CommitLogSpec extends AnyFunSuite {
     assert(GraftTable.vacuum(spark, root).isEmpty)
   }
 
+  test("schema evolution: add-column appends null-fill history; drops/retypes reject") {
+    import spark.implicits._
+    val root = freshRoot()
+    GraftTable.create(table3(Seq((1L, "a", 1.0))), root)
+    // a mismatched plain append fails loudly (typo protection)
+    intercept[IllegalArgumentException] {
+      GraftTable.append(Seq((2L, "b")).toDF("k", "name"), root, 0L)
+    }
+    // evolve: add a nullable column
+    val wide = Seq((2L, "b", 2.0, "x")).toDF("k", "name", "bal", "tag")
+    GraftTable.appendEvolve(wide, root, 0L)
+    val latest = GraftTable.read(spark, root).orderBy("k")
+    assert(latest.columns.toSeq == Seq("k", "name", "bal", "tag"))
+    val rows = latest.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) null else r.getString(3)))
+    assert(rows.toSeq == Seq((1L, null), (2L, "x")))
+    // time travel: version 0 keeps its narrower schema
+    assert(GraftTable.readVersion(spark, root, 0L).columns.toSeq ==
+      Seq("k", "name", "bal"))
+    // dropping or retyping columns rejects
+    intercept[IllegalArgumentException] {
+      GraftTable.appendEvolve(Seq((3L, "c")).toDF("k", "name"), root, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      GraftTable.appendEvolve(
+        Seq((3L, "c", 3, "y")).toDF("k", "name", "bal", "tag"), root, 1L)
+    }
+  }
+
   test("pushdown survives the versioning layer: filter reaches the parquet scan") {
     val root = freshRoot()
     GraftTable.create(table3((1L to 100L).map(i => (i, s"n$i", i * 1.0))),

@@ -35,7 +35,10 @@ NEW_QUERIES = ["q154_html_extract_text", "q155_html_boilerplate_blocks",
                "q156_warc_parse", "q157_ccnet_perplexity_buckets",
                "q158_ingest_pipeline", "q159_prefix_match_join",
                "q160_dedup_cdc_chunks", "q141_keyword_tag_ac",
-               "q162_langid_model"]
+               "q162_langid_model",
+               # round-14 additions: table format + compressed video
+               "q163_table_time_travel", "q166_table_stream_ingest",
+               "q165_multimodal_mjpeg_frame_sample"]
 PLANTED_SMALL = 41667   # the bench entry's group count (2,000,016 lines)
 PLANTED_BIG = 416670    # 10x (20,000,160 lines)
 
