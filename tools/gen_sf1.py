@@ -96,7 +96,52 @@ def main() -> None:
         "c_mktsegment": pa.array([rng.choice(segs) for _ in range(N_CUST)],
                                  pa.string()),
     }), f"{out}/customer.parquet")
+    # --- orders: 10x rows, same schema/value shapes (round 14: the
+    # table-format scale probes q163/q166 read orders/events) ---
+    n_orders = 1_500_000
+    statuses = [s for (s,) in con.execute(
+        f"SELECT DISTINCT o_orderstatus FROM '{SRC}/orders.parquet' ORDER BY 1"
+    ).fetchall()]
+    prios = [p for (p,) in con.execute(
+        f"SELECT DISTINCT o_orderpriority FROM '{SRC}/orders.parquet' ORDER BY 1"
+    ).fetchall()]
+    base_us = 820_454_400_000_000  # 1996-01-01 UTC in microseconds
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(n_orders), pa.int64()),
+        "o_custkey": pa.array([rng.randrange(N_CUST)
+                               for _ in range(n_orders)], pa.int64()),
+        "o_orderstatus": pa.array([statuses[i % len(statuses)]
+                                   for i in range(n_orders)], pa.string()),
+        "o_totalprice": pa.array([round(rng.uniform(900.0, 600000.0), 2)
+                                  for _ in range(n_orders)], pa.float64()),
+        "o_orderdate": pa.array([base_us + (i % 2557) * 86_400_000_000
+                                 for i in range(n_orders)],
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array([prios[i % len(prios)]
+                                     for i in range(n_orders)], pa.string()),
+    }), f"{out}/orders.parquet")
+
+    # --- events: 10x rows, same schema ---
+    n_events = 1_000_000
+    etypes = [t for (t,) in con.execute(
+        f"SELECT DISTINCT event_type FROM '{SRC}/events.parquet' ORDER BY 1"
+    ).fetchall()]
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n_events), pa.int64()),
+        "ts": pa.array([base_us + i * 1_000_000 for i in range(n_events)],
+                       pa.timestamp("us")),
+        "user_id": pa.array([rng.randrange(N_CUST)
+                             for _ in range(n_events)], pa.int64()),
+        "event_type": pa.array([etypes[i % len(etypes)]
+                                for i in range(n_events)], pa.string()),
+        "value": pa.array([round(rng.uniform(0.0, 100.0), 4)
+                           for _ in range(n_events)], pa.float64()),
+        "props": pa.array(['{"k":%d}' % (i % 7) for i in range(n_events)],
+                          pa.string()),
+    }), f"{out}/events.parquet")
+
     print(f"wrote {out}: documents={N_DOCS} customer={N_CUST} "
+          f"orders={n_orders} events={n_events} "
           f"(vocab={len(vocab)}, langs={lang_names})")
 
 

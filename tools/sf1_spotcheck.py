@@ -107,6 +107,19 @@ def main() -> None:
         "n_large": PLANTED_BIG * 48, "sec_large": pb,
         "exponent": round(math.log(pb / ps) / math.log(10), 3),
     }
+    # carry over the committed per-entry annotations (output-bound
+    # explanations, output_pairs counts) — the timings refresh, the
+    # hand-written analysis must not be silently dropped
+    try:
+        with open("tools/evidence/bench_sf1_spotcheck.json") as f:
+            prev = json.load(f)["entries"]
+        for q, e in entries.items():
+            for k, v in prev.get(q, {}).items():
+                if k not in e:
+                    e[k] = v
+    except FileNotFoundError:
+        pass
+
     doc = {
         "metric": "sf1_spotcheck",
         "method": ("BenchOne local[32]; sf0.1 reps=3 min, sf1/10x reps=1 "
