@@ -144,7 +144,8 @@ object GraftTable {
     */
   private def commitVersion(df: DataFrame, root: String, op: String,
       expected: Long, carryFiles: Seq[String],
-      batch: Option[Long] = None): Long = {
+      batch: Option[Long] = None,
+      schemaDdl: Option[String] = None): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     val next = expected + 1
@@ -167,7 +168,7 @@ object GraftTable {
       .append(s"version:$next\n")
       .append(s"parent:$expected\n")
       .append(s"op:$op\n")
-      .append(s"schema:${df.schema.toDDL}\n")
+      .append(s"schema:${schemaDdl.getOrElse(df.schema.toDDL)}\n")
     batch.foreach(b => manifest.append(s"batch:$b\n"))
     (carryFiles ++ parts).foreach(p => manifest.append(s"file:$p\n"))
 
@@ -238,7 +239,15 @@ object GraftTable {
     val added = df.schema.filterNot(f => p.fieldNames.contains(f.name))
     val ordered = df.select(
       (p.fields.map(f => col(f.name)) ++ added.map(f => col(f.name))): _*)
-    commitVersion(ordered, root, "APPEND", expectedVersion, parent.files)
+    // the committed schema forces the ADDED columns nullable whatever
+    // the batch declared: every historic file null-fills them at read
+    // time, and a typed non-nullable source column (Dataset[Long])
+    // must not publish a NOT NULL contract those files cannot honor —
+    // the optimizer would be free to prune IsNotNull on a column that
+    // IS null for most of the table
+    val evolved = StructType(p.fields ++ added.map(_.copy(nullable = true)))
+    commitVersion(ordered, root, "APPEND", expectedVersion, parent.files,
+      schemaDdl = Some(evolved.toDDL))
   }
 
   /** Exactly-once streaming sink primitive: append a micro-batch as a

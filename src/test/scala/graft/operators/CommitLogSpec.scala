@@ -212,6 +212,18 @@ class CommitLogSpec extends AnyFunSuite {
       GraftTable.appendEvolve(
         Seq((3L, "c", 3, "y")).toDF("k", "name", "bal", "tag"), root, 1L)
     }
+    // a TYPED non-nullable added column must commit as NULLABLE:
+    // historic files null-fill it, so publishing NOT NULL would hand
+    // the optimizer a false IsNotNull it could prune on
+    val typed = Seq((9L, "i", 9.0, "x", 7L))
+      .toDF("k", "name", "bal", "tag", "score")
+    assert(!typed.schema("score").nullable)
+    GraftTable.appendEvolve(typed, root, 1L)
+    val after = GraftTable.read(spark, root)
+    assert(after.schema("score").nullable,
+      "added column must be committed nullable")
+    val nullScores = after.filter(col("score").isNull).count()
+    assert(nullScores == 2L, s"historic rows must read NULL, got $nullScores non-null-filtered")
   }
 
   test("pushdown survives the versioning layer: filter reaches the parquet scan") {
