@@ -326,6 +326,24 @@ object GraftTable {
     commitVersion(merged, root, "MERGE", expectedVersion, Nil)
   }
 
+  /** ACID DELETE WHERE: commit a new version whose snapshot is the
+    * `expectedVersion` snapshot minus the rows matching `condition` —
+    * one atomic commit, so readers see pre- or post-delete, never a
+    * partial removal. Like [[merge]], this minimal layer rewrites the
+    * snapshot where Delta would prune to the files containing matches
+    * — a write-amplification simplification, never a semantic one.
+    * Null-safe: rows where the predicate is NULL are KEPT (SQL DELETE
+    * semantics — only rows where the condition is TRUE go).
+    */
+  def deleteWhere(spark: SparkSession, root: String,
+      condition: org.apache.spark.sql.Column,
+      expectedVersion: Long): Long = {
+    val snap = readVersion(spark, root, expectedVersion)
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val kept = snap.filter(not(coalesce(condition, lit(false))))
+    commitVersion(kept, root, "DELETE", expectedVersion, Nil)
+  }
+
   /** Snapshot at `version` — the time-travel read. The scan carries
     * the manifest's schema explicitly, so an empty version reads as an
     * empty table of the right shape and later schema changes never

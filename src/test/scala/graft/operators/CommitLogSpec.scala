@@ -226,6 +226,21 @@ class CommitLogSpec extends AnyFunSuite {
     assert(nullScores == 2L, s"historic rows must read NULL, got $nullScores non-null-filtered")
   }
 
+  test("deleteWhere: atomic predicate delete, NULL predicate keeps the row") {
+    import spark.implicits._
+    val root = freshRoot()
+    GraftTable.create(
+      Seq((1L, Some(1.0)), (2L, None), (3L, Some(3.0)))
+        .toDF("k", "bal"), root)
+    // bal > 2.0 is NULL for row 2 -> kept (SQL DELETE semantics)
+    val v1 = GraftTable.deleteWhere(spark, root, col("bal") > 2.0, 0L)
+    assert(GraftTable.readVersion(spark, root, v1).orderBy("k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // time travel intact; history records the DELETE
+    assert(GraftTable.readVersion(spark, root, 0L).count() == 3L)
+    assert(GraftTable.history(spark, root).last.op == "DELETE")
+  }
+
   test("pushdown survives the versioning layer: filter reaches the parquet scan") {
     val root = freshRoot()
     GraftTable.create(table3((1L to 100L).map(i => (i, s"n$i", i * 1.0))),
