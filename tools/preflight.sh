@@ -38,7 +38,8 @@ FUZZ_QUERIES="q162_langid_model,q37_text_analysis,q38_text_fingerprint,\
 q53_dedup_ngram_jaccard,q64_text_repetition,q66_decontaminate,\
 q71_text_token_df,q89_text_gopher_filter,q90_text_heavy_hitters,\
 q120_drop_repeated_ngrams,q140_dsir_importance_select,\
-q157_ccnet_perplexity_buckets"
+q157_ccnet_perplexity_buckets,q80_dedup_passages,\
+q153_source_token_accounting"
 python3 tools/fuzz_corpus.py /root/testdata/sf0.01 /tmp/preflight_fuzz
 sbt -batch "runMain graft.Verify /tmp/preflight_fuzz /tmp/preflight_fuzz_verify $FUZZ_QUERIES"
 python3 tools/check_oracle.py /tmp/preflight_fuzz /tmp/preflight_fuzz_verify
