@@ -4143,17 +4143,6 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
-  /** Table-format time travel (q163, VERDICT r13 #3): build a
-    * [[graft.operators.GraftTable]] in a temp root — version 0 CREATE
-    * from orders, version 1 an ACID MERGE of a changelog derived
-    * closed-form from the same rows (delete keys ≡3 mod 17, double the
-    * price of remaining keys ≡0 mod 10, insert key+10M copies of keys
-    * ≡5 mod 23 at price+1000) — then read BOTH versions back through
-    * the commit log. The oracle recomputes each snapshot as pure SQL
-    * over orders, so a torn commit, a mis-carried manifest, or a
-    * latest-wins bug all surface as a hash mismatch. Arithmetic is
-    * float-exact (×2 and +1000 on parquet doubles).
-    */
   /** Exactly-once streaming ingestion into the transactional table
     * (q166): the events table file-streamed (AvailableNow, one file
     * per micro-batch) through foreachBatch into
@@ -4289,6 +4278,17 @@ object PipelineQueries {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Table-format time travel (q163, VERDICT r13 #3): build a
+    * [[graft.operators.GraftTable]] in a temp root — version 0 CREATE
+    * from orders, version 1 an ACID MERGE of a changelog derived
+    * closed-form from the same rows (delete keys ≡3 mod 17, double the
+    * price of remaining keys ≡0 mod 10, insert key+10M copies of keys
+    * ≡5 mod 23 at price+1000) — then read BOTH versions back through
+    * the commit log. The oracle recomputes each snapshot as pure SQL
+    * over orders, so a torn commit, a mis-carried manifest, or a
+    * latest-wins bug all surface as a hash mismatch. Arithmetic is
+    * float-exact (×2 and +1000 on parquet doubles).
+    */
   val q163 = Q.checked(
     "q163_table_time_travel",
     """WITH b AS (SELECT o_orderkey, o_totalprice FROM orders),
@@ -4394,6 +4394,84 @@ object PipelineQueries {
     }
     rows.toDF("version", "op", "n_rows", "n_suffixed")
       .orderBy("version")
+  }
+
+  /** File-pruned ACID MERGE (q168, VERDICT r14 #5): the table is
+    * created range-partitioned on the key with per-file min/max stats
+    * ([[graft.operators.GraftTable.createPartitioned]]); a changelog
+    * confined to keys ≤ max/4 (deletes ≡1 mod 13, price×3 on ≡0 mod 7,
+    * key+20M inserts at price+500 for ≡2 mod 19) is applied with
+    * [[graft.operators.GraftTable.mergePruned]], which must rewrite
+    * ONLY the files containing matched keys. In-query REQUIREs: the
+    * new manifest provably carries ≥1 of version 0's files UNCHANGED
+    * (file-list intersection — the write-amplification claim itself)
+    * and rewrote ≥1. The oracle recomputes both snapshots closed-form,
+    * so any pruning unsoundness (a carried file that did hold a change
+    * key, a dropped insert, a missed delete) is a hash mismatch.
+    * Arithmetic is float-exact-deterministic (×3, +500 on parquet
+    * doubles — the q163 class).
+    */
+  val q168 = Q.checked(
+    "q168_table_pruned_merge",
+    """WITH b AS (SELECT o_orderkey, o_totalprice FROM orders),
+       t AS (SELECT max(o_orderkey) // 4 AS thr FROM b),
+       v1 AS (
+         SELECT o_orderkey,
+                CASE WHEN o_orderkey <= (SELECT thr FROM t)
+                          AND o_orderkey % 13 <> 1 AND o_orderkey % 7 = 0
+                     THEN o_totalprice * 3 ELSE o_totalprice END
+                  AS o_totalprice
+         FROM b
+         WHERE NOT (o_orderkey <= (SELECT thr FROM t)
+                    AND o_orderkey % 13 = 1)
+         UNION ALL
+         SELECT o_orderkey + 20000000, o_totalprice + 500
+         FROM b WHERE o_orderkey <= (SELECT thr FROM t)
+                      AND o_orderkey % 19 = 2)
+       SELECT CAST(0 AS BIGINT) AS version, o_orderkey,
+              round(o_totalprice, 2) AS o_totalprice
+       FROM b
+       UNION ALL
+       SELECT 1, o_orderkey, round(o_totalprice, 2) FROM v1
+       ORDER BY version, o_orderkey""") { (s, d) =>
+    val root = s"${sys.props("java.io.tmpdir")}/graft_prm_${ProcessHandle.current().pid()}"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val gt = graft.operators.GraftTable
+    val base = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+    // driver-side 1-row scalar (bounded), mirrored by the oracle's
+    // (SELECT max(..) // 4) — Long division truncates; keys positive
+    val thr = base.agg(max("o_orderkey")).head().getLong(0) / 4
+    val v0 = gt.createPartitioned(base, root, "o_orderkey", numFiles = 8)
+    val k = col("o_orderkey")
+    val inScope = k <= thr
+    val del = base.filter(inScope && k % 13 === 1)
+      .select(k, col("o_totalprice"), lit("D").as("op"))
+    val upd = base.filter(inScope && k % 13 =!= 1 && k % 7 === 0)
+      .select(k, (col("o_totalprice") * 3).as("o_totalprice"),
+        lit("U").as("op"))
+    val ins = base.filter(inScope && k % 19 === 2)
+      .select((k + 20000000L).as("o_orderkey"),
+        (col("o_totalprice") + 500).as("o_totalprice"),
+        lit("I").as("op"))
+    val changes = del.unionByName(upd).unionByName(ins)
+      .withColumn("seq", lit(1L))
+    gt.mergePruned(root, changes, key = "o_orderkey",
+      ordering = Seq("seq"), expectedVersion = v0)
+    val h = gt.history(s, root)
+    val carried = h(1).files.toSet.intersect(h(0).files.toSet)
+    require(carried.nonEmpty,
+      "pruned merge carried no untouched files — pruning is inert")
+    require((h(0).files.toSet -- h(1).files.toSet).nonEmpty,
+      "pruned merge rewrote no files — changes were lost")
+    val read0 = gt.readVersion(s, root, 0L)
+    val read1 = gt.readVersion(s, root, 1L)
+    read0.select(lit(0L).as("version"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .unionByName(read1.select(lit(1L).as("version"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice")))
+      .orderBy("version", "o_orderkey")
   }
 }
 
