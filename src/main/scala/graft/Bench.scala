@@ -287,7 +287,12 @@ object Bench {
     "cx_table_format" -> Seq("q163_table_time_travel",
       "q164_table_conflict_isolation", "q166_table_stream_ingest",
       "q167_table_schema_evolution"),
-    "cx_mjpeg" -> Seq("q165_multimodal_mjpeg_frame_sample"))
+    "cx_mjpeg" -> Seq("q165_multimodal_mjpeg_frame_sample"),
+    // round 15: the file-pruned MERGE path (createPartitioned with
+    // per-file stats + two-stage pruning + carried files) — a NEW
+    // composite so the existing pins never move; first pinned by the
+    // r15 quiet-run re-baseline
+    "cx_table_pruned" -> Seq("q168_table_pruned_merge"))
 
   /** The four dedup-graph queries folded into ONE composed timed body
     * (replacing round 10's cross-entry `componentRunners` state): the
@@ -708,6 +713,46 @@ object Bench {
           negLines = syntheticTestSet.drop(5))
         require(report.scoredPairs > 0, "lifecycle produced no scored pairs")
       } finally { scored.unpersist(); () }
+    }),
+    // ROUND 15 (VERDICT r14 #4-done): 50 micro-batches through the
+    // exactly-once table sink, timed per batch. The commit path must
+    // stay FLAT in version count — the O(1) maxBatch replay check plus
+    // the _latest hint; r14's implementation re-read the ENTIRE
+    // manifest history every batch (O(V^2) driver I/O over a stream's
+    // life). Parquet staging dominates and is constant per batch, so
+    // the in-run REQUIRE (last-10 vs first-10 with generous slack) only
+    // trips on a supra-linear log-scan regression; the entry's pinned
+    // total is the fine-grained signal.
+    "table_stream_50batches" -> (() => {
+      import spark.implicits._
+      val root = s"${sys.props("java.io.tmpdir")}/graft_tsb_${ProcessHandle.current().pid()}"
+      rmrf(root)
+      val gt = graft.operators.GraftTable
+      val perBatch = new Array[Double](50)
+      var b = 0
+      while (b < 50) {
+        val df = (0L until 200L).map(i => (b * 200L + i, s"u$i", i * 1.0))
+          .toDF("event_id", "name", "value")
+        val t0 = System.nanoTime()
+        require(gt.appendBatchIdempotent(df, b.toLong, root),
+          s"batch $b refused")
+        perBatch(b) = (System.nanoTime() - t0) / 1e9
+        b += 1
+      }
+      // at-least-once replay of an early batch: a no-op adjudicated
+      // from ONE manifest read, not a history scan
+      require(!gt.appendBatchIdempotent(
+        (0L until 10L).map(i => (i, "x", 0.0))
+          .toDF("event_id", "name", "value"), 0L, root),
+        "batch-0 replay was not detected")
+      require(gt.read(spark, root).count() == 50L * 200,
+        "stream ingest lost rows")
+      val first = perBatch.take(10).sum
+      val last = perBatch.takeRight(10).sum
+      require(last <= first * 4 + 2.0,
+        f"per-batch commit cost grew with version count: " +
+          f"first10=$first%.2fs last10=$last%.2fs")
+      rmrf(root)
     }))
 
   /** ROUND 13 — SELF-ADJUDICATING GATE (VERDICT r12 #1, the recurring
@@ -723,7 +768,9 @@ object Bench {
     * the right estimator for "CAN this code still run at pin speed") —
     * and the flag is confirmed only if the isolated rerun itself exceeds
     * 2× the pin RAW (no load normalization: the rerun's claim is a
-    * quiet-machine one). Both numbers ship in the JSON `adjudications`
+    * quiet-machine one) — AND, since round 15, only if a SECOND isolated
+    * rerun scheduled after the whole first adjudication pass agrees
+    * ([[confirmTwoPass]]). All numbers ship in the JSON `adjudications`
     * map, so a confirmed regression carries its evidence and a
     * contention artifact dies in the run that produced it.
     */
@@ -757,6 +804,23 @@ object Bench {
     */
   def confirmRegression(isolatedSec: Option[Double], pin: Double): Boolean =
     isolatedSec.forall(_ / pin > 2.0)
+
+  /** ROUND 15 — TWO-PASS CONFIRMATION (VERDICT r14 #4: the q40 false
+    * confirm). The single isolated rerun happens immediately after the
+    * flagging run, inside the same possibly-contended window — a
+    * contention burst spanning both readings produced r14's one
+    * "confirmed" regression on a code path with a zero diff and an
+    * at-pin committed quiet run. A flag is now confirmed only when BOTH
+    * isolated reruns exceed 2x pin raw: the second pass runs after
+    * EVERY first-pass adjudication has completed (maximum temporal
+    * distance this process can provide), so a burst must span the whole
+    * adjudication tail to fake a regression, while a REAL plan/code
+    * regression trivially fails both passes. Either pass throwing still
+    * cannot exonerate (same fail-closed rule as [[confirmRegression]]).
+    */
+  def confirmTwoPass(iso1: Option[Double], iso2: Option[Double],
+      pin: Double): Boolean =
+    confirmRegression(iso1, pin) && confirmRegression(iso2, pin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -891,35 +955,51 @@ object Bench {
     val flagged = flaggedEntries(timings.toSeq, prev, load)
 
     // SELF-ADJUDICATION (class doc above): isolated in-process rerun of
-    // every flagged entry, min-of-AdjudicationReruns, confirmed only if
+    // every flagged entry, min-of-AdjudicationReruns, a pass only if
     // the rerun itself is still > 2x pin raw. A rerun that THROWS cannot
     // exonerate the flag — it stays confirmed with the error recorded.
-    val adjudications = flagged.map { case (name, pin, flaggedRatio) =>
+    def isolatedRerun(name: String): Option[Double] = {
       spark.catalog.clearCache()
-      val iso =
-        try {
-          val runs = (1 to AdjudicationReruns).map { _ =>
-            System.gc()
-            val t0 = System.nanoTime()
-            bodyMap(name)()
-            val t = (System.nanoTime() - t0) / 1e9
-            spark.catalog.clearCache()
-            t
-          }
-          Some(runs.min)
-        } catch { case _: Throwable => spark.catalog.clearCache(); None }
-      val confirmed = confirmRegression(iso, pin)
-      (name, flaggedRatio, iso, pin, confirmed)
+      try {
+        val runs = (1 to AdjudicationReruns).map { _ =>
+          System.gc()
+          val t0 = System.nanoTime()
+          bodyMap(name)()
+          val t = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          t
+        }
+        Some(runs.min)
+      } catch { case _: Throwable => spark.catalog.clearCache(); None }
+    }
+    val firstPass = flagged.map { case (name, pin, flaggedRatio) =>
+      (name, pin, flaggedRatio, isolatedRerun(name))
+    }
+    // TWO-PASS (confirmTwoPass doc): entries still over 2x pin raw get a
+    // SECOND isolated rerun only after every first-pass rerun finished —
+    // a contention burst localized around the flag's slot and its
+    // immediate rerun (the r14 q40 false confirm) dies here, a real
+    // regression fails both passes identically.
+    val adjudications = firstPass.map {
+      case (name, pin, flaggedRatio, iso1) =>
+        val iso2 =
+          if (confirmRegression(iso1, pin)) isolatedRerun(name) else None
+        val confirmed = confirmRegression(iso1, pin) &&
+          confirmTwoPass(iso1, iso2, pin)
+        (name, flaggedRatio, iso1, iso2, pin, confirmed)
     }
     val regressions = adjudications.collect {
-      case (name, flaggedRatio, _, _, true) => name -> flaggedRatio
+      case (name, flaggedRatio, _, _, _, true) => name -> flaggedRatio
     }
     val rs = regressions.map { case (k, r) => s""""${esc(k)}":$r""" }
       .mkString("{", ",", "}")
-    val adj = adjudications.map { case (name, fr, iso, pin, confirmed) =>
-      val isoStr = iso.fold("null")(v => (math.rint(v * 1000) / 1000).toString)
-      s""""${esc(name)}":{"flagged_ratio":$fr,"isolated_sec":$isoStr,""" +
-        s""""pin_sec":$pin,"confirmed":$confirmed}"""
+    val adj = adjudications.map {
+      case (name, fr, iso1, iso2, pin, confirmed) =>
+        def d(v: Option[Double]): String =
+          v.fold("null")(x => (math.rint(x * 1000) / 1000).toString)
+        s""""${esc(name)}":{"flagged_ratio":$fr,"isolated_sec":${d(iso1)},""" +
+          s""""isolated2_sec":${d(iso2)},"pin_sec":$pin,""" +
+          s""""confirmed":$confirmed}"""
     }.mkString("{", ",", "}")
 
     val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }
@@ -943,7 +1023,7 @@ object Bench {
     // exoneration across rounds is itself a signal worth seeing without
     // opening the full adjudications map
     val nFlagged = adjudications.size
-    val nExonerated = adjudications.count(!_._5)
+    val nExonerated = adjudications.count(!_._6)
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"load":$loadR,"queries":$qs,"spread":$sp,"inner":$ik,"composites":$cx,"errors":$es,"regressions":$rs,"adjudications":$adj,"n_flagged":$nFlagged,"n_exonerated":$nExonerated,"n_ok":${timings.size},"n_err":${errors.size},"sf":"${esc(sfDir)}"}"""
     Files.writeString(Paths.get("bench.json"), json + "\n")

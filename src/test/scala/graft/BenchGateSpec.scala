@@ -42,4 +42,18 @@ class BenchGateSpec extends AnyFunSuite {
     // a rerun that threw cannot exonerate the flag
     assert(Bench.confirmRegression(None, pin = 1.0))
   }
+
+  test("confirmTwoPass: BOTH isolated reruns must exceed 2x pin (r14 q40 false-confirm class)") {
+    // the r14 shape: first rerun inside the contention burst confirms,
+    // the end-of-run second pass lands at pin -> exonerated
+    assert(!Bench.confirmTwoPass(Some(5.0), Some(1.1), pin = 1.0))
+    // a real regression is slow in both passes -> confirmed
+    assert(Bench.confirmTwoPass(Some(5.0), Some(4.8), pin = 1.0))
+    // first pass already exonerates regardless of the second
+    assert(!Bench.confirmTwoPass(Some(1.5), None, pin = 1.0))
+    // neither pass producing a time cannot exonerate (fail closed)
+    assert(Bench.confirmTwoPass(None, None, pin = 1.0))
+    // second pass throwing cannot exonerate a slow first pass
+    assert(Bench.confirmTwoPass(Some(5.0), None, pin = 1.0))
+  }
 }
