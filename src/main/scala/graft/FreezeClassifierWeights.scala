@@ -63,7 +63,7 @@ object FreezeClassifierWeights {
       System.err.println(s"[$key] vocab=${vocab.length} " +
         s"nonzero_wq=${wq.count(_ != 0L)} bias_q=${wq(Dim)}")
       vocab.foreach { t =>
-        val h = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c) % Dim
+        val h = graft.text.SqlText.murmurCp(t, 0x9747b28c) % Dim
         val id = if (h < 0) h + Dim else h
         System.err.println(s"[$key] fid($t) = $id wq=${wq(id)}")
       }

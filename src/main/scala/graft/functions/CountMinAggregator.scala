@@ -53,9 +53,12 @@ case class CountMinAggregator(depth: Int, width: Int)
 
 object CountMinAggregator {
 
-  /** Row d's bucket for an item: murmur3 with seed d, mod width. */
+  /** Row d's bucket for an item: code-point murmur3 with seed d, mod
+    * width ([[graft.text.SqlText.murmurCp]] — BMP-identical to
+    * `MurmurHash3.stringHash`, astral-identical to the SQL replay).
+    */
   def bucket(item: String, d: Int, width: Int): Int = {
-    val h = MurmurHash3.stringHash(item, d) % width
+    val h = graft.text.SqlText.murmurCp(item, d) % width
     if (h < 0) h + width else h
   }
 

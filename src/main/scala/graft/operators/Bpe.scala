@@ -47,6 +47,16 @@ object Bpe {
     */
   val EndMark = "</w>"
 
+  /** A word's initial symbol sequence: one symbol per CODE POINT — the
+    * unit the BpeEncodeSql oracle segments by; splitting on UTF-16
+    * units would make each astral char two lone-surrogate symbols,
+    * which are not valid strings (the q114 roundtrip REQUIRE caught
+    * exactly this on the round-15 astral fuzz class).
+    */
+  private def initialSyms(w: String): Array[String] =
+    graft.text.SqlText.codePoints(w)
+      .map(cp => new String(Character.toChars(cp)))
+
   def trainMerges(docs: DataFrame, nMerges: Int,
       textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
@@ -58,7 +68,7 @@ object Bpe {
       .groupBy("word")
       .agg(count(lit(1)).as("freq"))
       .as[(String, Long)]
-      .map { case (w, f) => (w.map(_.toString).toArray :+ EndMark, f) }
+      .map { case (w, f) => (initialSyms(w) :+ EndMark, f) }
       .localCheckpoint(true)
 
     val merges = Seq.newBuilder[(Int, String, String, Long)]
@@ -112,7 +122,7 @@ object Bpe {
     * round-trip testing.
     */
   def segment(word: String, merges: Seq[(String, String)]): Array[String] = {
-    var syms = word.map(_.toString).toArray :+ EndMark
+    var syms = initialSyms(word) :+ EndMark
     merges.foreach { case (l, r) => syms = mergePair(syms, l, r) }
     syms
   }
@@ -126,7 +136,7 @@ object Bpe {
   def sequentialMerges(hist0: Seq[(String, Long)],
       nMerges: Int): Seq[(Int, String, String, Long)] = {
     var hist: Map[List[String], Long] = hist0
-      .map { case (w, f) => (w.map(_.toString).toList :+ EndMark) -> f }
+      .map { case (w, f) => (initialSyms(w).toList :+ EndMark) -> f }
       .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var k = 0

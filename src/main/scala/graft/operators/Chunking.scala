@@ -79,7 +79,22 @@ object Chunking {
         val t = if (t0 == null) "" else t0
         if (t.isEmpty) Iterator.empty
         else {
-          val n = t.length
+          // positions, windows and hashes are in CODE POINTS — the unit
+          // the q160 oracle indexes by (ord/substr/length); a boundary
+          // can therefore never split a surrogate pair, and astral docs
+          // chunk identically in both engines (VERDICT r14 #5). offs
+          // maps code-point index -> char offset for the final slices.
+          val cps = graft.text.SqlText.codePoints(t)
+          val n = cps.length
+          val offs = new Array[Int](n + 1)
+          var ci0 = 0
+          var co = 0
+          while (ci0 < n) {
+            offs(ci0) = co
+            co += Character.charCount(cps(ci0))
+            ci0 += 1
+          }
+          offs(n) = co
           val starts = scala.collection.mutable.ArrayBuffer(0)
           if (n >= k) {
             var pow = 1L
@@ -87,18 +102,19 @@ object Chunking {
             while (j < k - 1) { pow *= B; j += 1 }
             var h = 0L
             j = 0
-            while (j < k) { h = h * B + t.charAt(j); j += 1 }
+            while (j < k) { h = h * B + cps(j); j += 1 }
             // windows start at 0-based s = 1 .. n-k; boundary BEFORE s
             var s = 1
             while (s <= n - k) {
-              h = (h - t.charAt(s - 1) * pow) * B + t.charAt(s + k - 1)
+              h = (h - cps(s - 1) * pow) * B + cps(s + k - 1)
               if ((h & mask) == 0L) starts += s
               s += 1
             }
           }
           val bounds = (starts :+ n).toIndexedSeq
           Iterator.range(0, bounds.length - 1).map { ci =>
-            (id, ci.toLong, t.substring(bounds(ci), bounds(ci + 1)))
+            (id, ci.toLong,
+              t.substring(offs(bounds(ci)), offs(bounds(ci + 1))))
           }
         }
       }

@@ -42,7 +42,7 @@ object Classifier {
     else {
       val counts = new scala.collection.mutable.HashMap[Int, Double]()
       w.foreach { t =>
-        val h = MurmurHash3.stringHash(t, 0x9747b28c) % dim
+        val h = graft.text.SqlText.murmurCp(t, 0x9747b28c) % dim
         val id = if (h < 0) h + dim else h
         counts.update(id, counts.getOrElse(id, 0.0) + 1.0)
       }

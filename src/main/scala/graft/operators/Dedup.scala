@@ -356,8 +356,14 @@ object Dedup {
 
   // ----------------------------------------------------------- MinHash LSH
 
-  /** Stable 32-bit token hash (MurmurHash3, fixed seed). */
-  def tokenHash(s: String, seed: Int): Int = MurmurHash3.stringHash(s, seed)
+  /** Stable 32-bit token hash: the code-point murmur3
+    * ([[graft.text.SqlText.murmurCp]] — bit-identical to
+    * `MurmurHash3.stringHash` on BMP text, and identical to the DuckDB
+    * replay on supplementary-plane text too, closing HashSql's
+    * documented BMP-only precondition).
+    */
+  def tokenHash(s: String, seed: Int): Int =
+    graft.text.SqlText.murmurCp(s, seed)
 
   private val MaxPerm = 256
   private val P = 4294967311L // first prime > 2^32

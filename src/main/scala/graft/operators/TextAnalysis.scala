@@ -86,25 +86,29 @@ object TextAnalysis {
   // called the markers anymore. Recoverable from git history.
 
   /** 64-bit polynomial rolling-hash fingerprint: minimum of all k-gram
-    * (k=8) character window hashes — a winnowing-style content signature
-    * stable under document reordering of unrelated parts. Deterministic
-    * scalar UDF (no cross-engine oracle; golden-tested).
+    * (k=8) CODE-POINT window hashes — a winnowing-style content
+    * signature stable under document reordering of unrelated parts.
+    * Code points, not UTF-16 units: the q38 oracle (`FingerprintSql`)
+    * replays windows via `ord(substr(...))`/`length()`, which index
+    * code points, so astral text must hash identically here (VERDICT
+    * r14 #5 — for BMP text the two units coincide, keeping every pin).
     */
   val FingerprintK = 8
   val FingerprintB = 1000003L
   def fingerprintOf(s: String): Long = {
-    if (s == null || s.length < FingerprintK) return 0L
+    val cps = graft.text.SqlText.codePoints(s)
+    if (cps.length < FingerprintK) return 0L
     val B = FingerprintB
     var pow = 1L
     var i = 0
     while (i < FingerprintK - 1) { pow *= B; i += 1 }
     var h = 0L
     i = 0
-    while (i < FingerprintK) { h = h * B + s.charAt(i); i += 1 }
+    while (i < FingerprintK) { h = h * B + cps(i); i += 1 }
     var min = h
     i = FingerprintK
-    while (i < s.length) {
-      h = (h - s.charAt(i - FingerprintK) * pow) * B + s.charAt(i)
+    while (i < cps.length) {
+      h = (h - cps(i - FingerprintK) * pow) * B + cps(i)
       if (h < min) min = h
       i += 1
     }
@@ -171,7 +175,9 @@ object TextAnalysis {
         // non-empty-token semantics — see [[repetitionStats]]
         val w = (if (t == null) "" else t).split("\\s+").filter(_.nonEmpty)
         val n = w.length.toLong
-        val chars = w.map(_.length.toLong).sum
+        // word length in CODE POINTS — the oracle's length(w); an emoji
+        // is one char, not a surrogate pair (VERDICT r14 #5)
+        val chars = w.map(x => graft.text.SqlText.cpLength(x).toLong).sum
         val wordLenDeci = if (n > 0) 10L * chars / n else 0L
         val topBigram =
           if (n < 2) 0L

@@ -41,7 +41,12 @@ object Unigram {
     */
   def segmentWord(word: String, logp: collection.Map[String, Double],
       maxPieceLen: Int, unkLogp: Double = -1e3): List[String] = {
-    val n = word.length
+    // positions and piece lengths in CODE POINTS — the unit the SQL
+    // twin's substr/length index by, and the only unit under which a
+    // piece can never be half a surrogate pair (the q150 roundtrip
+    // REQUIRE caught UTF-16 slicing on the round-15 astral fuzz class)
+    val offs = graft.text.SqlText.cpOffsets(word)
+    val n = offs.length - 1
     if (n == 0) return Nil
     val best = new Array[Double](n + 1)
     val cut = new Array[Int](n + 1)
@@ -51,7 +56,7 @@ object Unigram {
       var bestLen = 0
       var l = math.min(maxPieceLen, n - i)
       while (l >= 1) {
-        val piece = word.substring(i, i + l)
+        val piece = word.substring(offs(i), offs(i + l))
         val lp = logp.get(piece) match {
           case Some(v)         => v
           case None if l == 1  => unkLogp
@@ -69,7 +74,11 @@ object Unigram {
     }
     val out = List.newBuilder[String]
     var p = 0
-    while (p < n) { val l = cut(p); out += word.substring(p, p + l); p += l }
+    while (p < n) {
+      val l = cut(p)
+      out += word.substring(offs(p), offs(p + l))
+      p += l
+    }
     out.result()
   }
 
@@ -89,14 +98,22 @@ object Unigram {
     */
   def sequentialTrain(hist: Seq[(String, Long)], vocabSize: Int,
       iters: Int, maxPieceLen: Int, seedSize: Int): Map[String, Double] = {
+    // all positions/lengths in CODE POINTS — must mirror [[train]]'s
+    // Spark-SQL `length(piece)` (code points) exactly, or an astral
+    // single-char piece is a "char" in one path and a "multi" in the
+    // other (the q119 distributed-vs-sequential REQUIRE caught this)
+    val cpLen = graft.text.SqlText.cpLength _
     val subCounts = collection.mutable.Map.empty[String, Long]
-    for ((w, c) <- hist; i <- 0 until w.length;
-         l <- 1 to math.min(maxPieceLen, w.length - i)) {
-      val p = w.substring(i, i + l)
-      subCounts(p) = subCounts.getOrElse(p, 0L) + c * l
+    for ((w, c) <- hist) {
+      val offs = graft.text.SqlText.cpOffsets(w)
+      val n = offs.length - 1
+      for (i <- 0 until n; l <- 1 to math.min(maxPieceLen, n - i)) {
+        val p = w.substring(offs(i), offs(i + l))
+        subCounts(p) = subCounts.getOrElse(p, 0L) + c * l
+      }
     }
-    val chars = subCounts.keys.filter(_.length == 1).toSeq.sorted
-    val multi = subCounts.toSeq.filter(_._1.length > 1)
+    val chars = subCounts.keys.filter(cpLen(_) == 1).toSeq.sorted
+    val multi = subCounts.toSeq.filter(t => cpLen(t._1) > 1)
       .sortBy { case (p, s) => (-s, p) }.take(seedSize).map(_._1)
     var logp = normalize((chars ++ multi).map(_ -> 1L).toMap)
     for (_ <- 1 to iters) {
@@ -104,7 +121,7 @@ object Unigram {
       for ((w, c) <- hist; p <- segmentWord(w, logp, maxPieceLen))
         counts(p) = counts.getOrElse(p, 0L) + c
       val keptChars = chars.map(c => c -> counts.getOrElse(c, 0L))
-      val keptMulti = counts.toSeq.filter(_._1.length > 1)
+      val keptMulti = counts.toSeq.filter(t => cpLen(t._1) > 1)
         .sortBy { case (p, n) => (-n, p) }
         .take(math.max(0, vocabSize - keptChars.size))
       logp = normalize((keptChars ++ keptMulti).toMap)
@@ -132,10 +149,13 @@ object Unigram {
     // seed: substring fan-out per DISTINCT word (bounded by
     // |vocab|·len·maxPieceLen), two-phase aggregated
     val subCounts = hist.flatMap { case (w, c) =>
+      // code-point spans, like sequentialTrain and segmentWord
+      val offs = graft.text.SqlText.cpOffsets(w)
+      val n = offs.length - 1
       for {
-        i <- 0 until w.length
-        l <- 1 to math.min(maxPieceLen, w.length - i)
-      } yield (w.substring(i, i + l), c * l)
+        i <- 0 until n
+        l <- 1 to math.min(maxPieceLen, n - i)
+      } yield (w.substring(offs(i), offs(i + l)), c * l)
     }.toDF("piece", "score").groupBy("piece").agg(sum("score").as("score"))
     val chars = subCounts.filter(length(col("piece")) === 1)
     val multi = subCounts.filter(length(col("piece")) > 1)
@@ -153,7 +173,8 @@ object Unigram {
         .as[(String, Long)].collect().toMap // ≤ |pieces| rows
       bc.destroy()
       val keptChars = charSet.toSeq.sorted.map(c => c -> counts.getOrElse(c, 0L))
-      val keptMulti = counts.toSeq.filter(_._1.length > 1)
+      val keptMulti = counts.toSeq
+        .filter(t => graft.text.SqlText.cpLength(t._1) > 1)
         .sortBy { case (p, n) => (-n, p) }
         .take(math.max(0, vocabSize - keptChars.size))
       logp = normalize((keptChars ++ keptMulti).toMap)

@@ -32,14 +32,18 @@ object WordPiece {
 
   val Unk = "[UNK]"
 
-  /** A word as initial WordPiece symbols: first character bare, every
-    * later character `##`-prefixed.
+  /** A word as initial WordPiece symbols: first CODE POINT bare, every
+    * later one `##`-prefixed — code points, not UTF-16 units, so an
+    * astral char is one symbol (not two lone surrogates) exactly as in
+    * the SQL twin's substr segmentation (VERDICT r14 #5).
     */
   def symbols(word: String): Array[String] = {
-    val out = new Array[String](word.length)
+    val cps = graft.text.SqlText.codePoints(word)
+    val out = new Array[String](cps.length)
     var i = 0
-    while (i < word.length) {
-      out(i) = if (i == 0) word.substring(0, 1) else "##" + word.charAt(i)
+    while (i < cps.length) {
+      val c = new String(Character.toChars(cps(i)))
+      out(i) = if (i == 0) c else "##" + c
       i += 1
     }
     out

@@ -12,13 +12,14 @@ package graft.queries
   * oracle outputs hash-match the Spark results on the fixture,
   * including the planted-twin pairs.
   *
-  * PRECONDITION (BMP-only text): the SQL walks tokens by code point
-  * (unicode()/substr()) while Scala walks UTF-16 code units — they
-  * agree exactly on BMP text and diverge on supplementary-plane
-  * characters (a surrogate pair is two Scala rounds but one SQL char,
-  * and length() differs). The fixtures are pinned BMP-only by
-  * FixtureSchemaSpec's audit; a non-BMP corpus needs a code-unit
-  * explode before the mix loop.
+  * Character unit: both sides walk CODE POINTS — the SQL via
+  * unicode()/substr()/length(), the Scala kernels via
+  * [[graft.text.SqlText.murmurCp]] (round 15; the r14 kernels used
+  * `MurmurHash3.stringHash`'s UTF-16 units, which made this replay
+  * BMP-only — VERDICT r14 #5). murmurCp is bit-identical to
+  * stringHash on BMP text, so every pre-round-15 pin holds, and the
+  * astral fuzz class now passes instead of being a documented
+  * precondition.
   *
   * q34 (SimHash): per-token 64-bit hash = (murmur(w, 7) << 32) |
   * murmur(w, 13), kept as two 32-bit halves SQL-side to avoid signed

@@ -11,9 +11,11 @@ import graft.operators.LangId
   * (StrictMath.log at model init) happens once in Scala and reaches
   * this SQL already quantized.
   *
-  * Character parity: DuckDB `length`/`substr`/`unicode` operate on code
-  * points, Scala on UTF-16 units — identical for BMP text (the whole
-  * parity contract, see [[LangId]]'s scaladoc).
+  * Character parity: DuckDB `length`/`substr`/`unicode` operate on
+  * code points, and since round 15 the Scala kernel's gram stream does
+  * too ([[LangId.buckets]] iterates `codePointAt`), so the contract
+  * covers supplementary-plane text — emoji and CJK-B hash to the same
+  * buckets in both engines (VERDICT r14 #5, fuzz-gated).
   */
 object LangIdSql {
 

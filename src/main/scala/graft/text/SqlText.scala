@@ -45,4 +45,77 @@ object SqlText {
     */
   def tokens(s: String): Array[String] =
     tokensExact(s).filter(_.nonEmpty)
+
+  /** Unicode CODE POINTS of `s` (null → empty) — the unit DuckDB's
+    * `length`/`substr`/`unicode`/`ord` index by. Java Strings are
+    * UTF-16, so `charAt`/`length` see surrogate PAIRS for
+    * supplementary-plane text (emoji, CJK-B) where SQL sees one code
+    * point — the round-15 fuzz class (VERDICT r14 #5). Any kernel that
+    * hashes, counts or slices per-character against a SQL twin must
+    * iterate THIS array, not chars; for BMP text the two are identical,
+    * which is what keeps every frozen pin stable under the migration.
+    */
+  def codePoints(s: String): Array[Int] = {
+    if (s == null) return Array.empty
+    val n = s.length
+    val out = new Array[Int](s.codePointCount(0, n))
+    var i = 0
+    var k = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      out(k) = cp
+      k += 1
+      i += Character.charCount(cp)
+    }
+    out
+  }
+
+  /** SQL `length(s)`: code points, not UTF-16 units. */
+  def cpLength(s: String): Int =
+    if (s == null) 0 else s.codePointCount(0, s.length)
+
+  /** Char offset of each code-point index, plus the end offset — the
+    * bridge from SQL-unit positions (code points) back to Java
+    * `substring` arguments: the piece at code-point span [i, j) is
+    * `s.substring(offs(i), offs(j))`, and it can never split a
+    * surrogate pair.
+    */
+  def cpOffsets(s: String): Array[Int] = {
+    if (s == null) return Array(0)
+    val n = s.length
+    val out = new Array[Int](s.codePointCount(0, n) + 1)
+    var i = 0
+    var k = 0
+    while (i < n) {
+      out(k) = i
+      i += Character.charCount(s.codePointAt(i))
+      k += 1
+    }
+    out(k) = n
+    out
+  }
+
+  /** Code-point twin of `MurmurHash3.stringHash`: the same
+    * two-units-per-mix-round pipeline (pair packed as
+    * `(a << 16) + b`, odd tail via mixLast, length into the
+    * finalizer), but iterating CODE POINTS — exactly what the DuckDB
+    * replay (`HashSql.murmurCtes`: `unicode(substr(w, i, 1))` rounds,
+    * `length(w)` finalizer) computes. For BMP strings every round sees
+    * identical inputs to `stringHash`, so hashes — and every frozen
+    * artifact derived from them — are bit-identical to the pre-round-15
+    * kernels; astral tokens now agree with the oracle instead of
+    * diverging (the BMP-only precondition HashSql documented).
+    */
+  def murmurCp(s: String, seed: Int): Int = {
+    import scala.util.hashing.MurmurHash3
+    val cps = codePoints(s)
+    var h = seed
+    var i = 0
+    while (i + 1 < cps.length) {
+      h = MurmurHash3.mix(h, (cps(i) << 16) + cps(i + 1))
+      i += 2
+    }
+    if (i < cps.length) h = MurmurHash3.mixLast(h, cps(i))
+    MurmurHash3.finalizeHash(h, cps.length)
+  }
 }

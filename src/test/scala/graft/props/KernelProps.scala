@@ -52,6 +52,41 @@ object KernelProps extends Properties("graft.kernels") {
     TextAnalysis.fingerprintOf(t) == TextAnalysis.fingerprintOf(t)
   }
 
+  // round 15: the code-point murmur twin must be BIT-IDENTICAL to
+  // MurmurHash3.stringHash on BMP strings — that equality is what keeps
+  // every frozen hash artifact (classifier weights, minhash perms,
+  // count-min sketches) valid across the codepoint migration.
+  val bmpString: Gen[String] = Gen.chooseNum(0, 20).flatMap(n =>
+    Gen.listOfN(n, Gen.frequency(
+      8 -> Gen.choose(32, 126),
+      2 -> Gen.choose(0x3000, 0x9FFF))).map(_.map(_.toChar).mkString))
+
+  property("murmurCp == MurmurHash3.stringHash on BMP text") =
+    forAll(bmpString, Gen.choose(0, 100)) { (s, seed) =>
+      graft.text.SqlText.murmurCp(s, seed) ==
+        scala.util.hashing.MurmurHash3.stringHash(s, seed)
+    }
+
+  // astral strings: one code point per char — cpLength counts it once,
+  // codePoints round-trips losslessly, cpOffsets never lands inside a
+  // surrogate pair
+  val astralString: Gen[String] = Gen.chooseNum(1, 10).flatMap(n =>
+    Gen.listOfN(n, Gen.frequency(
+      5 -> Gen.choose(0x61, 0x7A),
+      5 -> Gen.choose(0x1F300, 0x1F64F))).map(
+      _.map(cp => new String(Character.toChars(cp))).mkString))
+
+  property("codePoints/cpOffsets round-trip and never split pairs") =
+    forAll(astralString) { s =>
+      val cps = graft.text.SqlText.codePoints(s)
+      val offs = graft.text.SqlText.cpOffsets(s)
+      val rebuilt = cps.map(cp => new String(Character.toChars(cp))).mkString
+      val slices = (0 until cps.length)
+        .map(i => s.substring(offs(i), offs(i + 1))).mkString
+      rebuilt == s && slices == s &&
+        graft.text.SqlText.cpLength(s) == cps.length
+    }
+
   property("canonical pair order is an involution-fixed normal form") =
     forAll(word, word) { (a, b) =>
       val c1 = graft.eval.Evaluate.canon(a, b)

@@ -7,9 +7,10 @@ whitespace, HTML-ish punctuation, repeated phrases, boilerplate
 sentences, and empty/whitespace-only docs — with `n_chars` recomputed
 to stay self-consistent. Round 14 adds edge control chars (\\x01/\\x07/
 \\x1b/\\x7f — the Java-trim-vs-SQL-trim class ADVICE r13 flagged) and
-exotic whitespace-lookalikes (NBSP/U+3000/ZWSP), and the sweep's
-tokenization-sensitive core now runs on every preflight
-(tools/preflight.sh FUZZ_QUERIES).
+exotic whitespace-lookalikes (NBSP/U+3000/ZWSP); round 15 adds
+supplementary-plane text (emoji/CJK-B — the UTF-16-unit-vs-code-point
+class, VERDICT r14 #5). The sweep's tokenization-sensitive core runs
+on every preflight (tools/preflight.sh FUZZ_QUERIES).
 
 This probe found three latent cross-engine divergences the real
 fixtures (ASCII, no control whitespace) could never reach: the
@@ -42,7 +43,29 @@ def fuzz_text(i, random):
     cjk = list('今天天气很好我们应该出去走走的是了在有和人这中大为上')
     accents = ['café', 'über', 'años', 'réponse', 'straße', 'niño',
                'être', 'müde']
-    kind = i % 12
+    kind = i % 13
+    if kind == 12:
+        # round 15 (VERDICT r14 #5): supplementary-plane text — emoji,
+        # CJK extension B, math alphanumerics. These are ONE code point
+        # but TWO UTF-16 units, so any kernel that hashes, counts or
+        # indexes per-char on UTF-16 units (Java String.charAt/length)
+        # diverges from its code-point SQL twin (DuckDB unicode/length/
+        # substr) exactly here. No lone surrogates: those are invalid
+        # UTF-8 and could not reach a parquet text column in the first
+        # place.
+        astral = ['\U0001F600', '\U0001F389', '\U0001F680', '\U0002070E',
+                  '\U0001D400', '\U0001F98A']
+        shape = i // 13 % 4
+        if shape == 0:
+            return (random.choice(astral)
+                    + ' '.join(random.choices(ascii_words, k=3))
+                    + random.choice(astral))
+        if shape == 1:
+            return ' '.join(random.choices(ascii_words + astral, k=8))
+        if shape == 2:
+            return ''.join(random.choices(astral + cjk, k=12))
+        return ('mixed ' + random.choice(astral) + 'inside'
+                + random.choice(astral) + ' token ' + str(i))
     if kind == 10:
         # round 14 (ADVICE r13): control chars AT THE EDGES. These are
         # NOT \s in either engine, but Java String.trim strips every

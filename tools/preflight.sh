@@ -33,13 +33,18 @@ python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/preflight_verify
 # Adversarial-text fuzz gate (round 14, VERDICT r13 #8): the fixed-seed
 # fuzz fixture swept over the tokenization-sensitive core, so the
 # Java/RE2/trim parity the round-13 sweep locked in cannot silently
-# regress. Full-sweep recipe stays in tools/fuzz_corpus.py's docstring.
+# regress. Round 15 added the astral (supplementary-plane) class to the
+# corpus and the six kernels it hardened (code-point murmur/fingerprint/
+# chunking/BPE/unigram) to the gate. Full-sweep recipe stays in
+# tools/fuzz_corpus.py's docstring.
 FUZZ_QUERIES="q162_langid_model,q37_text_analysis,q38_text_fingerprint,\
 q53_dedup_ngram_jaccard,q64_text_repetition,q66_decontaminate,\
 q71_text_token_df,q89_text_gopher_filter,q90_text_heavy_hitters,\
 q120_drop_repeated_ngrams,q140_dsir_importance_select,\
 q157_ccnet_perplexity_buckets,q80_dedup_passages,\
-q153_source_token_accounting"
+q153_source_token_accounting,q98_text_countmin,q114_bpe_encode,\
+q150_unigram_encode_frozen,q160_dedup_cdc_chunks,q33_dedup_minhash,\
+q34_dedup_simhash"
 python3 tools/fuzz_corpus.py /root/testdata/sf0.01 /tmp/preflight_fuzz
 sbt -batch "runMain graft.Verify /tmp/preflight_fuzz /tmp/preflight_fuzz_verify $FUZZ_QUERIES"
 python3 tools/check_oracle.py /tmp/preflight_fuzz /tmp/preflight_fuzz_verify
