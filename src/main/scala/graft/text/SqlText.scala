@@ -108,9 +108,17 @@ object SqlText {
     */
   def murmurCp(s: String, seed: Int): Int = {
     import scala.util.hashing.MurmurHash3
+    // BMP fast path: no surrogates ⇒ code points ARE the UTF-16 units,
+    // so the library kernel computes the identical hash with zero
+    // allocation — this is the all-ASCII/all-BMP hot loop (minhash
+    // shingles, count-min tokens) running at pre-round-15 speed
+    var i = 0
+    val n = s.length
+    while (i < n && !Character.isSurrogate(s.charAt(i))) i += 1
+    if (i == n) return MurmurHash3.stringHash(s, seed)
     val cps = codePoints(s)
     var h = seed
-    var i = 0
+    i = 0
     while (i + 1 < cps.length) {
       h = MurmurHash3.mix(h, (cps(i) << 16) + cps(i + 1))
       i += 2

@@ -38,7 +38,13 @@ NEW_QUERIES = ["q154_html_extract_text", "q155_html_boilerplate_blocks",
                "q162_langid_model",
                # round-14 additions: table format + compressed video
                "q163_table_time_travel", "q166_table_stream_ingest",
-               "q165_multimodal_mjpeg_frame_sample"]
+               "q165_multimodal_mjpeg_frame_sample",
+               # round-15: file-pruned MERGE (createPartitioned stats +
+               # two-stage pruning). table_stream_50batches is NOT here:
+               # its workload is fixture-independent by construction
+               # (synthetic 50x200-row batches); its scale claim is the
+               # in-run flat-commit-cost REQUIRE, not a 10x exponent.
+               "q168_table_pruned_merge"]
 PLANTED_SMALL = 41667   # the bench entry's group count (2,000,016 lines)
 PLANTED_BIG = 416670    # 10x (20,000,160 lines)
 
