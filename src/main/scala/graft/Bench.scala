@@ -289,10 +289,12 @@ object Bench {
       "q167_table_schema_evolution"),
     "cx_mjpeg" -> Seq("q165_multimodal_mjpeg_frame_sample"),
     // round 15: the file-pruned MERGE path (createPartitioned with
-    // per-file stats + two-stage pruning + carried files) — a NEW
-    // composite so the existing pins never move; first pinned by the
-    // r15 quiet-run re-baseline
-    "cx_table_pruned" -> Seq("q168_table_pruned_merge"))
+    // per-file stats + two-stage pruning + carried files) and the
+    // write-time change-data feed — NEW composites so the existing
+    // pins never move; first pinned by the r15 quiet-run re-baseline
+    "cx_table_pruned" -> Seq("q168_table_pruned_merge",
+      "q170_table_pruned_read"),
+    "cx_table_cdf" -> Seq("q169_table_change_feed"))
 
   /** The four dedup-graph queries folded into ONE composed timed body
     * (replacing round 10's cross-entry `componentRunners` state): the

@@ -53,13 +53,7 @@ object Cdc {
   def latestWinsMerge(base: DataFrame, changes: DataFrame, key: String,
       ordering: Seq[String], op: String = "op"): DataFrame = {
     val dataCols = base.columns.filter(_ != key).toSeq
-    // one winner per key: max over (ordering..., op, data...) structs —
-    // ordering fields lead, so comparison never reaches the payload
-    // unless the caller's tiebreaker is non-unique
-    val winner = changes
-      .groupBy(col(key))
-      .agg(max(struct(((ordering :+ op) ++ dataCols).map(col): _*)).as("w"))
-      .select(col(key) +: (s"w.$op" +: dataCols.map(c => s"w.$c")).map(col): _*)
+    val winner = winnerOf(changes, key, ordering, op, dataCols)
 
     val b = base.alias("b")
     val c = winner.alias("c")
@@ -68,6 +62,79 @@ object Cdc {
       .select(
         coalesce(b(key), c(key)).as(key) +:
           dataCols.map(d => when(c(op).isNotNull, c(d)).otherwise(b(d)).as(d)): _*)
+  }
+
+  /** One winner per key: max over (ordering..., op, data...) structs —
+    * ordering fields lead, so comparison never reaches the payload
+    * unless the caller's tiebreaker is non-unique. Partial-aggregated,
+    * so a hot key ships one row of shuffle per map task (class doc).
+    */
+  private def winnerOf(changes: DataFrame, key: String,
+      ordering: Seq[String], op: String,
+      dataCols: Seq[String]): DataFrame =
+    changes
+      .groupBy(col(key))
+      .agg(max(struct(((ordering :+ op) ++ dataCols).map(col): _*)).as("w"))
+      .select(col(key) +: (s"w.$op" +: dataCols.map(c => s"w.$c")).map(col): _*)
+
+  /** The CHANGE ROWS a [[latestWinsMerge]] of the same inputs produces —
+    * the write-time change-data-feed computation (Delta Lake's CDC
+    * recipe: classify against the pre-image while merging, never by
+    * diffing snapshots after the fact). Output schema = `base`'s
+    * columns + `_change_type` with Delta's four values:
+    *
+    *   - `insert`            an `I`/`U` op whose key is absent in base
+    *   - `delete`            a `D` op on a key present in base (the
+    *                         base row is the emitted pre-image)
+    *   - `update_preimage`   base row of a key whose new image DIFFERS
+    *   - `update_postimage`  the differing new image (one pre + one
+    *                         post row per updated key)
+    *
+    * A `D` on an absent key and an upsert whose winning image is
+    * row-identical to the base row emit NOTHING — a no-op is not a
+    * change. Row equality is null-safe struct equality (`<=>`), so
+    * NULL-bearing payloads compare by value.
+    *
+    * Scale shape: base RIGHT-joins the collapsed winners, so the
+    * OUTPUT is |winners| rows regardless of base size and the join is
+    * broadcastable when the changelog is small; each updated key emits
+    * its two rows via one generator (`explode`), not a second join or
+    * a self-union. The base side is still a scan of whatever `base`
+    * is — callers on a file-pruned table pass only the touched files
+    * (see `GraftTable.mergePruned`), which confines the pre-image scan
+    * the same way it confines the rewrite.
+    */
+  def latestWinsChanges(base: DataFrame, changes: DataFrame, key: String,
+      ordering: Seq[String], op: String = "op"): DataFrame = {
+    val dataCols = base.columns.filter(_ != key).toSeq
+    val winner = winnerOf(changes, key, ordering, op, dataCols)
+
+    val b = base.alias("b")
+    val c = winner.alias("c")
+    def img(tpe: String, side: String) =
+      struct(lit(tpe).as("_change_type") +:
+        (key +: dataCols).map(d => col(s"$side.$d").as(d)): _*)
+    val rowEq = struct(dataCols.map(b(_)): _*) <=>
+      struct(dataCols.map(c(_)): _*)
+    // the no-change branch needs a TYPED empty array (array() alone is
+    // array<null>); the element type is the image struct's, derived
+    // from base's schema with nullability relaxed (an outer-join side
+    // is nullable whatever the source declared)
+    val imgType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType) +:
+        (key +: dataCols).map(n => base.schema(n).copy(nullable = true)))
+    val none = array().cast(org.apache.spark.sql.types.ArrayType(imgType))
+    val arr =
+      when(c(op) === "D" && b(key).isNotNull, array(img("delete", "b")))
+        .when(c(op) =!= "D" && b(key).isNull, array(img("insert", "c")))
+        .when(c(op) =!= "D" && b(key).isNotNull && !rowEq,
+          array(img("update_preimage", "b"), img("update_postimage", "c")))
+        .otherwise(none)
+    b.join(c, b(key) === c(key), "right_outer")
+      .select(explode(arr).as("chg"))
+      .select((key +: dataCols).map(d => col(s"chg.$d")) :+
+        col("chg._change_type"): _*)
   }
 
   /** Incremental aggregate maintenance: fold a batch of new fact rows

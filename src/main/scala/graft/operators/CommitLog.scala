@@ -80,7 +80,9 @@ object GraftTable {
       batch: Option[Long] = None,
       maxBatch: Option[Long] = None,
       statsCol: Option[String] = None,
-      ranges: Map[String, (Long, Long)] = Map.empty)
+      ranges: Map[String, (Long, Long)] = Map.empty,
+      cdfDir: Option[String] = None,
+      cdfFiles: Seq[String] = Nil)
 
   /** Optimistic-concurrency failure: another writer published
     * `actual` while this writer expected to commit `expected + 1`.
@@ -218,7 +220,9 @@ object GraftTable {
       batch = batch,
       maxBatch = opt("maxbatch").map(_.toLong).orElse(batch),
       statsCol = opt("statscol"),
-      ranges = ranges)
+      ranges = ranges,
+      cdfDir = opt("cdfdir"),
+      cdfFiles = lines.filter(_.startsWith("cdf:")).map(_.drop(4)))
   }
 
   /** Atomic no-overwrite publish of `tmp` as `dest`; true iff this
@@ -251,7 +255,13 @@ object GraftTable {
     }
   }
 
-  /** Everything a commit publishes besides the staged data. */
+  /** Everything a commit publishes besides the staged data. `cdf` is
+    * the change-data-feed rows (table columns + `_change_type`) a
+    * MERGE/DELETE stages alongside its data — written at COMMIT time
+    * (the Delta CDC recipe) because the pre-image is only cheaply
+    * available while the merge still holds it; readers get changes
+    * without ever diffing snapshots.
+    */
   private final case class Pending(
       op: String,
       expected: Long,
@@ -260,7 +270,8 @@ object GraftTable {
       batch: Option[Long] = None,
       maxBatch: Option[Long] = None,
       schemaDdl: Option[String] = None,
-      statsKey: Option[String] = None)
+      statsKey: Option[String] = None,
+      cdf: Option[DataFrame] = None)
 
   /** Per-file min/max of `key` over freshly staged files — one
     * column-pruned scan of ONLY those files (the Delta write-time
@@ -309,6 +320,21 @@ object GraftTable {
     val newRanges = p.statsKey
       .map(k => fileRanges(spark, root, parts, k))
       .getOrElse(Map.empty)
+    // change-data feed staged beside the data, referenced by the same
+    // manifest — one atomic publish covers both (an empty change set
+    // still records its directory, so readers can tell "no changes"
+    // from "written before CDF existed")
+    val cdfRel = p.cdf.map { rows =>
+      val rel = f"cdf/v$next%08d-$token"
+      rows.write.parquet(s"$root/$rel")
+      val cdfParts = f.listStatus(new Path(s"$root/$rel"))
+        .map(_.getPath.getName)
+        .filter(_.startsWith("part-"))
+        .sorted
+        .map(n => s"$rel/$n")
+        .toSeq
+      (rel, cdfParts)
+    }
 
     val manifest = new StringBuilder()
       .append("graft-commit-v1\n")
@@ -319,6 +345,10 @@ object GraftTable {
     p.batch.foreach(b => manifest.append(s"batch:$b\n"))
     p.maxBatch.foreach(b => manifest.append(s"maxbatch:$b\n"))
     p.statsKey.foreach(k => manifest.append(s"statscol:$k\n"))
+    cdfRel.foreach { case (rel, cdfParts) =>
+      manifest.append(s"cdfdir:$rel\n")
+      cdfParts.foreach(pt => manifest.append(s"cdf:$pt\n"))
+    }
     val allFiles = p.carryFiles ++ parts
     allFiles.foreach(pt => manifest.append(s"file:$pt\n"))
     (p.carryRanges ++ newRanges).foreach { case (pt, (mn, mx)) =>
@@ -334,6 +364,9 @@ object GraftTable {
     if (!publishManifest(f, tmp, dest)) {
       f.delete(tmp, false)
       f.delete(new Path(s"$root/$dataRel"), true)
+      cdfRel.foreach { case (rel, _) =>
+        f.delete(new Path(s"$root/$rel"), true)
+      }
       throw new ConflictException(p.expected, latestVersion(spark, root))
     }
     writeHint(f, root, next)
@@ -516,8 +549,10 @@ object GraftTable {
     * reader sees the pre-merge or post-merge snapshot, never a torn
     * mixture, and a concurrent writer's commit surfaces as a
     * [[ConflictException]] instead of a lost update. Rewrites the full
-    * snapshot; on a stats-carrying table use [[mergePruned]], which
-    * rewrites only the files containing matched keys.
+    * snapshot, and the change-data feed it stages costs a SECOND base
+    * scan (the pre-image join) — on a stats-carrying table use
+    * [[mergePruned]], which confines both the rewrite AND the feed's
+    * pre-image scan to the files containing matched keys.
     */
   def merge(root: String, changes: DataFrame, key: String,
       ordering: Seq[String], expectedVersion: Long): Long = {
@@ -528,7 +563,8 @@ object GraftTable {
     commitVersion(merged, root, Pending("MERGE", expectedVersion,
       maxBatch = parent.maxBatch,
       schemaDdl = Some(parent.schemaDdl),
-      statsKey = parent.statsCol))
+      statsKey = parent.statsCol,
+      cdf = Some(Cdc.latestWinsChanges(base, changes, key, ordering))))
   }
 
   /** File-pruned ACID MERGE (the Delta data-skipping recipe, VERDICT
@@ -562,15 +598,18 @@ object GraftTable {
     val schema = StructType.fromDDL(parent.schemaDdl)
     val bounds = changes.agg(fmin(col(key)).cast("long"),
       fmax(col(key)).cast("long")).head()
-    if (bounds.isNullAt(0))
+    if (bounds.isNullAt(0)) {
       // empty changelog: nothing to do but commit an identical version
-      return commitVersion(
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      // (with an explicitly empty change feed)
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      return commitVersion(empty,
         root, Pending("MERGE", expectedVersion,
           carryFiles = parent.files, carryRanges = parent.ranges,
           maxBatch = parent.maxBatch,
-          schemaDdl = Some(parent.schemaDdl), statsKey = Some(key)))
+          schemaDdl = Some(parent.schemaDdl), statsKey = Some(key),
+          cdf = Some(withChangeType(empty))))
+    }
     val (cmin, cmax) = (bounds.getLong(0), bounds.getLong(1))
     // stage 1: range-disjoint files can't hold a change key; files
     // without a recorded range stay candidates (sound, unprunable)
@@ -601,12 +640,16 @@ object GraftTable {
         .parquet(touched.toSeq.sorted.map(p => s"$root/$p"): _*)
     val merged = Cdc.latestWinsMerge(base, changes, key, ordering)
       .repartitionByRange(math.max(1, touched.size), col(key))
+    // the carried files provably hold no change key (stage 2 is exact),
+    // so the change feed computed against ONLY the touched files is the
+    // table's complete change set for this commit
     commitVersion(merged, root, Pending("MERGE", expectedVersion,
       carryFiles = carried,
       carryRanges = parent.ranges.filter(r => carried.contains(r._1)),
       maxBatch = parent.maxBatch,
       schemaDdl = Some(parent.schemaDdl),
-      statsKey = Some(key)))
+      statsKey = Some(key),
+      cdf = Some(Cdc.latestWinsChanges(base, changes, key, ordering))))
   }
 
   /** ACID DELETE WHERE: commit a new version whose snapshot is the
@@ -624,10 +667,19 @@ object GraftTable {
     val snap = snapshotOf(spark, root, parent)
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     val kept = snap.filter(not(coalesce(condition, lit(false))))
+    val gone = snap.filter(coalesce(condition, lit(false)))
     commitVersion(kept, root, Pending("DELETE", expectedVersion,
       maxBatch = parent.maxBatch,
       schemaDdl = Some(parent.schemaDdl),
-      statsKey = parent.statsCol))
+      statsKey = parent.statsCol,
+      cdf = Some(withChangeType(gone, "delete"))))
+  }
+
+  /** `df` + a constant `_change_type` column — the stored CDF shape. */
+  private def withChangeType(df: DataFrame,
+      tpe: String = "delete"): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    df.withColumn("_change_type", lit(tpe))
   }
 
   private def snapshotOf(spark: SparkSession, root: String,
@@ -656,6 +708,138 @@ object GraftTable {
     readVersion(spark, root, latest)
   }
 
+  /** The data files a `[lo, hi]` range read on the stats key must scan
+    * at `version`: files whose recorded min/max is disjoint from the
+    * range are pruned WITHOUT being opened (manifest-level data
+    * skipping — at 100 TB a point lookup touches the one file whose
+    * range covers it instead of opening every footer). Files with no
+    * recorded range (empty or all-NULL key at write time) stay
+    * candidates — sound, just unprunable. Package-visible alongside
+    * [[readRange]] so callers (and the oracle queries) can assert the
+    * pruning actually happened.
+    */
+  def filesForRange(spark: SparkSession, root: String, version: Long,
+      lo: Long, hi: Long): Seq[String] = {
+    val c = readManifest(spark, root, version)
+    require(c.statsCol.isDefined,
+      s"no file stats under $root — create the table with " +
+        "createPartitioned to enable range-pruned reads")
+    c.files.filter(p => c.ranges.get(p).forall { case (mn, mx) =>
+      mx >= lo && mn <= hi
+    })
+  }
+
+  /** Snapshot read of the rows whose stats key lies in `[lo, hi]`,
+    * scanning ONLY the files [[filesForRange]] selects. Semantically
+    * identical to `read(root).filter(key between lo and hi)` — the
+    * residual filter still applies inside the surviving files (their
+    * ranges OVERLAP the query range, they don't equal it) and still
+    * reaches the parquet scan as a pushed predicate, so manifest
+    * pruning composes with row-group zone maps instead of replacing
+    * them. `version < 0` reads the latest snapshot.
+    */
+  def readRange(spark: SparkSession, root: String, lo: Long, hi: Long,
+      version: Long = -1L): DataFrame = {
+    val v = if (version >= 0L) version else latestVersion(spark, root)
+    require(v >= 0L, s"no committed versions under $root")
+    val c = readManifest(spark, root, v)
+    val key = c.statsCol.getOrElse(
+      sys.error(s"no file stats under $root"))
+    val schema = StructType.fromDDL(c.schemaDdl)
+    val files = filesForRange(spark, root, v, lo, hi)
+    val base =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema)
+        .parquet(files.map(p => s"$root/$p"): _*)
+    base.filter(col(key) >= lo && col(key) <= hi)
+  }
+
+  /** Change-data feed: every row the table gained, lost or rewrote in
+    * versions `fromVersion..toVersion` inclusive — the incremental-
+    * consumer read (a downstream pipeline refreshes its derived state
+    * from the changes since its last sync instead of re-scanning a
+    * 100 TB snapshot). Output = table columns + `_change_type`
+    * (`insert` / `delete` / `update_preimage` / `update_postimage`,
+    * Delta's CDC vocabulary) + `_commit_version`.
+    *
+    * Per-version cost is proportional to that version's CHANGES, never
+    * to the table:
+    *
+    *   - CREATE/APPEND versions synthesize `insert` rows from the
+    *     files the commit ADDED (manifest set-difference against the
+    *     parent) — zero extra storage, the Delta add-file recipe;
+    *   - MERGE/DELETE versions read the change rows their commit
+    *     staged at write time ([[Cdc.latestWinsChanges]] — pre-images
+    *     are only cheaply available while the merge holds them, so
+    *     read-time snapshot diffing is never needed);
+    *   - COMPACT versions emit nothing (same rows, new layout — a
+    *     physical rewrite is not a logical change).
+    *
+    * Versions are unioned by NAME with missing columns null-filled, so
+    * a feed spanning an [[appendEvolve]] serves pre-evolution versions
+    * with the added columns NULL — matching how the evolved table
+    * reads its own history. A MERGE/DELETE committed by a pre-CDF
+    * build fails loudly (its pre-images are unrecoverable) rather than
+    * silently serving an empty change set.
+    */
+  def readChanges(spark: SparkSession, root: String, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromVersion >= 0L && fromVersion <= toVersion,
+      s"bad change range [$fromVersion, $toVersion]")
+    val latest = latestVersion(spark, root)
+    require(toVersion <= latest,
+      s"version $toVersion does not exist (latest is $latest)")
+    val perVersion = (fromVersion to toVersion).flatMap { v =>
+      val c = readManifest(spark, root, v)
+      val schema = StructType.fromDDL(c.schemaDdl)
+      c.op match {
+        case "CREATE" | "APPEND" =>
+          val parentFiles =
+            if (c.parent < 0L) Set.empty[String]
+            else readManifest(spark, root, c.parent).files.toSet
+          val added = c.files.filterNot(parentFiles)
+          if (added.isEmpty) None
+          else Some(withChangeType(
+            spark.read.schema(schema)
+              .parquet(added.map(p => s"$root/$p"): _*), "insert")
+            .withColumn("_commit_version", lit(v)))
+        case "MERGE" | "DELETE" =>
+          require(c.cdfDir.isDefined,
+            s"version $v (${c.op}) predates the change feed — its " +
+              "pre-images were not captured at commit time")
+          val cdfSchema = StructType(schema.fields :+
+            org.apache.spark.sql.types.StructField("_change_type",
+              org.apache.spark.sql.types.StringType))
+          val rows =
+            if (c.cdfFiles.isEmpty)
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                cdfSchema)
+            else spark.read.schema(cdfSchema)
+              .parquet(c.cdfFiles.map(p => s"$root/$p"): _*)
+          Some(rows.withColumn("_commit_version", lit(v)))
+        case _ => None // COMPACT: physical rewrite, no logical change
+      }
+    }
+    if (perVersion.isEmpty) {
+      // e.g. a compact-only range: a legitimately empty feed, shaped
+      // like the range's last version
+      val schema = StructType.fromDDL(
+        readManifest(spark, root, toVersion).schemaDdl)
+      val shape = StructType(schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], shape)
+    } else perVersion.reduce((a, b) =>
+      a.unionByName(b, allowMissingColumns = true))
+  }
+
   /** Delete every data directory no manifest references (abandoned
     * stages from crashed or conflicted writers) that is OLDER than
     * `retentionMs` — the grace period keeps a concurrent writer's
@@ -669,21 +853,24 @@ object GraftTable {
   def vacuum(spark: SparkSession, root: String,
       retentionMs: Long = DefaultVacuumRetentionMs): Seq[String] = {
     val f = fs(spark, root)
-    val dataDir = new Path(s"$root/data")
-    if (!f.exists(dataDir)) return Nil
-    val referenced = history(spark, root)
-      .flatMap(_.files)
-      .map(_.split("/")(1))
-      .toSet
+    val h = history(spark, root)
     val now = System.currentTimeMillis()
-    val orphans = f.listStatus(dataDir)
-      .filter(_.isDirectory)
-      .filter(s => retentionMs <= 0L ||
-        now - s.getModificationTime >= retentionMs)
-      .map(_.getPath.getName)
-      .filterNot(referenced)
-      .toSeq.sorted
-    orphans.foreach(d => f.delete(new Path(dataDir, d), true))
-    orphans
+    // data/ and cdf/ stages share the vacuum discipline: delete only
+    // directories no manifest references AND older than the window
+    def sweep(sub: String, referenced: Set[String]): Seq[String] = {
+      val dir = new Path(s"$root/$sub")
+      if (!f.exists(dir)) return Nil
+      val orphans = f.listStatus(dir)
+        .filter(_.isDirectory)
+        .filter(s => retentionMs <= 0L ||
+          now - s.getModificationTime >= retentionMs)
+        .map(_.getPath.getName)
+        .filterNot(referenced)
+        .toSeq.sorted
+      orphans.foreach(d => f.delete(new Path(dir, d), true))
+      orphans.map(d => s"$sub/$d")
+    }
+    sweep("data", h.flatMap(_.files).map(_.split("/")(1)).toSet) ++
+      sweep("cdf", h.flatMap(_.cdfDir).map(_.split("/")(1)).toSet)
   }
 }

@@ -4473,6 +4473,159 @@ object PipelineQueries {
         round(col("o_totalprice"), 2).as("o_totalprice")))
       .orderBy("version", "o_orderkey")
   }
+
+  /** Table-format change-data feed (q169): a five-version lifecycle —
+    * CREATE, APPEND, MERGE (deletes ≡2 mod 11, price×2 on ≡0 mod 9, a
+    * NO-OP upsert class ≡3 mod 37 whose image equals the base row,
+    * upsert-INSERTS at key+30M, and deletes on ABSENT keys at key+40M),
+    * COMPACT, DELETE WHERE — read back as ONE incremental stream via
+    * [[graft.operators.GraftTable.readChanges]]. The oracle recomputes
+    * every change row closed-form, so a missed pre-image, a
+    * misclassified upsert, an unsuppressed no-op, or a compaction that
+    * leaks "changes" all hash-mismatch. In-query REQUIRE: the COMPACT
+    * version's slice of the feed is EMPTY (a physical rewrite is not a
+    * logical change). Arithmetic is the q163 float-exact class (×2,
+    * +10, +77 on parquet doubles).
+    */
+  val q169 = Q.checked(
+    "q169_table_change_feed",
+    """WITH b AS (SELECT o_orderkey, o_totalprice FROM orders),
+       ap AS (SELECT o_orderkey + 5000000 AS o_orderkey,
+                     o_totalprice + 10 AS o_totalprice
+              FROM b WHERE o_orderkey % 29 = 4),
+       t1 AS (SELECT * FROM b UNION ALL SELECT * FROM ap),
+       t2 AS (
+         SELECT o_orderkey,
+                CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice * 2
+                     ELSE o_totalprice END AS o_totalprice
+         FROM t1 WHERE o_orderkey % 11 <> 2
+         UNION ALL
+         SELECT o_orderkey + 30000000, o_totalprice + 77
+         FROM b WHERE o_orderkey % 31 = 6)
+       SELECT CAST(0 AS BIGINT) AS _commit_version,
+              'insert' AS _change_type, o_orderkey,
+              round(o_totalprice, 2) AS o_totalprice
+       FROM b
+       UNION ALL
+       SELECT 1, 'insert', o_orderkey, round(o_totalprice, 2) FROM ap
+       UNION ALL
+       SELECT 2, 'delete', o_orderkey, round(o_totalprice, 2)
+       FROM t1 WHERE o_orderkey % 11 = 2
+       UNION ALL
+       SELECT 2, 'update_preimage', o_orderkey, round(o_totalprice, 2)
+       FROM t1 WHERE o_orderkey % 11 <> 2 AND o_orderkey % 9 = 0
+       UNION ALL
+       SELECT 2, 'update_postimage', o_orderkey, round(o_totalprice * 2, 2)
+       FROM t1 WHERE o_orderkey % 11 <> 2 AND o_orderkey % 9 = 0
+       UNION ALL
+       SELECT 2, 'insert', o_orderkey + 30000000, round(o_totalprice + 77, 2)
+       FROM b WHERE o_orderkey % 31 = 6
+       UNION ALL
+       SELECT 4, 'delete', o_orderkey, round(o_totalprice, 2)
+       FROM t2 WHERE o_orderkey % 13 = 8
+       ORDER BY _commit_version, _change_type, o_orderkey""") { (s, d) =>
+    val root = s"${sys.props("java.io.tmpdir")}/graft_cdf_${ProcessHandle.current().pid()}"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val gt = graft.operators.GraftTable
+    val base = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+    val k = col("o_orderkey")
+    val v0 = gt.create(base, root)
+    val appended = base.filter(k % 29 === 4)
+      .select((k + 5000000L).as("o_orderkey"),
+        (col("o_totalprice") + 10).as("o_totalprice"))
+    val v1 = gt.append(appended, root, v0)
+    val t1 = base.unionByName(appended)
+    // one op per key by construction (mod classes disjoint), so
+    // latest-wins never depends on `seq`
+    val del = t1.filter(k % 11 === 2)
+      .select(k, col("o_totalprice"), lit("D").as("op"))
+    val upd = t1.filter(k % 11 =!= 2 && k % 9 === 0)
+      .select(k, (col("o_totalprice") * 2).as("o_totalprice"),
+        lit("U").as("op"))
+    // image identical to the base row: the feed must SUPPRESS these
+    val noop = t1.filter(k % 11 =!= 2 && k % 9 =!= 0 && k % 37 === 3)
+      .select(k, col("o_totalprice"), lit("U").as("op"))
+    // upsert on absent keys: classified as inserts
+    val insU = base.filter(k % 31 === 6)
+      .select((k + 30000000L).as("o_orderkey"),
+        (col("o_totalprice") + 77).as("o_totalprice"), lit("U").as("op"))
+    // delete on absent keys: a no-op, not a change
+    val delA = base.filter(k % 41 === 7)
+      .select((k + 40000000L).as("o_orderkey"), col("o_totalprice"),
+        lit("D").as("op"))
+    val changes = del.unionByName(upd).unionByName(noop)
+      .unionByName(insU).unionByName(delA)
+      .withColumn("seq", lit(1L))
+    val v2 = gt.merge(root, changes, key = "o_orderkey",
+      ordering = Seq("seq"), expectedVersion = v1)
+    val v3 = gt.compact(s, root, v2, numFiles = 2)
+    require(gt.readChanges(s, root, v3, v3).isEmpty,
+      "compaction leaked rows into the change feed")
+    gt.deleteWhere(s, root, k % 13 === 8, v3)
+    gt.readChanges(s, root, 0L, 4L)
+      .select(col("_commit_version"), col("_change_type"),
+        col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy("_commit_version", "_change_type", "o_orderkey")
+  }
+
+  /** Stats-pruned table read (q170): a range-partitioned
+    * [[graft.operators.GraftTable]] (10 files with per-file min/max
+    * key stats) plus one APPEND of far-away keys (+10M), read back
+    * with [[graft.operators.GraftTable.readRange]] over the middle
+    * quartile of the BASE key space. In-query REQUIREs: the manifest
+    * pruning selected STRICTLY fewer files than the snapshot holds,
+    * and the appended (out-of-range) file was among the pruned — so a
+    * read that silently degrades to scan-everything fails the query,
+    * not just a perf report. The oracle is the plain SQL BETWEEN over
+    * the same logical table, so pruning UNSOUNDNESS (a skipped file
+    * that held in-range rows) is a hash mismatch.
+    */
+  val q170 = Q.checked(
+    "q170_table_pruned_read",
+    """WITH b AS (SELECT o_orderkey, o_totalprice FROM orders),
+       ap AS (SELECT o_orderkey + 10000000 AS o_orderkey,
+                     o_totalprice + 10 AS o_totalprice
+              FROM b WHERE o_orderkey % 29 = 4),
+       t1 AS (SELECT * FROM b UNION ALL SELECT * FROM ap),
+       r AS (SELECT max(o_orderkey) // 4 AS lo,
+                    max(o_orderkey) // 2 AS hi FROM b)
+       SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+       FROM t1
+       WHERE o_orderkey >= (SELECT lo FROM r)
+         AND o_orderkey <= (SELECT hi FROM r)
+       ORDER BY o_orderkey""") { (s, d) =>
+    val root = s"${sys.props("java.io.tmpdir")}/graft_prd_${ProcessHandle.current().pid()}"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val gt = graft.operators.GraftTable
+    val base = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+    val k = col("o_orderkey")
+    // driver-side 1-row scalar (bounded), mirrored by the oracle's
+    // (SELECT max(..) // N) — Long division truncates; keys positive
+    val mx = base.agg(max("o_orderkey")).head().getLong(0)
+    val (lo, hi) = (mx / 4, mx / 2)
+    val v0 = gt.createPartitioned(base, root, "o_orderkey", numFiles = 10)
+    val appended = base.filter(k % 29 === 4)
+      .select((k + 10000000L).as("o_orderkey"),
+        (col("o_totalprice") + 10).as("o_totalprice"))
+    val v1 = gt.append(appended, root, v0)
+    val h = gt.history(s, root)
+    val selected = gt.filesForRange(s, root, v1, lo, hi)
+    require(selected.size < h(1).files.size,
+      s"range read pruned nothing: ${selected.size} of " +
+        s"${h(1).files.size} files selected")
+    val addedByV1 = h(1).files.toSet -- h(0).files.toSet
+    require(selected.toSet.intersect(addedByV1).isEmpty,
+      "the out-of-range appended file was not pruned")
+    gt.readRange(s, root, lo, hi)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
 }
 
 /** Planted biarc corpus for the self-verifying q40: 100 verb groups,

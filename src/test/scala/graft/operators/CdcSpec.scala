@@ -56,6 +56,62 @@ class CdcSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("change feed classifies the same fixture: update pre/post, delete, insert") {
+    val got = Cdc
+      .latestWinsChanges(base, changes, "k", Seq("ts", "tieb"))
+      .as[(Long, String, Double, String)].collect().toSet
+    assert(got == Set(
+      (1L, "alice", 10.0, "update_preimage"),
+      (1L, "alice3", 12.0, "update_postimage"),
+      (2L, "bob", 20.0, "delete"),
+      // key 3 untouched: no change rows
+      (4L, "dave", 40.0, "update_preimage"), // reinsert over a live key = update
+      (4L, "dave2", 44.0, "update_postimage"),
+      (5L, "erin", 50.0, "insert")))
+  }
+
+  test("change feed suppresses no-ops: identical upserts (null-safe) and deletes of absent keys") {
+    val b = Seq(
+      (1L, Option("a"), Option(1.0)),
+      (2L, Option.empty[String], Option(2.0))).toDF("k", "name", "bal")
+    val c = Seq(
+      // image identical to the base row → no change
+      (1L, Option("a"), Option(1.0), 1L, "U"),
+      // identical INCLUDING a null payload field → <=> equality, no change
+      (2L, Option.empty[String], Option(2.0), 1L, "U"),
+      // delete of a key the table never had → no change
+      (9L, Option("ghost"), Option(9.0), 1L, "D"))
+      .toDF("k", "name", "bal", "ts", "op")
+    assert(Cdc.latestWinsChanges(b, c, "k", Seq("ts")).isEmpty)
+    // but a null flipping to a value IS an update
+    val c2 = Seq((2L, Option("now"), Option(2.0), 1L, "U"))
+      .toDF("k", "name", "bal", "ts", "op")
+    val got = Cdc.latestWinsChanges(b, c2, "k", Seq("ts"))
+      .select("k", "name", "_change_type")
+      .as[(Long, Option[String], String)].collect().toSet
+    assert(got == Set(
+      (2L, None, "update_preimage"),
+      (2L, Some("now"), "update_postimage")))
+  }
+
+  test("change feed + merge agree: post-state = base minus deletes/pre-images plus inserts/post-images") {
+    val merged = Cdc.latestWinsMerge(base, changes, "k", Seq("ts", "tieb"))
+      .as[(Long, String, Double)].collect().toSet
+    val feed = Cdc.latestWinsChanges(base, changes, "k", Seq("ts", "tieb"))
+      .as[(Long, String, Double, String)].collect().toSet
+    val removed = feed.collect {
+      case (k, n, b, "delete") => (k, n, b)
+      case (k, n, b, "update_preimage") => (k, n, b)
+    }
+    val added = feed.collect {
+      case (k, n, b, "insert") => (k, n, b)
+      case (k, n, b, "update_postimage") => (k, n, b)
+    }
+    val reconstructed = base.as[(Long, String, Double)].collect().toSet --
+      removed ++ added
+    assert(reconstructed == merged)
+  }
+
   test("same-ts changes resolve by the tiebreaker") {
     val ties = Seq(
       (1L, "first", 1.0, 1L, 1L, "U"),

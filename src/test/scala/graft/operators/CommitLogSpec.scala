@@ -88,7 +88,7 @@ class CommitLogSpec extends AnyFunSuite {
     // remove it
     assert(GraftTable.vacuum(spark, root).isEmpty)
     val deleted = GraftTable.vacuum(spark, root, retentionMs = 0L)
-    assert(deleted == Seq("v00000001-deadbeef"))
+    assert(deleted == Seq("data/v00000001-deadbeef"))
     assert(GraftTable.read(spark, root).count() == 1L)
     assert(GraftTable.vacuum(spark, root, retentionMs = 0L).isEmpty)
   }
@@ -432,5 +432,167 @@ class CommitLogSpec extends AnyFunSuite {
       s"filter not pushed to scan:\n$plan")
     assert(plan.contains("ReadSchema") && !plan.contains("bal"),
       s"column pruning lost:\n$plan")
+  }
+
+  test("change feed: create/append synthesize inserts, merge stages classified changes, compact is silent, delete emits pre-images") {
+    import spark.implicits._
+    val root = freshRoot()
+    val v0 = GraftTable.create(
+      table3(Seq((1L, "a", 1.0), (2L, "b", 2.0))), root)
+    val v1 = GraftTable.append(table3(Seq((3L, "c", 3.0))), root, v0)
+    val changes = Seq(
+      (2L, "b2", 20.0, "U", 1L), // update
+      (3L, "c", 3.0, "D", 1L), // delete
+      (4L, "d", 4.0, "I", 1L), // insert
+      (1L, "a", 1.0, "U", 1L)) // no-op image: suppressed
+      .toDF("k", "name", "bal", "op", "seq")
+    val v2 = GraftTable.merge(root, changes, "k", Seq("seq"), v1)
+    val v3 = GraftTable.compact(spark, root, v2, numFiles = 1)
+    val v4 = GraftTable.deleteWhere(spark, root, col("k") === 4L, v3)
+
+    def feed(from: Long, to: Long): Set[(Long, String, String, Long)] =
+      GraftTable.readChanges(spark, root, from, to)
+        .select("k", "name", "_change_type", "_commit_version")
+        .as[(Long, String, String, Long)].collect().toSet
+
+    assert(feed(0L, 0L) ==
+      Set((1L, "a", "insert", 0L), (2L, "b", "insert", 0L)))
+    assert(feed(v1, v1) == Set((3L, "c", "insert", 1L)))
+    assert(feed(v2, v2) == Set(
+      (2L, "b", "update_preimage", 2L),
+      (2L, "b2", "update_postimage", 2L),
+      (3L, "c", "delete", 2L),
+      (4L, "d", "insert", 2L)))
+    assert(GraftTable.readChanges(spark, root, v3, v3).isEmpty)
+    assert(feed(v4, v4) == Set((4L, "d", "delete", 4L)))
+    // the full-range feed is the union, and replaying it reconstructs
+    // the latest snapshot from the empty set
+    val full = feed(0L, v4)
+    assert(full.size == 2 + 1 + 4 + 1)
+    val state = scala.collection.mutable.Map.empty[Long, String]
+    full.toSeq.sortBy(_._4).foreach {
+      case (k, n, "insert", _) => state(k) = n
+      case (k, n, "update_postimage", _) => state(k) = n
+      case (k, _, "delete", _) => state.remove(k)
+      case _ => () // preimages carry no new state
+    }
+    val latest = GraftTable.read(spark, root)
+      .select("k", "name").as[(Long, String)].collect().toMap
+    assert(state.toMap == latest)
+  }
+
+  test("change feed spans schema evolution: pre-evolution versions null-fill added columns") {
+    import spark.implicits._
+    val root = freshRoot()
+    val v0 = GraftTable.create(table3(Seq((1L, "a", 1.0))), root)
+    GraftTable.appendEvolve(
+      Seq((2L, "b", 2.0, "fresh")).toDF("k", "name", "bal", "tag"),
+      root, v0)
+    val got = GraftTable.readChanges(spark, root, 0L, 1L)
+      .select("k", "tag", "_change_type", "_commit_version")
+      .as[(Long, Option[String], String, Long)].collect().toSet
+    assert(got == Set(
+      (1L, None, "insert", 0L),
+      (2L, Some("fresh"), "insert", 1L)))
+  }
+
+  test("change feed: a pruned merge captures exactly the touched-partition changes") {
+    import spark.implicits._
+    val root = freshRoot()
+    val base = (1L to 400L).map(i => (i, s"n$i", i * 1.0))
+    val v0 = GraftTable.createPartitioned(table3(base), root, "k",
+      numFiles = 8)
+    val changes = Seq(
+      (5L, "n5x", 5.5, "U", 1L),
+      (7L, "n7", 7.0, "D", 1L),
+      (401L, "new", 401.0, "I", 1L))
+      .toDF("k", "name", "bal", "op", "seq")
+    val v1 = GraftTable.mergePruned(root, changes, "k", Seq("seq"), v0)
+    val got = GraftTable.readChanges(spark, root, v1, v1)
+      .select("k", "name", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set(
+      (5L, "n5", "update_preimage"),
+      (5L, "n5x", "update_postimage"),
+      (7L, "n7", "delete"),
+      (401L, "new", "insert")))
+    // carried files contributed no phantom changes despite holding
+    // 99% of the table
+    assert(GraftTable.history(spark, root)(1).files.toSet
+      .intersect(GraftTable.history(spark, root).head.files.toSet).nonEmpty)
+  }
+
+  test("vacuum sweeps orphaned cdf stages; referenced change data survives and the feed stays readable") {
+    import spark.implicits._
+    val root = freshRoot()
+    val v0 = GraftTable.create(table3(Seq((1L, "a", 1.0))), root)
+    GraftTable.merge(root,
+      Seq((1L, "a2", 1.5, "U", 1L)).toDF("k", "name", "bal", "op", "seq"),
+      "k", Seq("seq"), v0)
+    // simulate a conflicted writer's abandoned change-data stage
+    table3(Seq((9L, "orphan", 9.0)))
+      .withColumn("_change_type", lit("insert"))
+      .write.parquet(s"$root/cdf/v00000002-deadbeef")
+    assert(GraftTable.vacuum(spark, root).isEmpty) // retention protects it
+    val deleted = GraftTable.vacuum(spark, root, retentionMs = 0L)
+    assert(deleted == Seq("cdf/v00000002-deadbeef"))
+    // the committed version's change data was referenced and survives
+    val got = GraftTable.readChanges(spark, root, 1L, 1L)
+      .select("name", "_change_type")
+      .as[(String, String)].collect().toSet
+    assert(got ==
+      Set(("a", "update_preimage"), ("a2", "update_postimage")))
+  }
+
+  test("readRange scans only stats-overlapping files; residual filter and pushdown intact") {
+    val root = freshRoot()
+    val rows = (1L to 1000L).map(i => (i, s"n$i", i * 1.0))
+    GraftTable.createPartitioned(table3(rows), root, "k", numFiles = 10)
+    val all = GraftTable.history(spark, root).head.files
+    val selected = GraftTable.filesForRange(spark, root, 0L, 250L, 349L)
+    assert(selected.size < all.size,
+      s"no pruning: ${selected.size} of ${all.size}")
+    val got = GraftTable.readRange(spark, root, 250L, 349L)
+    // exact residual semantics: identical to filter on the full read
+    assert(got.count() == 100L)
+    assert(got.agg(min("k"), max("k")).head() ===
+      org.apache.spark.sql.Row(250L, 349L))
+    // the selected files really are the only inputs, and the residual
+    // range predicate still reaches the parquet scan
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(k,250)") &&
+      plan.contains("LessThanOrEqual(k,349)"),
+      s"residual range not pushed:\n$plan")
+    val scanned = got.select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(scanned.forall(f => selected.exists(f.endsWith)),
+      "scan touched a file the manifest pruning rejected")
+    // empty range reads as an empty, correctly-shaped table
+    assert(GraftTable.readRange(spark, root, 5000L, 6000L).isEmpty)
+    // an unpartitioned table refuses rather than silently full-scans
+    val flat = freshRoot()
+    GraftTable.create(table3(Seq((1L, "a", 1.0))), flat)
+    intercept[IllegalArgumentException] {
+      GraftTable.filesForRange(spark, flat, 0L, 0L, 10L)
+    }
+  }
+
+  test("a pre-CDF merge manifest fails the feed loudly instead of serving silence") {
+    val root = freshRoot()
+    GraftTable.create(table3(Seq((1L, "a", 1.0))), root)
+    // hand-write a legacy MERGE manifest with no cdfdir
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val h0 = GraftTable.history(spark, root).head
+    val w = new java.io.PrintWriter(
+      new java.io.File(s"$root/_graft_log/v00000001.commit"), "UTF-8")
+    w.print("graft-commit-v1\nversion:1\nparent:0\nop:MERGE\n" +
+      s"schema:${h0.schemaDdl}\n" +
+      h0.files.map(p => s"file:$p\n").mkString)
+    w.close()
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.readChanges(spark, root, 0L, 1L).collect()
+    }
+    assert(e.getMessage.contains("predates the change feed"))
   }
 }

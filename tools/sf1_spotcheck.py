@@ -44,7 +44,10 @@ NEW_QUERIES = ["q154_html_extract_text", "q155_html_boilerplate_blocks",
                # its workload is fixture-independent by construction
                # (synthetic 50x200-row batches); its scale claim is the
                # in-run flat-commit-cost REQUIRE, not a 10x exponent.
-               "q168_table_pruned_merge"]
+               "q168_table_pruned_merge",
+               # round-15b: the write-time change-data feed (five-version
+               # lifecycle) and the stats-pruned range read
+               "q169_table_change_feed", "q170_table_pruned_read"]
 PLANTED_SMALL = 41667   # the bench entry's group count (2,000,016 lines)
 PLANTED_BIG = 416670    # 10x (20,000,160 lines)
 
@@ -88,8 +91,8 @@ def main() -> None:
     small = bench_one(SF01, QUERIES, reps=3, cache_key="small")
     big = bench_one(SF1, QUERIES, reps=1, cache_key="big")
     small.update(bench_one(SF01, NEW_QUERIES, reps=3,
-                           cache_key="small_r14"))
-    big.update(bench_one(SF1, NEW_QUERIES, reps=2, cache_key="big_r14"))
+                           cache_key="small_r15b"))
+    big.update(bench_one(SF1, NEW_QUERIES, reps=2, cache_key="big_r15b"))
 
     pl_small = bench_one(SF01, [f"dirt_planted_{PLANTED_SMALL * 48}"],
                          reps=1, cache_key="planted_small",
