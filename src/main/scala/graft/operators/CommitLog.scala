@@ -275,23 +275,33 @@ object GraftTable {
 
   /** Per-file min/max of `key` over freshly staged files — one
     * column-pruned scan of ONLY those files (the Delta write-time
-    * stats recipe). Files with no rows (or an all-NULL key) get no
-    * range and stay permanent rewrite candidates — sound, just
-    * unprunable.
+    * stats recipe). Returns (ranges, filesWithRows): a file with rows
+    * but an all-NULL key gets no range and stays a permanent rewrite
+    * candidate (sound, just unprunable), while a ZERO-ROW part file —
+    * Spark writes one per empty task — is reported absent so the
+    * commit can drop it from the manifest entirely: it contributes no
+    * rows to any snapshot, and carrying it would poison every future
+    * [[filesForRange]]/[[mergePruned]] pruning decision as a rangeless
+    * forever-candidate (found live: q170's out-of-range-append REQUIRE
+    * tripped on an empty part file at the 10x fixture).
     */
   private def fileRanges(spark: SparkSession, root: String,
-      files: Seq[String], key: String): Map[String, (Long, Long)] = {
-    if (files.isEmpty) return Map.empty
+      files: Seq[String], key: String)
+      : (Map[String, (Long, Long)], Set[String]) = {
+    if (files.isEmpty) return (Map.empty, Set.empty)
     val rows = spark.read.parquet(files.map(p => s"$root/$p"): _*)
       .groupBy(input_file_name().as("__f"))
       .agg(fmin(col(key)).cast("long").as("mn"),
         fmax(col(key)).cast("long").as("mx"))
       .collect()
-    rows.flatMap { r =>
+    val seen = rows.flatMap(r =>
+      files.find(p => r.getString(0).endsWith(p))).toSet
+    val ranges = rows.flatMap { r =>
       if (r.isNullAt(1) || r.isNullAt(2)) None
       else files.find(p => r.getString(0).endsWith(p))
         .map(p => p -> (r.getLong(1), r.getLong(2)))
     }.toMap
+    (ranges, seen)
   }
 
   /** Stage `df` as parquet and atomically publish it as version
@@ -311,15 +321,20 @@ object GraftTable {
     val token = java.util.UUID.randomUUID.toString.take(8)
     val dataRel = f"data/v$next%08d-$token"
     df.write.parquet(s"$root/$dataRel")
-    val parts = f.listStatus(new Path(s"$root/$dataRel"))
+    val staged = f.listStatus(new Path(s"$root/$dataRel"))
       .map(_.getPath.getName)
       .filter(_.startsWith("part-"))
       .sorted
       .map(n => s"$dataRel/$n")
       .toSeq
-    val newRanges = p.statsKey
-      .map(k => fileRanges(spark, root, parts, k))
-      .getOrElse(Map.empty)
+    // on a stats-carrying table, zero-row part files (one per empty
+    // write task) are dropped from the manifest — see [[fileRanges]]
+    val (newRanges, parts) = p.statsKey match {
+      case Some(k) =>
+        val (ranges, withRows) = fileRanges(spark, root, staged, k)
+        (ranges, staged.filter(withRows))
+      case None => (Map.empty[String, (Long, Long)], staged)
+    }
     // change-data feed staged beside the data, referenced by the same
     // manifest — one atomic publish covers both (an empty change set
     // still records its directory, so readers can tell "no changes"

@@ -577,6 +577,33 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("zero-row part files are dropped from stats-table manifests, not carried as unprunable candidates") {
+    import spark.implicits._
+    val root = freshRoot()
+    val v0 = GraftTable.createPartitioned(
+      table3((1L to 100L).map(i => (i, s"n$i", i * 1.0))), root, "k",
+      numFiles = 4)
+    // an append whose layout provably contains empty tasks: 3 rows
+    // spread over 8 partitions -> >=5 empty write tasks (the live
+    // failure mode: Spark writes a 0-row parquet file per empty task,
+    // which used to enter the manifest rangeless and defeat pruning)
+    val sparse = Seq((1001L, "x", 1.0), (1002L, "y", 2.0),
+      (1003L, "z", 3.0)).toDF("k", "name", "bal").repartition(8)
+    val v1 = GraftTable.append(sparse, root, v0)
+    val h1 = GraftTable.history(spark, root)(1)
+    val added = h1.files.filterNot(
+      GraftTable.history(spark, root).head.files.toSet)
+    assert(added.nonEmpty)
+    // every manifest-listed appended file carries a range (no zero-row
+    // stragglers), so an out-of-range read prunes ALL of them
+    assert(added.forall(h1.ranges.contains),
+      s"rangeless appended files survived: ${added.filterNot(h1.ranges.contains)}")
+    val selected = GraftTable.filesForRange(spark, root, v1, 10L, 90L)
+    assert(selected.toSet.intersect(added.toSet).isEmpty)
+    // and the rows themselves are intact
+    assert(GraftTable.read(spark, root).count() == 103L)
+  }
+
   test("a pre-CDF merge manifest fails the feed loudly instead of serving silence") {
     val root = freshRoot()
     GraftTable.create(table3(Seq((1L, "a", 1.0))), root)
