@@ -294,7 +294,8 @@ object Bench {
     // pins never move; first pinned by the r15 quiet-run re-baseline
     "cx_table_pruned" -> Seq("q168_table_pruned_merge",
       "q170_table_pruned_read"),
-    "cx_table_cdf" -> Seq("q169_table_change_feed"))
+    "cx_table_cdf" -> Seq("q169_table_change_feed"),
+    "cx_table_stream_source" -> Seq("q171_table_stream_source"))
 
   /** The four dedup-graph queries folded into ONE composed timed body
     * (replacing round 10's cross-entry `componentRunners` state): the

@@ -4626,6 +4626,92 @@ object PipelineQueries {
         round(col("o_totalprice"), 2).as("o_totalprice"))
       .orderBy("o_orderkey")
   }
+
+  /** Table-format STREAMING SOURCE (q171): the commit log tailed by
+    * Structured Streaming ([[org.apache.spark.sql.graft.GraftTableSource]]
+    * — offsets are table versions). Two AvailableNow runs on ONE
+    * checkpoint: the first serves the full feed (CREATE inserts + the
+    * merge's classified changes), the table then gains an APPEND while
+    * the stream is down, and the second run must serve ONLY the new
+    * version — REQUIREd in-query (`_commit_version == 2` exactly), so
+    * a replay or a miss fails the query, not just a comparison. The
+    * combined feed hash-matches the closed-form SQL.
+    */
+  val q171 = Q.checked(
+    "q171_table_stream_source",
+    """WITH b AS (SELECT o_orderkey, o_totalprice FROM orders
+                  WHERE o_orderkey % 3 = 0)
+       SELECT CAST(0 AS BIGINT) AS _commit_version,
+              'insert' AS _change_type, o_orderkey,
+              round(o_totalprice, 2) AS o_totalprice
+       FROM b
+       UNION ALL
+       SELECT 1, 'delete', o_orderkey, round(o_totalprice, 2)
+       FROM b WHERE o_orderkey % 13 = 1
+       UNION ALL
+       SELECT 1, 'update_preimage', o_orderkey, round(o_totalprice, 2)
+       FROM b WHERE o_orderkey % 13 <> 1 AND o_orderkey % 11 = 0
+       UNION ALL
+       SELECT 1, 'update_postimage', o_orderkey, round(o_totalprice * 2, 2)
+       FROM b WHERE o_orderkey % 13 <> 1 AND o_orderkey % 11 = 0
+       UNION ALL
+       SELECT 2, 'insert', o_orderkey + 7000000, round(o_totalprice + 5, 2)
+       FROM b WHERE o_orderkey % 17 = 2
+       ORDER BY _commit_version, _change_type, o_orderkey""") { (s, d) =>
+    val base0 = s"${sys.props("java.io.tmpdir")}/graft_tss_${ProcessHandle.current().pid()}"
+    val fs = new org.apache.hadoop.fs.Path(base0)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base0), true)
+    val gt = graft.operators.GraftTable
+    val root = s"$base0/table"
+    val k = col("o_orderkey")
+    val base = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      .filter(k % 3 === 0)
+    val v0 = gt.create(base, root)
+    val del = base.filter(k % 13 === 1)
+      .select(k, col("o_totalprice"), lit("D").as("op"))
+    val upd = base.filter(k % 13 =!= 1 && k % 11 === 0)
+      .select(k, (col("o_totalprice") * 2).as("o_totalprice"),
+        lit("U").as("op"))
+    val v1 = gt.merge(root, del.unionByName(upd).withColumn("seq", lit(1L)),
+      key = "o_orderkey", ordering = Seq("seq"), expectedVersion = v0)
+
+    def streamOnce(outDir: String): Unit = {
+      val q = s.readStream
+        .format("org.apache.spark.sql.graft.GraftTableSourceProvider")
+        .option("path", root).load()
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$base0/ckpt")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    streamOnce(s"$base0/out1")
+    val feed1 = s.read.parquet(s"$base0/out1")
+    require(feed1.agg(max("_commit_version")).head().getLong(0) == v1,
+      "first run did not reach the latest version")
+    // the table moves while the stream is down
+    val appended = base.filter(k % 17 === 2)
+      .select((k + 7000000L).as("o_orderkey"),
+        (col("o_totalprice") + 5).as("o_totalprice"))
+    val v2 = gt.append(appended, root, v1)
+    // resume on the SAME checkpoint: ONLY the new version may arrive
+    streamOnce(s"$base0/out2")
+    val feed2 = s.read.parquet(s"$base0/out2")
+    require(feed2.filter(col("_commit_version") =!= v2).isEmpty,
+      "resumed stream replayed already-committed versions")
+    require(!feed2.isEmpty, "resumed stream missed the new version")
+    feed1.unionByName(feed2)
+      .select(col("_commit_version"), col("_change_type"),
+        col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy("_commit_version", "_change_type", "o_orderkey")
+  }
 }
 
 /** Planted biarc corpus for the self-verifying q40: 100 verb groups,
