@@ -737,8 +737,8 @@ object Bench {
         val df = (0L until 200L).map(i => (b * 200L + i, s"u$i", i * 1.0))
           .toDF("event_id", "name", "value")
         val t0 = System.nanoTime()
-        require(gt.appendBatchIdempotent(df, b.toLong, root),
-          s"batch $b refused")
+        require(gt.appendBatchIdempotent(df, b.toLong, root,
+          appId = "bench-stream"), s"batch $b refused")
         perBatch(b) = (System.nanoTime() - t0) / 1e9
         b += 1
       }
@@ -746,7 +746,8 @@ object Bench {
       // from ONE manifest read, not a history scan
       require(!gt.appendBatchIdempotent(
         (0L until 10L).map(i => (i, "x", 0.0))
-          .toDF("event_id", "name", "value"), 0L, root),
+          .toDF("event_id", "name", "value"), 0L, root,
+        appId = "bench-stream"),
         "batch-0 replay was not detected")
       require(gt.read(spark, root).count() == 50L * 200,
         "stream ingest lost rows")

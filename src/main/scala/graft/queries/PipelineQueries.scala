@@ -4184,7 +4184,8 @@ object PipelineQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", s"$out/_ckpt")
       .foreachBatch { (df: DataFrame, id: Long) =>
-        graft.operators.GraftTable.appendBatchIdempotent(df, id, root)
+        graft.operators.GraftTable.appendBatchIdempotent(df, id, root,
+          appId = "q166-ingest")
         ()
       }
       .start()
@@ -4192,13 +4193,25 @@ object PipelineQueries {
     val gt = graft.operators.GraftTable
     val nVersions = gt.latestVersion(s, root) + 1
     val nRows = gt.read(s, root).count()
-    // at-least-once replay of batch 0 must be a no-op
+    // at-least-once replay of batch 0 must be a no-op FOR ITS WRITER
     val replayed = gt.appendBatchIdempotent(
-      s.read.schema(schema).parquet(inDir).limit(10), 0L, root)
+      s.read.schema(schema).parquet(inDir).limit(10), 0L, root,
+      appId = "q166-ingest")
     require(!replayed, "batch 0 replay was not detected as committed")
     require(gt.latestVersion(s, root) + 1 == nVersions,
       "replay added a version")
     require(gt.read(s, root).count() == nRows, "replay added rows")
+    // a DIFFERENT writer's batch 0 is NOT a replay (the watermark is
+    // per-appId — Delta SetTransaction): a fresh-checkpoint query or a
+    // second ingest stream must not be swallowed by this one's maxima.
+    // An empty batch keeps the oracle's row set unchanged.
+    val freshWriter = gt.appendBatchIdempotent(
+      s.read.schema(schema).parquet(inDir).limit(0), 0L, root,
+      appId = "q166-ingest-fresh-ckpt")
+    require(freshWriter,
+      "a new writer's batch 0 was swallowed by another writer's watermark")
+    require(gt.read(s, root).count() == nRows,
+      "empty new-writer batch changed rows")
     // maintenance: compaction preserves the row set
     gt.compact(s, root, gt.latestVersion(s, root))
     require(gt.read(s, root).count() == nRows, "compaction changed rows")

@@ -183,18 +183,73 @@ class CommitLogSpec extends AnyFunSuite {
     val root = freshRoot()
     // batch 0 creates the table
     assert(GraftTable.appendBatchIdempotent(
-      table3(Seq((1L, "a", 1.0))), 0L, root))
+      table3(Seq((1L, "a", 1.0))), 0L, root, "w1"))
     assert(GraftTable.appendBatchIdempotent(
-      table3(Seq((2L, "b", 2.0))), 1L, root))
+      table3(Seq((2L, "b", 2.0))), 1L, root, "w1"))
     assert(GraftTable.read(spark, root).count() == 2L)
     // exact replay of batch 1 (post-crash at-least-once delivery):
-    // detected via the manifest batch id, no new version, no new rows
+    // detected via the manifest's per-writer txn watermark, no new
+    // version, no new rows
     assert(!GraftTable.appendBatchIdempotent(
-      table3(Seq((2L, "b", 2.0))), 1L, root))
+      table3(Seq((2L, "b", 2.0))), 1L, root, "w1"))
     assert(GraftTable.latestVersion(spark, root) == 1L)
     assert(GraftTable.read(spark, root).count() == 2L)
     assert(GraftTable.history(spark, root).map(_.batch) ==
       Seq(Some(0L), Some(1L)))
+    assert(GraftTable.history(spark, root).last.txns == Map("w1" -> 1L))
+  }
+
+  test("fresh-checkpoint restart: a NEW appId's batches 0..k commit after the old writer reached maxBatch >> k") {
+    val root = freshRoot()
+    // the old writer's checkpoint lifetime reached batch 100
+    assert(GraftTable.appendBatchIdempotent(
+      table3(Seq((1L, "a", 1.0))), 0L, root, "old-ckpt"))
+    assert(GraftTable.appendBatchIdempotent(
+      table3(Seq((2L, "b", 2.0))), 100L, root, "old-ckpt"))
+    // the checkpoint is deleted and recreated: Structured Streaming
+    // restarts batch ids at 0 under a NEW query/checkpoint identity.
+    // With the r15 unscoped maxBatch EVERY one of these would have been
+    // silently swallowed as a replay (batchId <= 100) — the stream
+    // "succeeding" while writing nothing.
+    (0L to 3L).foreach { b =>
+      assert(GraftTable.appendBatchIdempotent(
+        table3(Seq((200L + b, s"n$b", b.toDouble))), b, root, "new-ckpt"),
+        s"fresh-checkpoint batch $b was swallowed by the old watermark")
+    }
+    assert(GraftTable.read(spark, root).count() == 6L)
+    // each writer's OWN replay detection still works
+    assert(!GraftTable.appendBatchIdempotent(
+      table3(Seq((9L, "x", 9.0))), 3L, root, "new-ckpt"))
+    assert(!GraftTable.appendBatchIdempotent(
+      table3(Seq((9L, "x", 9.0))), 100L, root, "old-ckpt"))
+    val txns = GraftTable.history(spark, root).last.txns
+    assert(txns == Map("old-ckpt" -> 100L, "new-ckpt" -> 3L))
+  }
+
+  test("two interleaved writers each achieve exactly-once independently") {
+    val root = freshRoot()
+    // writer A runs ahead; writer B's ids trail A's maxima throughout —
+    // with an unscoped watermark every B batch after A's first would
+    // have been dropped
+    assert(GraftTable.appendBatchIdempotent(
+      table3(Seq((1L, "a0", 0.0))), 10L, root, "A"))
+    assert(GraftTable.appendBatchIdempotent(
+      table3(Seq((2L, "b0", 0.0))), 0L, root, "B"))
+    assert(GraftTable.appendBatchIdempotent(
+      table3(Seq((3L, "a1", 1.0))), 11L, root, "A"))
+    assert(GraftTable.appendBatchIdempotent(
+      table3(Seq((4L, "b1", 1.0))), 1L, root, "B"))
+    assert(GraftTable.read(spark, root).count() == 4L)
+    // replays on either side are no-ops; fresh batches still land
+    assert(!GraftTable.appendBatchIdempotent(
+      table3(Seq((9L, "x", 9.0))), 1L, root, "B"))
+    assert(!GraftTable.appendBatchIdempotent(
+      table3(Seq((9L, "x", 9.0))), 11L, root, "A"))
+    assert(GraftTable.appendBatchIdempotent(
+      table3(Seq((5L, "b2", 2.0))), 2L, root, "B"))
+    assert(GraftTable.read(spark, root).count() == 5L)
+    assert(GraftTable.history(spark, root).last.txns ==
+      Map("A" -> 11L, "B" -> 2L))
   }
 
   test("compact rewrites into fewer files with identical rows; old versions unaffected") {
@@ -355,13 +410,13 @@ class CommitLogSpec extends AnyFunSuite {
     assert(conflicts == 25)
   }
 
-  test("maxBatch carries through compact/merge: replay detection is O(1) and survives maintenance") {
+  test("writer txns carry through compact/merge: replay detection is O(1) and survives maintenance") {
     import spark.implicits._
     val root = freshRoot()
     assert(GraftTable.appendBatchIdempotent(
-      table3(Seq((1L, "a", 1.0))), 0L, root))
+      table3(Seq((1L, "a", 1.0))), 0L, root, "w1"))
     assert(GraftTable.appendBatchIdempotent(
-      table3(Seq((2L, "b", 2.0))), 1L, root))
+      table3(Seq((2L, "b", 2.0))), 1L, root, "w1"))
     // non-batch maintenance commits between batches
     GraftTable.compact(spark, root, GraftTable.latestVersion(spark, root))
     val changes = Seq((1L, "a2", 10.0, "U", 1L))
@@ -369,18 +424,19 @@ class CommitLogSpec extends AnyFunSuite {
     GraftTable.merge(root, changes, "k", Seq("seq"),
       GraftTable.latestVersion(spark, root))
     // replays of batches 0 and 1 are still detected from ONE manifest
-    // read (maxBatch carried by COMPACT and MERGE), not a history scan
+    // read (the txn map carried by COMPACT and MERGE), not a history
+    // scan
     val latest = GraftTable.latestVersion(spark, root)
-    assert(GraftTable.history(spark, root).last.maxBatch.contains(1L))
+    assert(GraftTable.history(spark, root).last.txns == Map("w1" -> 1L))
     assert(!GraftTable.appendBatchIdempotent(
-      table3(Seq((2L, "b", 2.0))), 1L, root))
+      table3(Seq((2L, "b", 2.0))), 1L, root, "w1"))
     assert(!GraftTable.appendBatchIdempotent(
-      table3(Seq((1L, "a", 1.0))), 0L, root))
+      table3(Seq((1L, "a", 1.0))), 0L, root, "w1"))
     assert(GraftTable.latestVersion(spark, root) == latest)
     // the next genuine batch commits
     assert(GraftTable.appendBatchIdempotent(
-      table3(Seq((3L, "c", 3.0))), 2L, root))
-    assert(GraftTable.history(spark, root).last.maxBatch.contains(2L))
+      table3(Seq((3L, "c", 3.0))), 2L, root, "w1"))
+    assert(GraftTable.history(spark, root).last.txns == Map("w1" -> 2L))
   }
 
   test("mergePruned rewrites only files containing changed keys; the rest are carried") {
@@ -602,6 +658,93 @@ class CommitLogSpec extends AnyFunSuite {
     assert(selected.toSet.intersect(added.toSet).isEmpty)
     // and the rows themselves are intact
     assert(GraftTable.read(spark, root).count() == 103L)
+  }
+
+  test("readChanges plan width is O(1) in the version span: a long feed is two scans, not a per-version union") {
+    import spark.implicits._
+    val root = freshRoot()
+    GraftTable.create(table3(Seq((0L, "n0", 0.0))), root)
+    // 60 appends + a couple of merges/deletes/compacts: a real
+    // long-lived table's log. The r15 implementation built one
+    // DataFrame + unionByName PER VERSION (60+ scans); the fix serves
+    // every insert version from ONE scan (version decoded from the
+    // staged path) and every merge/delete from a second.
+    (1L to 60L).foreach { v =>
+      GraftTable.append(table3(Seq((v, s"n$v", v * 1.0))).coalesce(1),
+        root, expectedVersion = v - 1L)
+    }
+    val m1 = GraftTable.merge(root,
+      Seq((3L, "m3", 30.0, "U", 1L)).toDF("k", "name", "bal", "op", "seq"),
+      "k", Seq("seq"), 60L)
+    GraftTable.compact(spark, root, m1, numFiles = 2)
+    val vTop = GraftTable.deleteWhere(spark, root, col("k") === 7L, m1 + 1)
+
+    val feed = GraftTable.readChanges(spark, root, 0L, vTop)
+    val plan = feed.queryExecution.executedPlan
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size <= 2,
+      s"feed plan has ${scans.size} scans — width grew with versions")
+    val nodes = plan.collect { case n => n }.size
+    assert(nodes <= 25, s"feed plan has $nodes nodes for 63 versions")
+
+    // and the per-row _commit_version decoding is exact
+    val inserts = feed.filter(col("_change_type") === "insert")
+      .select("k", "_commit_version")
+      .as[(Long, Long)].collect().toMap
+    assert(inserts == (0L to 60L).map(v => v -> v).toMap)
+    val merged = feed.filter(col("_commit_version") === m1)
+      .select("k", "name", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(merged == Set((3L, "n3", "update_preimage"),
+      (3L, "m3", "update_postimage")))
+    val deleted = feed.filter(col("_commit_version") === vTop)
+      .select("k", "_change_type")
+      .as[(Long, String)].collect().toSet
+    assert(deleted == Set((7L, "delete")))
+    // compact contributed nothing
+    assert(feed.filter(col("_commit_version") === m1 + 1).isEmpty)
+  }
+
+  test("vacuum resolves its referenced set from the checkpoint index: bounded manifest reads on a long log") {
+    import spark.implicits._
+    val root = freshRoot()
+    GraftTable.create(table3(Seq((0L, "n0", 0.0))), root)
+    // 110 versions: four checkpoint intervals (every 25th commit writes
+    // the cumulative referenced-directory index) plus a tail
+    (1L to 110L).foreach { v =>
+      GraftTable.append(table3(Seq((v, s"n$v", v * 1.0))).coalesce(1),
+        root, expectedVersion = v - 1L)
+    }
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fsys.exists(new org.apache.hadoop.fs.Path(
+      s"$root/_graft_log/v00000100.ckpt")),
+      "checkpoint at version 100 was not written")
+    // an orphan from a crashed writer, plus one merge staging cdf data
+    table3(Seq((999L, "orphan", 9.0))).write
+      .parquet(s"$root/data/v00000042-deadbeef")
+    GraftTable.merge(root,
+      Seq((5L, "m5", 50.0, "U", 1L)).toDF("k", "name", "bal", "op", "seq"),
+      "k", Seq("seq"), 110L)
+
+    GraftTable.manifestReadCount.set(0L)
+    val deleted = GraftTable.vacuum(spark, root, retentionMs = 0L)
+    val reads = GraftTable.manifestReadCount.get()
+    assert(deleted == Seq("data/v00000042-deadbeef"))
+    assert(reads <= GraftTable.CheckpointInterval + 10,
+      s"vacuum read $reads manifests on a 112-version log — the " +
+        "checkpoint index is not bounding the scan")
+    // everything committed is still readable: the checkpointed
+    // referenced set protected every pre-checkpoint directory
+    assert(GraftTable.readVersion(spark, root, 0L).count() == 1L)
+    assert(GraftTable.readVersion(spark, root, 60L).count() == 61L)
+    assert(GraftTable.read(spark, root).count() == 111L)
+    assert(GraftTable.readChanges(spark, root, 111L, 111L)
+      .select("name", "_change_type")
+      .as[(String, String)].collect().toSet ==
+      Set(("n5", "update_preimage"), ("m5", "update_postimage")))
   }
 
   test("a pre-CDF merge manifest fails the feed loudly instead of serving silence") {
