@@ -68,11 +68,25 @@ object Cdc {
     * ordering fields lead, so comparison never reaches the payload
     * unless the caller's tiebreaker is non-unique. Partial-aggregated,
     * so a hot key ships one row of shuffle per map task (class doc).
+    *
+    * Ops are VALIDATED before the collapse (so a malformed op can
+    * never win silently): anything outside I/U/D — including NULL —
+    * raises. Without this, a NULL op fell through every `when()`
+    * branch of [[latestWinsChanges]] (both `=== "D"` and `=!= "D"` are
+    * null) and emitted nothing, while [[latestWinsMerge]] classified
+    * the same row differently — the feed silently diverging from the
+    * merge it mirrors (ADVICE r15).
     */
   private def winnerOf(changes: DataFrame, key: String,
       ordering: Seq[String], op: String,
       dataCols: Seq[String]): DataFrame =
     changes
+      .withColumn(op,
+        when(col(op).isin("I", "U", "D"), col(op))
+          .otherwise(raise_error(concat(
+            lit(s"invalid '$op' value: '"),
+            coalesce(col(op), lit("NULL")),
+            lit("' (changelog ops must be I, U or D)"))).cast("string")))
       .groupBy(col(key))
       .agg(max(struct(((ordering :+ op) ++ dataCols).map(col): _*)).as("w"))
       .select(col(key) +: (s"w.$op" +: dataCols.map(c => s"w.$c")).map(col): _*)

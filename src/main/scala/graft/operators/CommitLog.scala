@@ -82,20 +82,30 @@ object GraftTable {
     * slower of two concurrent writer queries (VERDICT r15 "what's
     * wrong" #1). `maxBatch` (the unscoped running maximum) is retained
     * for manifest back-compat and as an informational field only —
-    * nothing consults it for replay decisions. `statsCol` and `ranges`
-    * are the per-file min/max key stats written by
+    * nothing consults it for replay decisions. `statsCols` and
+    * `ranges` are the per-file min/max stats written by
     * [[createPartitioned]]-lineage commits and consumed by
-    * [[mergePruned]]'s file pruning.
+    * [[mergePruned]]/[[filesForRanges]] file pruning: `ranges` maps
+    * each file to per-COLUMN (min, max) — real tables prune on more
+    * than one key (a date AND an id), so the manifest records every
+    * stats column and pruning is conjunctive (VERDICT r15 next-round
+    * #7). The head of `statsCols` is the PRIMARY key: the physical
+    * layout (range partitioning on write) clusters it, so its ranges
+    * are tight; secondary columns get whatever correlation the data
+    * has — sound either way, pruning quality follows the layout.
     */
   final case class Commit(version: Long, parent: Long, op: String,
       schemaDdl: String, files: Seq[String],
       batch: Option[Long] = None,
       maxBatch: Option[Long] = None,
       txns: Map[String, Long] = Map.empty,
-      statsCol: Option[String] = None,
-      ranges: Map[String, (Long, Long)] = Map.empty,
+      statsCols: Seq[String] = Nil,
+      ranges: Map[String, Map[String, (Long, Long)]] = Map.empty,
       cdfDir: Option[String] = None,
-      cdfFiles: Seq[String] = Nil)
+      cdfFiles: Seq[String] = Nil) {
+    /** Primary stats column (the range-partitioning layout key). */
+    def statsCol: Option[String] = statsCols.headOption
+  }
 
   /** Optimistic-concurrency failure: another writer published
     * `actual` while this writer expected to commit `expected + 1`.
@@ -329,12 +339,25 @@ object GraftTable {
     def opt(k: String): Option[String] =
       lines.find(_.startsWith(s"$k:")).map(_.drop(k.length + 1))
     val batch = opt("batch").map(_.toLong)
-    // ranges are tab-separated (`range:<relpath>\t<min>\t<max>`) —
-    // paths never contain tabs
-    val ranges = lines.filter(_.startsWith("range:")).map { l =>
-      val Array(pth, mn, mx) = l.drop(6).split("\t")
-      pth -> (mn.toLong, mx.toLong)
-    }.toMap
+    val statsCols = lines.filter(_.startsWith("statscol:")).map(_.drop(9))
+    // ranges are tab-separated (`range:<relpath>\t<col>\t<min>\t<max>`;
+    // the pre-r16 3-field form carried only the primary column) —
+    // paths and column names never contain tabs
+    val ranges = lines.filter(_.startsWith("range:"))
+      .map(_.drop(6).split("\t"))
+      .map {
+        case Array(pth, c, mn, mx) => (pth, c, mn.toLong, mx.toLong)
+        case Array(pth, mn, mx) =>
+          (pth, statsCols.headOption.getOrElse(
+            sys.error(s"manifest $p has ranges but no statscol")),
+            mn.toLong, mx.toLong)
+        case other =>
+          sys.error(s"manifest $p: bad range line ${other.mkString("\t")}")
+      }
+      .groupBy(_._1)
+      .map { case (pth, rs) =>
+        pth -> rs.map(r => r._2 -> (r._3, r._4)).toMap
+      }
     // writer transactions: `txn:<appId>\t<maxBatch>` — appIds are
     // tab/newline-free by construction ([[appendBatchIdempotent]])
     val txns = lines.filter(_.startsWith("txn:")).map { l =>
@@ -350,7 +373,7 @@ object GraftTable {
       batch = batch,
       maxBatch = opt("maxbatch").map(_.toLong).orElse(batch),
       txns = txns,
-      statsCol = opt("statscol"),
+      statsCols = statsCols,
       ranges = ranges,
       cdfDir = opt("cdfdir"),
       cdfFiles = lines.filter(_.startsWith("cdf:")).map(_.drop(4)))
@@ -397,42 +420,51 @@ object GraftTable {
       op: String,
       expected: Long,
       carryFiles: Seq[String] = Nil,
-      carryRanges: Map[String, (Long, Long)] = Map.empty,
+      carryRanges: Map[String, Map[String, (Long, Long)]] = Map.empty,
       batch: Option[Long] = None,
       maxBatch: Option[Long] = None,
       txns: Map[String, Long] = Map.empty,
       schemaDdl: Option[String] = None,
-      statsKey: Option[String] = None,
+      statsKeys: Seq[String] = Nil,
       cdf: Option[DataFrame] = None)
 
-  /** Per-file min/max of `key` over freshly staged files — one
-    * column-pruned scan of ONLY those files (the Delta write-time
-    * stats recipe). Returns (ranges, filesWithRows): a file with rows
-    * but an all-NULL key gets no range and stays a permanent rewrite
-    * candidate (sound, just unprunable), while a ZERO-ROW part file —
-    * Spark writes one per empty task — is reported absent so the
-    * commit can drop it from the manifest entirely: it contributes no
-    * rows to any snapshot, and carrying it would poison every future
-    * [[filesForRange]]/[[mergePruned]] pruning decision as a rangeless
-    * forever-candidate (found live: q170's out-of-range-append REQUIRE
-    * tripped on an empty part file at the 10x fixture).
+  /** Per-file min/max of every stats column over freshly staged
+    * files — ONE column-pruned scan of only those files computes all
+    * columns' stats (the Delta write-time stats recipe). Returns
+    * (ranges, filesWithRows): a column that is all-NULL within a file
+    * gets no range there and that file stays a permanent rewrite
+    * candidate FOR THAT COLUMN (sound, just unprunable), while a
+    * ZERO-ROW part file — Spark writes one per empty task — is
+    * reported absent so the commit can drop it from the manifest
+    * entirely: it contributes no rows to any snapshot, and carrying it
+    * would poison every future [[filesForRange]]/[[mergePruned]]
+    * pruning decision as a rangeless forever-candidate (found live:
+    * q170's out-of-range-append REQUIRE tripped on an empty part file
+    * at the 10x fixture).
     */
   private def fileRanges(spark: SparkSession, root: String,
-      files: Seq[String], key: String)
-      : (Map[String, (Long, Long)], Set[String]) = {
+      files: Seq[String], keys: Seq[String])
+      : (Map[String, Map[String, (Long, Long)]], Set[String]) = {
     if (files.isEmpty) return (Map.empty, Set.empty)
+    val aggs = keys.flatMap(k => Seq(
+      fmin(col(k)).cast("long").as(s"mn_$k"),
+      fmax(col(k)).cast("long").as(s"mx_$k")))
     val rows = spark.read.parquet(files.map(p => s"$root/$p"): _*)
       .groupBy(input_file_name().as("__f"))
-      .agg(fmin(col(key)).cast("long").as("mn"),
-        fmax(col(key)).cast("long").as("mx"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect()
     val seen = rows.flatMap(r =>
       files.find(p => r.getString(0).endsWith(p))).toSet
     val ranges = rows.flatMap { r =>
-      if (r.isNullAt(1) || r.isNullAt(2)) None
-      else files.find(p => r.getString(0).endsWith(p))
-        .map(p => p -> (r.getLong(1), r.getLong(2)))
-    }.toMap
+      files.find(p => r.getString(0).endsWith(p)).map { p =>
+        val perCol = keys.zipWithIndex.flatMap { case (k, i) =>
+          val (mnI, mxI) = (1 + 2 * i, 2 + 2 * i)
+          if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
+          else Some(k -> (r.getLong(mnI), r.getLong(mxI)))
+        }.toMap
+        p -> perCol
+      }
+    }.toMap.filter(_._2.nonEmpty)
     (ranges, seen)
   }
 
@@ -461,12 +493,12 @@ object GraftTable {
       .toSeq
     // on a stats-carrying table, zero-row part files (one per empty
     // write task) are dropped from the manifest — see [[fileRanges]]
-    val (newRanges, parts) = p.statsKey match {
-      case Some(k) =>
-        val (ranges, withRows) = fileRanges(spark, root, staged, k)
+    val (newRanges, parts) =
+      if (p.statsKeys.nonEmpty) {
+        val (ranges, withRows) =
+          fileRanges(spark, root, staged, p.statsKeys)
         (ranges, staged.filter(withRows))
-      case None => (Map.empty[String, (Long, Long)], staged)
-    }
+      } else (Map.empty[String, Map[String, (Long, Long)]], staged)
     // change-data feed staged beside the data, referenced by the same
     // manifest — one atomic publish covers both (an empty change set
     // still records its directory, so readers can tell "no changes"
@@ -494,15 +526,17 @@ object GraftTable {
     p.txns.toSeq.sortBy(_._1).foreach { case (app, mx) =>
       manifest.append(s"txn:$app\t$mx\n")
     }
-    p.statsKey.foreach(k => manifest.append(s"statscol:$k\n"))
+    p.statsKeys.foreach(k => manifest.append(s"statscol:$k\n"))
     cdfRel.foreach { case (rel, cdfParts) =>
       manifest.append(s"cdfdir:$rel\n")
       cdfParts.foreach(pt => manifest.append(s"cdf:$pt\n"))
     }
     val allFiles = p.carryFiles ++ parts
     allFiles.foreach(pt => manifest.append(s"file:$pt\n"))
-    (p.carryRanges ++ newRanges).foreach { case (pt, (mn, mx)) =>
-      manifest.append(s"range:$pt\t$mn\t$mx\n")
+    (p.carryRanges ++ newRanges).foreach { case (pt, perCol) =>
+      perCol.foreach { case (c, (mn, mx)) =>
+        manifest.append(s"range:$pt\t$c\t$mn\t$mx\n")
+      }
     }
 
     val tmp = new Path(s"$root/$LogDir/.tmp-v$next-$token")
@@ -533,20 +567,30 @@ object GraftTable {
     commitVersion(df, root, Pending("CREATE", -1L))
   }
 
-  /** Create the table range-partitioned on `key` (a numeric column)
-    * into `numFiles` files, recording per-file min/max key stats in the
-    * manifest — the layout [[mergePruned]]'s file pruning needs. Every
+  /** Create the table range-partitioned on `keys.head` (numeric
+    * columns) into `numFiles` files, recording per-file min/max stats
+    * for EVERY listed column in the manifest — the layout
+    * [[mergePruned]]'s file pruning needs, plus conjunctive multi-key
+    * pruning via [[filesForRanges]] (real tables prune on a date AND
+    * an id). The head key is the clustering key (tight ranges);
+    * secondary keys prune as well as they correlate with it. Every
     * later stats-preserving commit ([[append]], [[compact]],
-    * [[mergePruned]]) keeps the table prunable.
+    * [[mergePruned]]) keeps the table prunable on all columns.
     */
-  def createPartitioned(df: DataFrame, root: String, key: String,
+  def createPartitioned(df: DataFrame, root: String, keys: Seq[String],
       numFiles: Int): Long = {
     require(numFiles > 0, s"numFiles must be positive: $numFiles")
+    require(keys.nonEmpty, "at least one stats column is required")
     val seen = latestVersion(df.sparkSession, root)
     require(seen == -1L, s"table already exists at $root (version $seen)")
-    commitVersion(df.repartitionByRange(numFiles, col(key)), root,
-      Pending("CREATE", -1L, statsKey = Some(key)))
+    commitVersion(df.repartitionByRange(numFiles, col(keys.head)), root,
+      Pending("CREATE", -1L, statsKeys = keys))
   }
+
+  /** Single-key convenience overload. */
+  def createPartitioned(df: DataFrame, root: String, key: String,
+      numFiles: Int): Long =
+    createPartitioned(df, root, Seq(key), numFiles)
 
   /** Append `df`'s rows as a new version: the manifest carries the
     * parent's files plus the new ones — no data is rewritten. The
@@ -569,7 +613,7 @@ object GraftTable {
       carryFiles = parent.files, carryRanges = parent.ranges,
       maxBatch = parent.maxBatch, txns = parent.txns,
       schemaDdl = Some(parent.schemaDdl),
-      statsKey = parent.statsCol))
+      statsKeys = parent.statsCols))
   }
 
   /** Schema-evolving append (ALTER TABLE ADD COLUMNS + APPEND in one
@@ -609,7 +653,7 @@ object GraftTable {
       carryFiles = parent.files, carryRanges = parent.ranges,
       maxBatch = parent.maxBatch, txns = parent.txns,
       schemaDdl = Some(evolved.toDDL),
-      statsKey = parent.statsCol))
+      statsKeys = parent.statsCols))
   }
 
   /** Exactly-once streaming sink primitive: append a micro-batch as a
@@ -669,7 +713,7 @@ object GraftTable {
               parent.maxBatch.getOrElse(-1L))),
             txns = parent.txns + (appId -> batchId),
             schemaDdl = Some(parent.schemaDdl),
-            statsKey = parent.statsCol))
+            statsKeys = parent.statsCols))
         }
         return true
       } catch {
@@ -703,7 +747,7 @@ object GraftTable {
     commitVersion(laid, root, Pending("COMPACT", expectedVersion,
       maxBatch = parent.maxBatch, txns = parent.txns,
       schemaDdl = Some(parent.schemaDdl),
-      statsKey = parent.statsCol))
+      statsKeys = parent.statsCols))
   }
 
   /** ACID MERGE: apply a changelog (op I/U/D, latest-wins by
@@ -717,18 +761,30 @@ object GraftTable {
     * scan (the pre-image join) — on a stats-carrying table use
     * [[mergePruned]], which confines both the rewrite AND the feed's
     * pre-image scan to the files containing matched keys.
+    *
+    * The changelog is MATERIALIZED once (`localCheckpoint`) before the
+    * snapshot and the change feed are derived from it: the two are
+    * separate Spark jobs, and a non-deterministic `changes` plan (a
+    * sample, a rand-salted dedup, ties resolved by partition order)
+    * re-evaluated per job could commit a feed that disagrees with the
+    * snapshot it claims to mirror (ADVICE r15) — Delta's
+    * merge-materialize-source step exists for exactly this. The base
+    * side needs no pinning: it is a scan of immutable committed
+    * parquet. Cost: one pass over the changelog into block storage —
+    * bounded by the changelog, never the table.
     */
   def merge(root: String, changes: DataFrame, key: String,
       ordering: Seq[String], expectedVersion: Long): Long = {
     val spark = changes.sparkSession
     val parent = readManifest(spark, root, expectedVersion)
     val base = snapshotOf(spark, root, parent)
-    val merged = Cdc.latestWinsMerge(base, changes, key, ordering)
+    val staged = changes.localCheckpoint(true)
+    val merged = Cdc.latestWinsMerge(base, staged, key, ordering)
     commitVersion(merged, root, Pending("MERGE", expectedVersion,
       maxBatch = parent.maxBatch, txns = parent.txns,
       schemaDdl = Some(parent.schemaDdl),
-      statsKey = parent.statsCol,
-      cdf = Some(Cdc.latestWinsChanges(base, changes, key, ordering))))
+      statsKeys = parent.statsCols,
+      cdf = Some(Cdc.latestWinsChanges(base, staged, key, ordering))))
   }
 
   /** File-pruned ACID MERGE (the Delta data-skipping recipe, VERDICT
@@ -752,14 +808,19 @@ object GraftTable {
     * rewritten output is range-repartitioned on the key with fresh
     * per-file stats, so pruned merges compose.
     */
-  def mergePruned(root: String, changes: DataFrame, key: String,
+  def mergePruned(root: String, changes0: DataFrame, key: String,
       ordering: Seq[String], expectedVersion: Long): Long = {
-    val spark = changes.sparkSession
+    val spark = changes0.sparkSession
     val parent = readManifest(spark, root, expectedVersion)
-    require(parent.statsCol.contains(key),
-      s"no file stats on '$key' (table stats: ${parent.statsCol}) — " +
+    require(parent.statsCols.contains(key),
+      s"no file stats on '$key' (table stats: ${parent.statsCols}) — " +
         "create the table with createPartitioned(key) or use merge()")
     val schema = StructType.fromDDL(parent.schemaDdl)
+    // materialized once: bounds, touch set, merged snapshot and change
+    // feed are FOUR jobs over the changelog — a non-deterministic plan
+    // re-evaluated per job could prune against one key set and merge
+    // another (see [[merge]]'s scaladoc)
+    val changes = changes0.localCheckpoint(true)
     val bounds = changes.agg(fmin(col(key)).cast("long"),
       fmax(col(key)).cast("long")).head()
     if (bounds.isNullAt(0)) {
@@ -771,15 +832,17 @@ object GraftTable {
         root, Pending("MERGE", expectedVersion,
           carryFiles = parent.files, carryRanges = parent.ranges,
           maxBatch = parent.maxBatch, txns = parent.txns,
-          schemaDdl = Some(parent.schemaDdl), statsKey = Some(key),
+          schemaDdl = Some(parent.schemaDdl),
+          statsKeys = parent.statsCols,
           cdf = Some(withChangeType(empty))))
     }
     val (cmin, cmax) = (bounds.getLong(0), bounds.getLong(1))
     // stage 1: range-disjoint files can't hold a change key; files
-    // without a recorded range stay candidates (sound, unprunable)
+    // without a recorded range FOR THIS KEY stay candidates (sound,
+    // unprunable)
     val (candidates, disjoint) = parent.files.partition { pth =>
-      parent.ranges.get(pth).forall { case (mn, mx) =>
-        mx >= cmin && mn <= cmax
+      parent.ranges.get(pth).flatMap(_.get(key)).forall {
+        case (mn, mx) => mx >= cmin && mn <= cmax
       }
     }
     // stage 2: exact touch set — key-only scan of candidates,
@@ -812,7 +875,7 @@ object GraftTable {
       carryRanges = parent.ranges.filter(r => carried.contains(r._1)),
       maxBatch = parent.maxBatch, txns = parent.txns,
       schemaDdl = Some(parent.schemaDdl),
-      statsKey = Some(key),
+      statsKeys = parent.statsCols,
       cdf = Some(Cdc.latestWinsChanges(base, changes, key, ordering))))
   }
 
@@ -823,7 +886,11 @@ object GraftTable {
     * be evaluated against manifest ranges; key-confined deletes go
     * through [[mergePruned]] with D-ops). Null-safe: rows where the
     * predicate is NULL are KEPT (SQL DELETE semantics — only rows
-    * where the condition is TRUE go).
+    * where the condition is TRUE go). The kept and deleted sides are
+    * two jobs over the SAME committed snapshot — immutable parquet
+    * plus a deterministic Column, so no materialization is needed for
+    * the feed to mirror the snapshot (unlike [[merge]], whose
+    * changelog is caller-supplied).
     */
   def deleteWhere(spark: SparkSession, root: String,
       condition: Column, expectedVersion: Long): Long = {
@@ -835,7 +902,7 @@ object GraftTable {
     commitVersion(kept, root, Pending("DELETE", expectedVersion,
       maxBatch = parent.maxBatch, txns = parent.txns,
       schemaDdl = Some(parent.schemaDdl),
-      statsKey = parent.statsCol,
+      statsKeys = parent.statsCols,
       cdf = Some(withChangeType(gone, "delete"))))
   }
 
@@ -888,9 +955,33 @@ object GraftTable {
     require(c.statsCol.isDefined,
       s"no file stats under $root — create the table with " +
         "createPartitioned to enable range-pruned reads")
-    c.files.filter(p => c.ranges.get(p).forall { case (mn, mx) =>
-      mx >= lo && mn <= hi
-    })
+    filesForRanges(spark, root, version, Map(c.statsCol.get -> (lo, hi)))
+  }
+
+  /** Conjunctive multi-column pruning: the files a read filtered to
+    * `bounds` (column → inclusive [lo, hi]) must scan at `version` — a
+    * file survives only if EVERY queried column's recorded range
+    * overlaps its bound (real tables prune on a date AND an id; one
+    * disjoint column is enough to skip the file). Columns a file has
+    * no recorded range for (all-NULL at write time) don't prune it —
+    * sound, just unprunable on that column.
+    */
+  def filesForRanges(spark: SparkSession, root: String, version: Long,
+      bounds: Map[String, (Long, Long)]): Seq[String] = {
+    val c = readManifest(spark, root, version)
+    require(c.statsCols.nonEmpty,
+      s"no file stats under $root — create the table with " +
+        "createPartitioned to enable range-pruned reads")
+    val unknown = bounds.keySet -- c.statsCols.toSet
+    require(unknown.isEmpty,
+      s"no file stats on $unknown (table stats: ${c.statsCols})")
+    c.files.filter { p =>
+      bounds.forall { case (k, (lo, hi)) =>
+        c.ranges.get(p).flatMap(_.get(k)).forall { case (mn, mx) =>
+          mx >= lo && mn <= hi
+        }
+      }
+    }
   }
 
   /** Snapshot read of the rows whose stats key lies in `[lo, hi]`,
@@ -906,18 +997,36 @@ object GraftTable {
       version: Long = -1L): DataFrame = {
     val v = if (version >= 0L) version else latestVersion(spark, root)
     require(v >= 0L, s"no committed versions under $root")
-    val c = readManifest(spark, root, v)
-    val key = c.statsCol.getOrElse(
+    val key = readManifest(spark, root, v).statsCol.getOrElse(
       sys.error(s"no file stats under $root"))
+    readRanges(spark, root, Map(key -> (lo, hi)), v)
+  }
+
+  /** Snapshot read of the rows satisfying EVERY bound (column →
+    * inclusive [lo, hi]), scanning only the files [[filesForRanges]]
+    * selects. Semantically identical to `read(root)` filtered by the
+    * conjunction — the residual predicates still apply inside the
+    * surviving files and still reach the parquet scan pushed down, so
+    * manifest pruning composes with row-group zone maps instead of
+    * replacing them. `version < 0` reads the latest snapshot.
+    */
+  def readRanges(spark: SparkSession, root: String,
+      bounds: Map[String, (Long, Long)],
+      version: Long = -1L): DataFrame = {
+    val v = if (version >= 0L) version else latestVersion(spark, root)
+    require(v >= 0L, s"no committed versions under $root")
+    val c = readManifest(spark, root, v)
     val schema = StructType.fromDDL(c.schemaDdl)
-    val files = filesForRange(spark, root, v, lo, hi)
+    val files = filesForRanges(spark, root, v, bounds)
     val base =
       if (files.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema)
         .parquet(files.map(p => s"$root/$p"): _*)
-    base.filter(col(key) >= lo && col(key) <= hi)
+    bounds.foldLeft(base) { case (df, (k, (lo, hi))) =>
+      df.filter(col(k) >= lo && col(k) <= hi)
+    }
   }
 
   /** Change-data feed: every row the table gained, lost or rewrote in

@@ -4725,6 +4725,153 @@ object PipelineQueries {
         round(col("o_totalprice"), 2).as("o_totalprice"))
       .orderBy("_commit_version", "_change_type", "o_orderkey")
   }
+
+  /** Multi-column stats pruning (q172, VERDICT r15 #7): the table
+    * carries per-file min/max for BOTH o_orderkey (the layout key) and
+    * o_custkey, and a conjunctive
+    * [[graft.operators.GraftTable.readRanges]] prunes on both. The
+    * appended slab keeps its o_orderkey INSIDE the queried band but
+    * shifts o_custkey by +10M, so only the SECONDARY column can prune
+    * it — REQUIREd in-query: the key-only selection keeps the appended
+    * files, the conjunctive selection drops them, and the key bound
+    * itself pruned base files. Pruning UNSOUNDNESS (a skipped file
+    * holding qualifying rows) is a hash mismatch against the plain
+    * two-predicate SQL.
+    */
+  val q172 = Q.checked(
+    "q172_table_multicol_pruned_read",
+    """WITH b AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+       ap AS (SELECT o_orderkey, o_custkey + 10000000 AS o_custkey,
+                     o_totalprice + 10 AS o_totalprice
+              FROM b WHERE o_orderkey % 23 = 5),
+       t1 AS (SELECT * FROM b UNION ALL SELECT * FROM ap),
+       r AS (SELECT max(o_orderkey) // 4 AS lo,
+                    max(o_orderkey) // 2 AS hi,
+                    max(o_custkey) AS mc FROM b)
+       SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+       FROM t1
+       WHERE o_orderkey >= (SELECT lo FROM r)
+         AND o_orderkey <= (SELECT hi FROM r)
+         AND o_custkey >= 0 AND o_custkey <= (SELECT mc FROM r)
+       ORDER BY o_orderkey, o_custkey""") { (s, d) =>
+    val root = s"${sys.props("java.io.tmpdir")}/graft_mcp_${ProcessHandle.current().pid()}"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val gt = graft.operators.GraftTable
+    val base = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val k = col("o_orderkey")
+    val mx = base.agg(max("o_orderkey")).head().getLong(0)
+    val mc = base.agg(max("o_custkey")).head().getLong(0)
+    val (lo, hi) = (mx / 4, mx / 2)
+    val v0 = gt.createPartitioned(base, root,
+      Seq("o_orderkey", "o_custkey"), numFiles = 10)
+    // in-key-band rows whose CUSTKEY is out of band: only the secondary
+    // column's stats can prune these files
+    val appended = base.filter(k % 23 === 5)
+      .select(k, (col("o_custkey") + 10000000L).as("o_custkey"),
+        (col("o_totalprice") + 10).as("o_totalprice"))
+    val v1 = gt.append(appended, root, v0)
+    val h = gt.history(s, root)
+    val addedByV1 = h(1).files.toSet -- h(0).files.toSet
+    val selKey = gt.filesForRanges(s, root, v1,
+      Map("o_orderkey" -> (lo, hi)))
+    val selBoth = gt.filesForRanges(s, root, v1,
+      Map("o_orderkey" -> (lo, hi), "o_custkey" -> (0L, mc)))
+    require(selKey.size < h(1).files.size,
+      "the key bound pruned nothing")
+    require(selKey.toSet.intersect(addedByV1).nonEmpty,
+      "fixture broken: the appended slab should survive key-only pruning")
+    require(selBoth.toSet.intersect(addedByV1).isEmpty,
+      "the secondary column's stats did not prune the appended files")
+    gt.readRanges(s, root,
+      Map("o_orderkey" -> (lo, hi), "o_custkey" -> (0L, mc)))
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy("o_orderkey", "o_custkey")
+  }
+
+  /** Streaming source across schema evolution (q173, VERDICT r15 #5):
+    * the q171 harness with an [[graft.operators.GraftTable.appendEvolve]]
+    * between the two runs of ONE checkpoint. Run 1's schema is pinned
+    * pre-evolution (REQUIREd: the frame has no o_custkey column); the
+    * restarted run re-resolves the schema and must serve the added
+    * column's committed values (Delta's pin-per-run /
+    * refresh-at-restart contract, here as a hash-matched oracle
+    * instead of prose). The combined feed: run 1's rows null-extended,
+    * run 2's carrying real values.
+    */
+  val q173 = Q.checked(
+    "q173_table_stream_source_evolution",
+    """WITH b AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+                  WHERE o_orderkey % 5 = 0)
+       SELECT CAST(0 AS BIGINT) AS _commit_version,
+              'insert' AS _change_type, o_orderkey,
+              round(o_totalprice, 2) AS o_totalprice,
+              CAST(NULL AS BIGINT) AS o_custkey
+       FROM b
+       UNION ALL
+       SELECT 1, 'insert', o_orderkey + 5000000,
+              round(o_totalprice + 3, 2), o_custkey
+       FROM b WHERE o_orderkey % 7 = 3
+       ORDER BY _commit_version, o_orderkey""") { (s, d) =>
+    val base0 = s"${sys.props("java.io.tmpdir")}/graft_sse_${ProcessHandle.current().pid()}"
+    val fs = new org.apache.hadoop.fs.Path(base0)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base0), true)
+    val gt = graft.operators.GraftTable
+    val root = s"$base0/table"
+    val k = col("o_orderkey")
+    val base = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      .filter(k % 5 === 0)
+    val v0 = gt.create(base, root)
+
+    def streamOnce(outDir: String): Unit = {
+      val q = s.readStream
+        .format("org.apache.spark.sql.graft.GraftTableSourceProvider")
+        .option("path", root).load()
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$base0/ckpt")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    streamOnce(s"$base0/out1")
+    val feed1 = s.read.parquet(s"$base0/out1")
+    require(!feed1.columns.contains("o_custkey"),
+      "run 1 must be pinned to the pre-evolution schema")
+    // the table EVOLVES while the stream is down: new rows carry a
+    // column run 1 never saw
+    val evolved = Tables.orders(s, d)
+      .filter(k % 5 === 0 && k % 7 === 3)
+      .select((k + 5000000L).as("o_orderkey"),
+        (col("o_totalprice") + 3).as("o_totalprice"),
+        col("o_custkey"))
+    val v1 = gt.appendEvolve(evolved, root, v0)
+    streamOnce(s"$base0/out2")
+    val feed2 = s.read.parquet(s"$base0/out2")
+    require(feed2.columns.contains("o_custkey"),
+      "restarted run did not pick up the evolved schema")
+    require(feed2.filter(col("_commit_version") =!= v1).isEmpty,
+      "restarted run replayed already-served versions")
+    require(feed2.filter(col("o_custkey").isNull).isEmpty,
+      "evolved column lost its committed values")
+    feed1
+      .withColumn("o_custkey",
+        lit(null).cast(org.apache.spark.sql.types.LongType))
+      .unionByName(feed2)
+      .select(col("_commit_version"), col("_change_type"),
+        col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("o_custkey"))
+      .orderBy("_commit_version", "o_orderkey")
+  }
 }
 
 /** Planted biarc corpus for the self-verifying q40: 100 verb groups,

@@ -120,4 +120,32 @@ class CdcSpec extends AnyFunSuite {
       Seq("ts", "tieb")).as[(Long, String, Double)].collect().toSet
     assert(got == Set((1L, "last", 2.0)))
   }
+
+  test("malformed ops fail loudly in merge AND feed: NULL or unknown op never silently diverges the two") {
+    // ADVICE r15: a winning NULL op fell through every when() branch of
+    // latestWinsChanges (both === "D" and =!= "D" are null) and emitted
+    // NOTHING, while latestWinsMerge classified the same row — the feed
+    // silently diverging from the merge it mirrors. Both now raise.
+    val nullOp = Seq((1L, "x", 1.0, 1L, 1L, null.asInstanceOf[String]))
+      .toDF("k", "name", "bal", "ts", "tieb", "op")
+    val badOp = Seq((1L, "x", 1.0, 1L, 1L, "UPSERT"))
+      .toDF("k", "name", "bal", "ts", "tieb", "op")
+    Seq(nullOp, badOp).foreach { ch =>
+      val e1 = intercept[Exception] {
+        Cdc.latestWinsMerge(base, ch, "k", Seq("ts", "tieb")).collect()
+      }
+      assert(e1.getMessage.contains("changelog ops must be I, U or D"),
+        s"merge: ${e1.getMessage.take(200)}")
+      val e2 = intercept[Exception] {
+        Cdc.latestWinsChanges(base, ch, "k", Seq("ts", "tieb")).collect()
+      }
+      assert(e2.getMessage.contains("changelog ops must be I, U or D"),
+        s"feed: ${e2.getMessage.take(200)}")
+    }
+    // well-formed ops are untouched by the validation
+    val ok = Seq((1L, "x", 1.0, 1L, 1L, "U"))
+      .toDF("k", "name", "bal", "ts", "tieb", "op")
+    assert(Cdc.latestWinsMerge(base, ok, "k", Seq("ts", "tieb"))
+      .count() == 4L)
+  }
 }

@@ -9,6 +9,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * rename-CAS conflict path, ACID MERGE semantics via the Cdc kernel,
   * and vacuum never touching committed data.
   */
+/** Serializable home for the non-determinism counter (a closure over a
+  * spec field would drag the suite into the task closure).
+  */
+object CommitLogSpecCounter {
+  private val c = new java.util.concurrent.atomic.AtomicLong(0L)
+  def next(): Double = c.incrementAndGet().toDouble
+}
+
 class CommitLogSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -745,6 +753,89 @@ class CommitLogSpec extends AnyFunSuite {
       .select("name", "_change_type")
       .as[(String, String)].collect().toSet ==
       Set(("n5", "update_preimage"), ("m5", "update_postimage")))
+  }
+
+  test("a non-deterministic changelog commits a feed that agrees with the snapshot: the merge materializes its source once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.udf
+    val root = freshRoot()
+    GraftTable.create(table3(Seq((1L, "a", 1.0), (2L, "b", 2.0))), root)
+    // a genuinely non-deterministic payload: every EVALUATION of the
+    // plan yields different values (local mode shares the JVM, so the
+    // counter is visible across jobs). Without localCheckpoint the
+    // merge's snapshot job and the feed's pre-image job each
+    // re-evaluated this plan and committed DIFFERENT bal values —
+    // replaying the feed then contradicted the snapshot (ADVICE r15).
+    val bump = udf(() => CommitLogSpecCounter.next()).asNondeterministic()
+    val changes = Seq((1L, "a2", "U", 1L)).toDF("k", "name", "op", "seq")
+      .withColumn("bal", bump())
+      .select("k", "name", "bal", "op", "seq")
+    val v1 = GraftTable.merge(root, changes, "k", Seq("seq"), 0L)
+    val snapBal = GraftTable.read(spark, root)
+      .filter($"k" === 1L).select("bal").head().getDouble(0)
+    val feedBal = GraftTable.readChanges(spark, root, v1, v1)
+      .filter($"_change_type" === "update_postimage")
+      .select("bal").head().getDouble(0)
+    assert(snapBal == feedBal,
+      s"committed snapshot ($snapBal) and change feed ($feedBal) saw " +
+        "different evaluations of the changelog")
+  }
+
+  test("multi-column stats: conjunctive pruning skips files either column rules out; single-column paths unchanged") {
+    import spark.implicits._
+    val root = freshRoot()
+    // k clusters with the layout (range-partitioned on it); ts is an
+    // anti-correlated secondary column (descending in k), so each file
+    // carries a tight range on BOTH — the date+id shape real tables
+    // prune on
+    val rows = (1L to 1000L).map(i => (i, 2000L - i, s"n$i"))
+      .toDF("k", "ts", "name")
+    GraftTable.createPartitioned(rows, root, Seq("k", "ts"),
+      numFiles = 10)
+    val h0 = GraftTable.history(spark, root).head
+    assert(h0.statsCols == Seq("k", "ts"))
+    assert(h0.ranges.values.forall(m => m.keySet == Set("k", "ts")),
+      "every file must carry ranges for both stats columns")
+
+    // one-column bounds prune as before
+    val byK = GraftTable.filesForRanges(spark, root, 0L,
+      Map("k" -> (1L, 100L)))
+    val byTs = GraftTable.filesForRanges(spark, root, 0L,
+      Map("ts" -> (1000L, 1100L)))
+    assert(byK.size < h0.files.size && byTs.size < h0.files.size)
+    // conjunctive: k in [1,100] means ts in [1900,1999]; a disjoint ts
+    // bound must eliminate every file the k bound left
+    val contradictory = GraftTable.filesForRanges(spark, root, 0L,
+      Map("k" -> (1L, 100L), "ts" -> (1000L, 1100L)))
+    assert(contradictory.isEmpty,
+      s"conjunctive pruning kept ${contradictory.size} files for " +
+        "contradictory bounds")
+    // a consistent conjunction reads exactly the filter semantics
+    val got = GraftTable.readRanges(spark, root,
+      Map("k" -> (1L, 100L), "ts" -> (1900L, 1950L)))
+    assert(got.count() == 51L) // k in [50,100]
+    assert(got.agg(min("k"), max("k")).head() ===
+      org.apache.spark.sql.Row(50L, 100L))
+    // appends/merges preserve BOTH columns' stats
+    val v1 = GraftTable.append(
+      Seq((2001L, 42L, "x")).toDF("k", "ts", "name"), root, 0L)
+    val h1 = GraftTable.history(spark, root)(1)
+    val added = h1.files.filterNot(h0.files.toSet)
+    assert(added.nonEmpty &&
+      added.forall(p => h1.ranges(p).keySet == Set("k", "ts")))
+    val v2 = GraftTable.mergePruned(root,
+      Seq((5L, 1995L, "m5", "U", 1L)).toDF("k", "ts", "name", "op", "seq"),
+      "k", Seq("seq"), v1)
+    val h2 = GraftTable.history(spark, root)(2)
+    assert(h2.statsCols == Seq("k", "ts"))
+    val rewritten = h2.files.filterNot(h1.files.toSet)
+    assert(rewritten.nonEmpty &&
+      rewritten.forall(p => h2.ranges(p).keySet == Set("k", "ts")),
+      "pruned merge lost the secondary column's stats")
+    // unknown columns refuse rather than silently full-scan
+    intercept[IllegalArgumentException] {
+      GraftTable.filesForRanges(spark, root, 0L, Map("name" -> (0L, 1L)))
+    }
   }
 
   test("a pre-CDF merge manifest fails the feed loudly instead of serving silence") {
