@@ -390,6 +390,28 @@ object Bench {
         .count()
       require(got == jacDocs / 2, s"expected ${jacDocs / 2} pairs, got $got")
     }),
+    // ROUND 16 (VERDICT r15 #8): the GRAPH stage on the adversarial
+    // linear-by-construction corpus, pinned in the committed families
+    // rather than living only in the sf1 spot-check evidence — the
+    // fixture corpus's dense pair graph (cx_dedup_graph) cannot
+    // distinguish a components-stage complexity regression from its
+    // own answer growth, while this one can: n/2 disjoint edges must
+    // label exactly n docs into n/2 size-2 clusters, and the star
+    // rounds converge in one iteration, so any superlinear drift here
+    // is the ALGORITHM, never the answer.
+    s"dedup_components_adversarial_$jacDocs" -> (() => {
+      import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
+      val pairs = graft.operators.Dedup
+        .jaccardPairs(adversarialDocs(spark, jacDocs), threshold = 0.5)
+        .localCheckpoint(true)
+      val comps = graft.operators.DupGraph.components(pairs)
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("component")).as("c")).head()
+      require(comps.getLong(0) == jacDocs &&
+        comps.getLong(1) == jacDocs / 2,
+        s"expected $jacDocs labeled nodes in ${jacDocs / 2} components, " +
+          s"got ${comps.getLong(0)} in ${comps.getLong(1)}")
+    }),
     // Incremental DIRT under Structured Streaming, end-to-end and
     // BOUNDED: the synthetic corpus written as 8 text files, read back
     // as a file stream in ≥4 micro-batches (maxFilesPerTrigger=2,

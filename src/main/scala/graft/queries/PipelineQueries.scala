@@ -4147,10 +4147,14 @@ object PipelineQueries {
     * (q166): the events table file-streamed (AvailableNow, one file
     * per micro-batch) through foreachBatch into
     * [[graft.operators.GraftTable.appendBatchIdempotent]] — each batch
-    * one atomic version carrying its batch id. In-query gates: a
-    * manual REPLAY of batch 0 (the post-crash at-least-once case) must
-    * be a no-op (no version, no rows), and a COMPACT afterwards must
-    * preserve the row set while the history reads
+    * one atomic version carrying its (appId, batchId) writer
+    * transaction (Delta's SetTransaction). In-query gates: a manual
+    * REPLAY of batch 0 (the post-crash at-least-once case) must be a
+    * no-op (no version, no rows) FOR ITS OWN writer; a DIFFERENT
+    * writer's batch 0 must NOT be swallowed by this writer's watermark
+    * (the r15 fresh-checkpoint data-loss defect — proven with an empty
+    * batch so the oracle row set is untouched); and a COMPACT
+    * afterwards must preserve the row set while the history reads
     * CREATE/APPEND.../COMPACT. The final table must equal the plain
     * events table — exactly-once end to end, the q93 discipline
     * upgraded from marker directories to transactional versions.
