@@ -4876,6 +4876,81 @@ object PipelineQueries {
         col("o_custkey"))
       .orderBy("_commit_version", "o_orderkey")
   }
+
+  /** Streaming SINK as a first-class format (q174): the q166 pipeline
+    * with the hand-rolled foreachBatch replaced by
+    * `writeStream.format(GraftTableSourceProvider).option("path", root)`
+    * — each micro-batch one atomic version via
+    * [[graft.operators.GraftTable.appendBatchIdempotent]], the writer
+    * id defaulting to the streaming query's checkpoint-pinned id.
+    * In-query gates: a SECOND AvailableNow run on the SAME checkpoint
+    * must leave the table untouched (the file source serves nothing
+    * new; the sink's writer id is checkpoint-pinned); a manual replay
+    * of batch 0 under the RECORDED writer id (read back from the
+    * manifest's txn map) must be adjudicated a no-op — the post-crash
+    * at-least-once path, hit directly; and the final table equals the
+    * plain events table. Exactly-once with zero user-written
+    * idempotence code.
+    */
+  val q174 = Q.checked(
+    "q174_table_sink_format",
+    """SELECT event_id, user_id, event_type, value
+       FROM events ORDER BY event_id""") { (s, d) =>
+    val out = s"${sys.props("java.io.tmpdir")}/graft_tsf_${ProcessHandle.current().pid()}"
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val inDir = s"$out/in"
+    s.read.schema(schema).parquet(s"$d/events.parquet")
+      .repartition(4).write.parquet(inDir)
+    val root = s"$out/table"
+    def ingest(): Unit = {
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir)
+        .writeStream
+        .format("org.apache.spark.sql.graft.GraftTableSourceProvider")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$out/_ckpt")
+        .option("path", root)
+        .start()
+      q.awaitTermination()
+    }
+    ingest()
+    val gt = graft.operators.GraftTable
+    val nVersions = gt.latestVersion(s, root) + 1
+    require(nVersions >= 2, "expected one version per micro-batch")
+    val nRows = gt.read(s, root).count()
+    // restart on the SAME checkpoint with no new input: every re-planned
+    // batch must be a replay no-op (the writer id is checkpoint-pinned)
+    ingest()
+    require(gt.latestVersion(s, root) + 1 == nVersions,
+      "checkpointed restart added versions")
+    require(gt.read(s, root).count() == nRows, "restart added rows")
+    // the post-crash at-least-once path, hit directly: replay batch 0
+    // under the writer id the sink recorded (the streaming query's id,
+    // read back from the manifest) — must be a no-op
+    val txns = gt.manifest(s, root, nVersions - 1).txns
+    require(txns.size == 1, s"expected one writer, got $txns")
+    val replayed = gt.appendBatchIdempotent(
+      s.read.schema(schema).parquet(inDir).limit(10), 0L, root,
+      txns.keys.head)
+    require(!replayed, "batch-0 replay under the recorded writer id " +
+      "was not detected as committed")
+    require(gt.read(s, root).count() == nRows, "replay added rows")
+    gt.read(s, root)
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
 }
 
 /** Planted biarc corpus for the self-verifying q40: 100 verb groups,

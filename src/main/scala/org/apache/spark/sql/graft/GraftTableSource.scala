@@ -2,9 +2,11 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.classic.SparkSession
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
+import org.apache.spark.sql.execution.streaming.runtime.StreamExecution
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.StreamSourceProvider
+import org.apache.spark.sql.sources.{StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.operators.GraftTable
@@ -51,7 +53,8 @@ import graft.operators.GraftTable
   * system), the canonical table-format streaming source. Everything
   * else here calls only public `GraftTable` API.
   */
-class GraftTableSourceProvider extends StreamSourceProvider {
+class GraftTableSourceProvider extends StreamSourceProvider
+  with StreamSinkProvider {
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
@@ -64,6 +67,61 @@ class GraftTableSourceProvider extends StreamSourceProvider {
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new GraftTableSource(sqlContext, GraftTableSource.rootOf(parameters))
+
+  /** The WRITE side of the same format — `df.writeStream.format(this)
+    * .option("path", root)` lands each micro-batch as one atomic table
+    * version through [[GraftTable.appendBatchIdempotent]], so the
+    * exactly-once sink no longer requires hand-rolled `foreachBatch`
+    * plumbing. Append-mode only: a table version IS an append; update/
+    * complete semantics belong to a MERGE driven by the caller.
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "partitionBy is not supported — use createPartitioned's stats " +
+        "layout instead")
+    require(outputMode == OutputMode.Append(),
+      s"unsupported output mode $outputMode (append only)")
+    new GraftTableSink(sqlContext, GraftTableSource.rootOf(parameters),
+      parameters.get("appId"))
+  }
+}
+
+/** Exactly-once streaming sink over the table: each `addBatch` is one
+  * [[GraftTable.appendBatchIdempotent]] call. The writer id defaults
+  * to the streaming query's `id` (Spark publishes it as a local
+  * property during execution — `StreamExecution.QUERY_ID_KEY`; the id
+  * is minted once per CHECKPOINT and survives restarts on it, so the
+  * per-writer replay watermark has exactly the lifetime the
+  * SetTransaction contract wants: a replay on the same checkpoint is a
+  * no-op, a fresh checkpoint is a fresh writer). Override with
+  * `option("appId", ...)` to share one watermark across queries that
+  * logically continue each other.
+  *
+  * `addBatch`'s DataFrame is re-wrapped over its already-planned RDD
+  * (the FileStreamSink technique) — writing the incoming frame
+  * directly would re-trigger the incremental plan.
+  */
+class GraftTableSink(sqlContext: SQLContext, root: String,
+    explicitAppId: Option[String]) extends Sink {
+
+  private val spark =
+    sqlContext.sparkSession.asInstanceOf[SparkSession]
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val appId = explicitAppId
+      .orElse(Option(sqlContext.sparkContext
+        .getLocalProperty(StreamExecution.QUERY_ID_KEY)))
+      .getOrElse(throw new IllegalStateException(
+        "no streaming query id on this thread — pass option(\"appId\", ...)"))
+    val batch = spark.internalCreateDataFrame(
+      data.queryExecution.toRdd, data.schema, isStreaming = false)
+    GraftTable.appendBatchIdempotent(batch, batchId, root, appId)
+    ()
+  }
+
+  override def toString: String = s"GraftTableSink[$root]"
 }
 
 object GraftTableSource {

@@ -204,6 +204,58 @@ class GraftTableSourceSpec extends AnyFunSuite {
     assert(next == Set((2L, Some(5.0), "insert", 1L)))
   }
 
+  test("format() sink: micro-batches land as atomic versions, a checkpoint restart replays as a no-op, a fresh checkpoint is a fresh writer") {
+    import spark.implicits._
+    val base = freshDir()
+    val inDir = s"$base/in"
+    (1L to 8L).map(i => (i, s"n$i")).toDF("k", "name")
+      .repartition(4).write.parquet(inDir)
+    val root = s"$base/table"
+    val schema = spark.read.parquet(inDir).schema
+
+    def ingest(ckpt: String): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .writeStream.format(Fmt)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .option("path", root)
+        .start()
+      q.awaitTermination()
+    }
+
+    ingest(s"$base/ckpt1")
+    val rows = GraftTable.read(spark, root).count()
+    assert(rows == 8L)
+    val versions = GraftTable.latestVersion(spark, root) + 1
+    assert(versions >= 2, "expected one version per micro-batch")
+    // same checkpoint, nothing new: the file source serves zero
+    // batches and the table is untouched (the WAL-replay path itself
+    // is pinned below via the recorded writer id, and in
+    // CommitLogSpec)
+    ingest(s"$base/ckpt1")
+    assert(GraftTable.read(spark, root).count() == 8L)
+    assert(GraftTable.latestVersion(spark, root) + 1 == versions,
+      "checkpoint-pinned replays added versions")
+    // a FRESH checkpoint mints a new query id = new writer: its batch
+    // ids restart at 0 and must NOT be swallowed by the first writer's
+    // watermark (they append duplicate rows here, which is exactly
+    // at-least-once-without-a-checkpoint semantics — the caller's
+    // checkpoint IS the exactly-once boundary)
+    ingest(s"$base/ckpt2")
+    assert(GraftTable.read(spark, root).count() == 16L,
+      "fresh-checkpoint writer was swallowed by the old watermark")
+    val txns = GraftTable.manifest(spark, root,
+      GraftTable.latestVersion(spark, root)).txns
+    assert(txns.size == 2, s"expected two writer ids, got $txns")
+    // replaying an already-committed batch id under an EXISTING writer
+    // id (the option("appId", ...) escape hatch for logical-continuation
+    // queries) is a no-op
+    assert(!GraftTable.appendBatchIdempotent(
+      Seq((99L, "x")).toDF("k", "name"), 0L, root, txns.keys.head))
+    assert(GraftTable.read(spark, root).count() == 16L)
+  }
+
   test("in-stream evolution: the running query projects the pinned schema; restart serves the added column") {
     import spark.implicits._
     val base = freshDir()
