@@ -66,7 +66,8 @@ class GraftTableSourceProvider extends StreamSourceProvider
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new GraftTableSource(sqlContext, GraftTableSource.rootOf(parameters))
+    new GraftTableSource(sqlContext, GraftTableSource.rootOf(parameters),
+      GraftTableSource.startingVersionOf(sqlContext, parameters))
 
   /** The WRITE side of the same format — `df.writeStream.format(this)
     * .option("path", root)` lands each micro-batch as one atomic table
@@ -131,6 +132,32 @@ object GraftTableSource {
       throw new IllegalArgumentException(
         "option 'path' (the GraftTable root) is required"))
 
+  /** `startingVersion` option (Delta's vocabulary): the first table
+    * version a FRESH checkpoint serves. Default 0 — the initial
+    * snapshot arrives as inserts, then the query is incremental.
+    * `"latest"` resolves to latest+1 AT STREAM START (changes-only
+    * consumers: nothing historic, everything committed after the query
+    * starts). An existing checkpoint always wins — the option only
+    * positions the FIRST offset, exactly Delta's contract, so setting
+    * it on a resumed query changes nothing.
+    */
+  private[graft] def startingVersionOf(sqlContext: SQLContext,
+      parameters: Map[String, String]): Long =
+    parameters.get("startingVersion") match {
+      case None => 0L
+      case Some("latest") =>
+        GraftTable.latestVersion(sqlContext.sparkSession,
+          rootOf(parameters)) + 1L
+      case Some(v) =>
+        val n = try v.toLong catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"startingVersion must be a version number or 'latest': '$v'")
+        }
+        require(n >= 0L, s"startingVersion must be >= 0: $n")
+        n
+    }
+
   /** Table columns at the LATEST version + the feed columns. The table
     * must exist: a stream needs a schema before data can flow, and a
     * not-yet-created table has none (create version 0 first, exactly
@@ -155,8 +182,12 @@ object GraftTableSource {
   }
 }
 
-/** One streaming source instance: offset = latest committed version. */
-class GraftTableSource(sqlContext: SQLContext, root: String)
+/** One streaming source instance: offset = latest committed version;
+  * `startingVersion` positions the first batch of a FRESH checkpoint
+  * (an existing checkpoint's offsets always win).
+  */
+class GraftTableSource(sqlContext: SQLContext, root: String,
+    startingVersion: Long = 0L)
   extends Source {
 
   private val spark =
@@ -184,7 +215,8 @@ class GraftTableSource(sqlContext: SQLContext, root: String)
     * the evolved table reads its own pre-evolution files.
     */
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(GraftTableOffset.versionOf(_) + 1L).getOrElse(0L)
+    val from = start.map(GraftTableOffset.versionOf(_) + 1L)
+      .getOrElse(startingVersion)
     val to = GraftTableOffset.versionOf(end)
     val batch =
       if (from > to)

@@ -204,6 +204,67 @@ class GraftTableSourceSpec extends AnyFunSuite {
     assert(next == Set((2L, Some(5.0), "insert", 1L)))
   }
 
+  test("startingVersion positions a fresh checkpoint; 'latest' serves only post-start commits; existing checkpoints win") {
+    import spark.implicits._
+    val base = freshDir()
+    val root = s"$base/table"
+    val v0 = GraftTable.create(Seq((1L, "a")).toDF("k", "name"), root)
+    val v1 = GraftTable.append(Seq((2L, "b")).toDF("k", "name"), root, v0)
+    val v2 = GraftTable.append(Seq((3L, "c")).toDF("k", "name"), root, v1)
+
+    def run(ckpt: String, out: String, opts: Map[String, String]): Unit = {
+      val reader = spark.readStream.format(Fmt).option("path", root)
+      val q = opts.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
+        .load()
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.write.mode("append").parquet(out)
+            ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    // numeric: serve from v1, skipping the initial snapshot
+    run(s"$base/ck_v1", s"$base/out_v1",
+      Map("startingVersion" -> v1.toString))
+    val got = spark.read.parquet(s"$base/out_v1")
+      .select("k", "_commit_version")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, v1), (3L, v2)))
+
+    // 'latest': nothing historic; only commits made after stream start
+    run(s"$base/ck_latest", s"$base/out_latest",
+      Map("startingVersion" -> "latest"))
+    assert(!new java.io.File(s"$base/out_latest").exists() ||
+      spark.read.parquet(s"$base/out_latest").isEmpty)
+    val v3 = GraftTable.append(Seq((4L, "d")).toDF("k", "name"), root, v2)
+    run(s"$base/ck_latest", s"$base/out_latest2",
+      Map("startingVersion" -> "latest"))
+    val late = spark.read.parquet(s"$base/out_latest2")
+      .select("k", "_commit_version")
+      .as[(Long, Long)].collect().toSet
+    assert(late == Set((4L, v3)),
+      s"'latest' consumer served historic versions: $late")
+
+    // an existing checkpoint wins over a (changed) startingVersion
+    run(s"$base/ck_v1", s"$base/out_resume",
+      Map("startingVersion" -> "0"))
+    val resumed = spark.read.parquet(s"$base/out_resume")
+      .select("k", "_commit_version")
+      .as[(Long, Long)].collect().toSet
+    assert(resumed == Set((4L, v3)),
+      s"resume re-served already-committed versions: $resumed")
+
+    // validation
+    intercept[Exception] {
+      run(s"$base/ck_bad", s"$base/out_bad",
+        Map("startingVersion" -> "nope"))
+    }
+  }
+
   test("format() sink: micro-batches land as atomic versions, a checkpoint restart replays as a no-op, a fresh checkpoint is a fresh writer") {
     import spark.implicits._
     val base = freshDir()
