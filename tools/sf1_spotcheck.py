@@ -48,10 +48,12 @@ NEW_QUERIES = ["q154_html_extract_text", "q155_html_boilerplate_blocks",
                # round-15b: the write-time change-data feed (five-version
                # lifecycle) and the stats-pruned range read
                "q169_table_change_feed", "q170_table_pruned_read",
-               # round-16: multi-column conjunctive pruning and the
-               # streaming source across schema evolution
+               # round-16: multi-column conjunctive pruning, the
+               # streaming source across schema evolution, and the
+               # format() streaming sink
                "q172_table_multicol_pruned_read",
-               "q173_table_stream_source_evolution"]
+               "q173_table_stream_source_evolution",
+               "q174_table_sink_format"]
 PLANTED_SMALL = 41667   # the bench entry's group count (2,000,016 lines)
 PLANTED_BIG = 416670    # 10x (20,000,160 lines)
 
