@@ -99,6 +99,7 @@ object GraftTable {
       batch: Option[Long] = None,
       maxBatch: Option[Long] = None,
       txns: Map[String, Long] = Map.empty,
+      txnStamps: Map[String, Long] = Map.empty,
       statsCols: Seq[String] = Nil,
       ranges: Map[String, Map[String, (Long, Long)]] = Map.empty,
       cdfDir: Option[String] = None,
@@ -463,12 +464,19 @@ object GraftTable {
       .map { case (pth, rs) =>
         pth -> rs.map(r => r._2 -> (r._3, r._4)).toMap
       }
-    // writer transactions: `txn:<appId>\t<maxBatch>` — appIds are
-    // tab/newline-free by construction ([[appendBatchIdempotent]])
-    val txns = lines.filter(_.startsWith("txn:")).map { l =>
-      val Array(app, mx) = l.drop(4).split("\t")
-      app -> mx.toLong
-    }.toMap
+    // writer transactions: `txn:<appId>\t<maxBatch>\t<lastUpdateMs>`
+    // (the pre-r17 2-field form carried no stamp → 0, i.e. "ancient":
+    // eligible for any retention-based expiry at compact time) —
+    // appIds are tab/newline-free by construction
+    // ([[appendBatchIdempotent]])
+    val txnLines = lines.filter(_.startsWith("txn:")).map { l =>
+      l.drop(4).split("\t") match {
+        case Array(app, mx) => (app, mx.toLong, 0L)
+        case Array(app, mx, st) => (app, mx.toLong, st.toLong)
+        case other =>
+          sys.error(s"manifest $p: bad txn line ${other.mkString("\t")}")
+      }
+    }
     Commit(
       version = field("version").toLong,
       parent = field("parent").toLong,
@@ -477,7 +485,8 @@ object GraftTable {
       files = lines.filter(_.startsWith("file:")).map(_.drop(5)),
       batch = batch,
       maxBatch = opt("maxbatch").map(_.toLong).orElse(batch),
-      txns = txns,
+      txns = txnLines.map(t => t._1 -> t._2).toMap,
+      txnStamps = txnLines.map(t => t._1 -> t._3).toMap,
       statsCols = statsCols,
       ranges = ranges,
       cdfDir = opt("cdfdir"),
@@ -518,6 +527,7 @@ object GraftTable {
       batch: Option[Long] = None,
       maxBatch: Option[Long] = None,
       txns: Map[String, Long] = Map.empty,
+      txnStamps: Map[String, Long] = Map.empty,
       schemaDdl: Option[String] = None,
       statsKeys: Seq[String] = Nil,
       cdf: Option[DataFrame] = None)
@@ -671,7 +681,7 @@ object GraftTable {
     p.batch.foreach(b => manifest.append(s"batch:$b\n"))
     p.maxBatch.foreach(b => manifest.append(s"maxbatch:$b\n"))
     p.txns.toSeq.sortBy(_._1).foreach { case (app, mx) =>
-      manifest.append(s"txn:$app\t$mx\n")
+      manifest.append(s"txn:$app\t$mx\t${p.txnStamps.getOrElse(app, 0L)}\n")
     }
     p.statsKeys.foreach(k => manifest.append(s"statscol:$k\n"))
     staged.cdf.foreach { case (rel, cdfParts) =>
@@ -851,6 +861,7 @@ object GraftTable {
     def pendingFrom(par: Commit) = Pending("APPEND", par.version,
       carryFiles = par.files, carryRanges = par.ranges,
       maxBatch = par.maxBatch, txns = par.txns,
+      txnStamps = par.txnStamps,
       schemaDdl = Some(par.schemaDdl), statsKeys = par.statsCols)
     // AUTO-REBASE (Delta's append-vs-append rule): an append reads
     // nothing, so winners that only ADDED files (CREATE/APPEND with an
@@ -902,6 +913,7 @@ object GraftTable {
     commitVersion(ordered, root, Pending("APPEND", expectedVersion,
       carryFiles = parent.files, carryRanges = parent.ranges,
       maxBatch = parent.maxBatch, txns = parent.txns,
+      txnStamps = parent.txnStamps,
       schemaDdl = Some(evolved.toDDL),
       statsKeys = parent.statsCols))
   }
@@ -971,6 +983,8 @@ object GraftTable {
           maxBatch = Some(math.max(batchId,
             par.maxBatch.getOrElse(-1L))),
           txns = par.txns + (appId -> batchId),
+          txnStamps = par.txnStamps +
+            (appId -> System.currentTimeMillis()),
           schemaDdl = Some(par.schemaDdl),
           statsKeys = par.statsCols))
       }
@@ -978,7 +992,8 @@ object GraftTable {
     val p0 =
       if (latest == -1L)
         Pending("CREATE", -1L, batch = Some(batchId),
-          maxBatch = Some(batchId), txns = Map(appId -> batchId))
+          maxBatch = Some(batchId), txns = Map(appId -> batchId),
+          txnStamps = Map(appId -> System.currentTimeMillis()))
       else decideFrom(readManifest(spark, root, latest)) match {
         case Rebase(p) => p
         case AlreadyApplied => return false
@@ -1003,7 +1018,8 @@ object GraftTable {
     * preserves prunability.
     */
   def compact(spark: SparkSession, root: String, expectedVersion: Long,
-      numFiles: Int = 1): Long = {
+      numFiles: Int = 1,
+      txnRetentionMs: Long = Long.MaxValue): Long = {
     require(numFiles > 0, s"numFiles must be positive: $numFiles")
     val parent = readManifest(spark, root, expectedVersion)
     val snap = snapshotOf(spark, root, parent)
@@ -1011,8 +1027,25 @@ object GraftTable {
       case Some(k) => snap.repartitionByRange(numFiles, col(k))
       case None => snap.repartition(numFiles)
     }
+    // writer-transaction retention (ADVICE r16): every manifest carries
+    // every writer id ever seen forward, and the streaming sink's
+    // default id is fresh per checkpoint — a long-lived table
+    // accumulates one txn line per historical stream incarnation.
+    // Delta bounds this with setTransactionRetentionDuration; here
+    // compaction drops entries whose last update is older than the
+    // window (default: keep all). An EXPIRED writer resuming after the
+    // window loses its replay guard — exactly Delta's documented
+    // contract; entries from pre-stamp manifests read as ancient and
+    // expire under any finite window.
+    val cutoff =
+      if (txnRetentionMs == Long.MaxValue) Long.MinValue
+      else System.currentTimeMillis() - txnRetentionMs
+    val kept = parent.txns.keySet.filter(app =>
+      parent.txnStamps.getOrElse(app, 0L) >= cutoff)
     commitVersion(laid, root, Pending("COMPACT", expectedVersion,
-      maxBatch = parent.maxBatch, txns = parent.txns,
+      maxBatch = parent.maxBatch,
+      txns = parent.txns.view.filterKeys(kept).toMap,
+      txnStamps = parent.txnStamps.view.filterKeys(kept).toMap,
       schemaDdl = Some(parent.schemaDdl),
       statsKeys = parent.statsCols))
   }
@@ -1049,6 +1082,7 @@ object GraftTable {
     val merged = Cdc.latestWinsMerge(base, staged, key, ordering)
     commitVersion(merged, root, Pending("MERGE", expectedVersion,
       maxBatch = parent.maxBatch, txns = parent.txns,
+      txnStamps = parent.txnStamps,
       schemaDdl = Some(parent.schemaDdl),
       statsKeys = parent.statsCols,
       cdf = Some(Cdc.latestWinsChanges(base, staged, key, ordering))))
@@ -1099,6 +1133,7 @@ object GraftTable {
         root, Pending("MERGE", expectedVersion,
           carryFiles = parent.files, carryRanges = parent.ranges,
           maxBatch = parent.maxBatch, txns = parent.txns,
+      txnStamps = parent.txnStamps,
           schemaDdl = Some(parent.schemaDdl),
           statsKeys = parent.statsCols,
           cdf = Some(withChangeType(empty))))
@@ -1141,6 +1176,7 @@ object GraftTable {
       carryFiles = carried,
       carryRanges = parent.ranges.filter(r => carried.contains(r._1)),
       maxBatch = parent.maxBatch, txns = parent.txns,
+      txnStamps = parent.txnStamps,
       schemaDdl = Some(parent.schemaDdl),
       statsKeys = parent.statsCols,
       cdf = Some(Cdc.latestWinsChanges(base, changes, key, ordering))))
@@ -1168,6 +1204,7 @@ object GraftTable {
     val gone = snap.filter(coalesce(condition, lit(false)))
     commitVersion(kept, root, Pending("DELETE", expectedVersion,
       maxBatch = parent.maxBatch, txns = parent.txns,
+      txnStamps = parent.txnStamps,
       schemaDdl = Some(parent.schemaDdl),
       statsKeys = parent.statsCols,
       cdf = Some(withChangeType(gone, "delete"))))

@@ -500,6 +500,71 @@ class CommitLogSpec extends AnyFunSuite {
     assert(GraftTable.history(spark, root).last.txns == Map("w1" -> 2L))
   }
 
+  test("writer-transaction retention: compact drops txn entries older than the window; recent writers keep their replay guard") {
+    val root = freshRoot()
+    // writer "old" commits, then time passes, then writer "new" commits
+    assert(GraftTable.appendBatchIdempotent(
+      table3(Seq((1L, "a", 1.0))), 5L, root, "old"))
+    Thread.sleep(80)
+    assert(GraftTable.appendBatchIdempotent(
+      table3(Seq((2L, "b", 2.0))), 0L, root, "new"))
+    val before = GraftTable.history(spark, root).last
+    assert(before.txns.keySet == Set("old", "new"))
+    assert(before.txnStamps("old") < before.txnStamps("new"))
+    // compact with a window that covers "new" but not "old"
+    val age = System.currentTimeMillis() - before.txnStamps("new") + 40
+    GraftTable.compact(spark, root,
+      GraftTable.latestVersion(spark, root), numFiles = 1,
+      txnRetentionMs = age)
+    val after = GraftTable.history(spark, root).last
+    assert(after.txns == Map("new" -> 0L),
+      s"retention kept the wrong entries: ${after.txns}")
+    // "new" keeps exactly-once; "old" has lost its guard (the
+    // documented Delta setTransactionRetentionDuration contract) and
+    // its replay re-applies
+    assert(!GraftTable.appendBatchIdempotent(
+      table3(Seq((9L, "x", 9.0))), 0L, root, "new"))
+    assert(GraftTable.appendBatchIdempotent(
+      table3(Seq((3L, "c", 3.0))), 5L, root, "old"))
+    assert(GraftTable.read(spark, root).count() == 3L)
+    // default compact keeps everything
+    GraftTable.compact(spark, root,
+      GraftTable.latestVersion(spark, root))
+    assert(GraftTable.history(spark, root).last.txns.keySet ==
+      Set("old", "new"))
+  }
+
+  test("legacy pre-txn manifests: the unscoped maxBatch replay check applies until the first post-upgrade commit") {
+    val root = freshRoot()
+    GraftTable.create(table3(Seq((1L, "a", 1.0))), root)
+    // hand-write a pre-upgrade APPEND manifest: maxbatch recorded, no
+    // txn lines (the shape every pre-SetTransaction build produced)
+    val h0 = GraftTable.history(spark, root).head
+    val w = new java.io.PrintWriter(
+      new java.io.File(s"$root/_graft_log/v00000001.commit"), "UTF-8")
+    w.print("graft-commit-v1\nversion:1\nparent:0\nop:APPEND\n" +
+      s"schema:${h0.schemaDdl}\nbatch:5\nmaxbatch:5\n" +
+      h0.files.map(p => s"file:$p\n").mkString)
+    w.close()
+    // the in-flight stream resumes post-upgrade and replays batch 3:
+    // with txns EMPTY the unscoped maxBatch check must adjudicate it a
+    // no-op (ADVICE r16 — without the fallback the upgrade silently
+    // dropped the replay guard and re-applied the batch as duplicates)
+    assert(!GraftTable.appendBatchIdempotent(
+      table3(Seq((1L, "a", 1.0))), 3L, root, "legacy-stream"))
+    assert(GraftTable.latestVersion(spark, root) == 1L)
+    // its next GENUINE batch commits and writes scoped txn lines
+    assert(GraftTable.appendBatchIdempotent(
+      table3(Seq((2L, "b", 2.0))), 6L, root, "legacy-stream"))
+    assert(GraftTable.history(spark, root).last.txns ==
+      Map("legacy-stream" -> 6L))
+    // from here the contract is scoped: a NEW writer's batch 0 lands
+    // even though 0 <= the legacy maxBatch
+    assert(GraftTable.appendBatchIdempotent(
+      table3(Seq((3L, "c", 3.0))), 0L, root, "fresh-writer"))
+    assert(GraftTable.read(spark, root).count() == 3L)
+  }
+
   test("mergePruned rewrites only files containing changed keys; the rest are carried") {
     import spark.implicits._
     val root = freshRoot()
