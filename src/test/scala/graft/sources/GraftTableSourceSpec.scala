@@ -265,6 +265,116 @@ class GraftTableSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("a startingVersion ahead of the table's head holds for every future batch, across restarts") {
+    import spark.implicits._
+    val base = freshDir()
+    val root = s"$base/table"
+    val ckpt = s"$base/ckpt"
+    val out = s"$base/out"
+    GraftTable.create(Seq((0L, "n0")).toDF("k", "name"), root)
+    (1L to 2L).foreach { v =>
+      GraftTable.append(Seq((v, s"n$v")).toDF("k", "name"), root, v - 1L)
+    }
+    def served(): Set[Long] =
+      if (!new java.io.File(out).exists()) Set.empty
+      else spark.read.parquet(out).select("_commit_version")
+        .as[Long].collect().toSet
+    // stream starts at version 6 — ahead of latest (2)
+    def run(): Unit = {
+      val q = spark.readStream.format(Fmt).option("path", root)
+        .option("startingVersion", "6").load()
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.write.mode("append").parquet(out)
+            ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    assert(served().isEmpty)
+    // versions 3..4 appear while the stream is down: they are BELOW
+    // the pinned starting version and must STAY skipped (ADVICE r16:
+    // pre-fix, the floor was forgotten after the first batch committed
+    // an offset, and 3..4 leaked into the next run)
+    (3L to 4L).foreach { v =>
+      GraftTable.append(Seq((v, s"n$v")).toDF("k", "name"), root, v - 1L)
+    }
+    run()
+    assert(served().isEmpty,
+      s"versions below startingVersion leaked in: ${served()}")
+    // versions 5..7: only 6 and 7 are at/after the pinned start
+    (5L to 7L).foreach { v =>
+      GraftTable.append(Seq((v, s"n$v")).toDF("k", "name"), root, v - 1L)
+    }
+    run()
+    assert(served() == Set(6L, 7L), s"served ${served()}")
+  }
+
+  test("maxVersionsPerTrigger: a 40-version backlog is served in exactly 4 bounded batches; a mid-catch-up restart resumes the cadence") {
+    import spark.implicits._
+    val base = freshDir()
+    val root = s"$base/table"
+    GraftTable.create(Seq((0L, "n0")).toDF("k", "name"), root)
+    (1L to 39L).foreach { v =>
+      GraftTable.append(Seq((v, s"n$v")).toDF("k", "name").coalesce(1),
+        root, expectedVersion = v - 1L)
+    }
+    val batches =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long])]
+    def drain(ckpt: String): Unit = {
+      val q = spark.readStream.format(Fmt).option("path", root)
+        .option("maxVersionsPerTrigger", "10").load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            val vs = df.select("_commit_version").distinct()
+              .collect().map(_.getLong(0)).toSet
+            batches.synchronized { batches += ((id, vs)); () }
+            ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      q.awaitTermination()
+    }
+    drain(s"$base/ckpt1")
+    val nonEmpty = batches.filter(_._2.nonEmpty).toSeq
+    assert(nonEmpty.map(_._2) == Seq(
+      (0L to 9L).toSet, (10L to 19L).toSet,
+      (20L to 29L).toSet, (30L to 39L).toSet),
+      s"catch-up was not 4 exact bounded batches: $nonEmpty")
+
+    // mid-catch-up restart: AvailableNow snapshots ONE capped offset →
+    // run 1 serves exactly versions 0..9 then stops; the restart must
+    // resume at 10 with the same cadence, nothing re-served or skipped
+    batches.clear()
+    val q1 = spark.readStream.format(Fmt).option("path", root)
+      .option("maxVersionsPerTrigger", "10").load()
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ckpt2")
+      .foreachBatch {
+        (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          val vs = df.select("_commit_version").distinct()
+            .collect().map(_.getLong(0)).toSet
+          batches.synchronized { batches += ((id, vs)); () }
+          ()
+      }
+      .start()
+    q1.awaitTermination()
+    assert(batches.filter(_._2.nonEmpty).map(_._2).toSeq ==
+      Seq((0L to 9L).toSet),
+      s"first capped run served: $batches")
+    batches.clear()
+    drain(s"$base/ckpt2")
+    assert(batches.filter(_._2.nonEmpty).map(_._2).toSeq == Seq(
+      (10L to 19L).toSet, (20L to 29L).toSet, (30L to 39L).toSet),
+      s"restart did not resume the bounded cadence: $batches")
+  }
+
   test("format() sink: micro-batches land as atomic versions, a checkpoint restart replays as a no-op, a fresh checkpoint is a fresh writer") {
     import spark.implicits._
     val base = freshDir()
