@@ -79,7 +79,12 @@ object Cdc {
     */
   private def winnerOf(changes: DataFrame, key: String,
       ordering: Seq[String], op: String,
-      dataCols: Seq[String]): DataFrame =
+      dataCols: Seq[String]): DataFrame = {
+    // ordering columns may themselves be data columns (a CDC stream
+    // ordered by its own `seq`/timestamp PAYLOAD column — the
+    // update-mode sink's shape): the comparison struct must carry each
+    // field once or `w.<field>` is ambiguous at extraction
+    val payload = dataCols.filterNot(ordering.toSet)
     changes
       .withColumn(op,
         when(col(op).isin("I", "U", "D"), col(op))
@@ -88,8 +93,9 @@ object Cdc {
             coalesce(col(op), lit("NULL")),
             lit("' (changelog ops must be I, U or D)"))).cast("string")))
       .groupBy(col(key))
-      .agg(max(struct(((ordering :+ op) ++ dataCols).map(col): _*)).as("w"))
+      .agg(max(struct(((ordering :+ op) ++ payload).map(col): _*)).as("w"))
       .select(col(key) +: (s"w.$op" +: dataCols.map(c => s"w.$c")).map(col): _*)
+  }
 
   /** The CHANGE ROWS a [[latestWinsMerge]] of the same inputs produces —
     * the write-time change-data-feed computation (Delta Lake's CDC

@@ -4951,6 +4951,104 @@ object PipelineQueries {
       .select("event_id", "user_id", "event_type", "value")
       .orderBy("event_id")
   }
+
+  /** Update-mode streaming sink (q175, VERDICT r16 next-round #5): a
+    * staging GraftTable holds the events in four event_id-RANGE
+    * chunks (one version each, committed in id order), and a streaming
+    * query tails it through the graft SOURCE with
+    * `maxVersionsPerTrigger=1` — four bounded micro-batches — into the
+    * graft SINK in UPDATE mode (`mergeKey=user_id`,
+    * `mergeOrdering=event_id`): each batch an ACID latest-wins UPSERT
+    * via [[graft.operators.GraftTable.mergeBatchIdempotent]], writer-
+    * scoped idempotence shared with the append sink. Every user
+    * appears in every chunk, so keys repeat ACROSS batches and the
+    * final table is the closed-form latest-wins answer — per user, the
+    * image with the globally maximal event_id (range chunking makes
+    * any batching of the version order converge to it). In-query
+    * gates: the upsert table stays ONE ROW PER USER across all
+    * batches; cross-batch updates provably fired (update_postimage
+    * rows in the table's own change feed); a drained re-run adds no
+    * version; and a manual replay of batch 0 under the RECORDED writer
+    * id is adjudicated a no-op.
+    */
+  val q175 = Q.checked(
+    "q175_table_sink_update_mode",
+    """SELECT user_id, event_id, round(value, 2) AS value
+       FROM (SELECT user_id, event_id, value,
+                    row_number() OVER (PARTITION BY user_id
+                                       ORDER BY event_id DESC) AS rn
+             FROM events)
+       WHERE rn = 1
+       ORDER BY user_id""") { (s, d) =>
+    val out = s"${sys.props("java.io.tmpdir")}/graft_tsu_${ProcessHandle.current().pid()}"
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val gt = graft.operators.GraftTable
+    val events = s.read.parquet(s"$d/events.parquet")
+      .select("user_id", "event_id", "value")
+    // driver-side 1-row scalar (bounded): the range-chunk divisor
+    val maxId = events.agg(max("event_id")).head().getLong(0)
+    val chunkOf = (col("event_id") * 4.0 / (maxId + 1)).cast("long")
+    val stage = s"$out/stage"
+    val root = s"$out/table"
+    (0L to 3L).foreach { c =>
+      val chunk = events.filter(chunkOf === c)
+      if (c == 0L) gt.create(chunk, stage)
+      else gt.append(chunk, stage, expectedVersion = c - 1L)
+      ()
+    }
+    def drainOne(): Unit = {
+      val q = s.readStream
+        .format("org.apache.spark.sql.graft.GraftTableSourceProvider")
+        .option("path", stage)
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .select("user_id", "event_id", "value")
+        .writeStream
+        .format("org.apache.spark.sql.graft.GraftTableSourceProvider")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$out/_ckpt")
+        .option("path", root)
+        .option("mergeKey", "user_id")
+        .option("mergeOrdering", "event_id")
+        .start()
+      q.awaitTermination()
+    }
+    // AvailableNow snapshots ONE rate-capped offset per run: four runs
+    // drain the four staged versions as four individually committed
+    // upsert batches
+    (1 to 4).foreach(_ => drainOne())
+    val nVersions = gt.latestVersion(s, root) + 1
+    require(nVersions == 4,
+      s"expected 4 upsert versions (create + 3 merges), got $nVersions")
+    val nUsers = events.select("user_id").distinct().count()
+    require(gt.read(s, root).count() == nUsers,
+      "upsert table is not one row per user")
+    // cross-batch updates actually fired: the table's own change feed
+    // carries update images for the re-upserted keys
+    val updated = gt.readChanges(s, root, 1L, nVersions - 1)
+      .filter(col("_change_type") === "update_postimage").count()
+    require(updated > 0, "no cross-batch upserts were recorded")
+    // a drained re-run replays nothing and adds no version
+    drainOne()
+    require(gt.latestVersion(s, root) + 1 == nVersions,
+      "drained restart added upsert versions")
+    // the post-crash at-least-once path, hit directly: replay batch 0
+    // under the writer id the sink recorded
+    val txns = gt.manifest(s, root, nVersions - 1).txns
+    require(txns.size == 1, s"expected one writer, got $txns")
+    val replayed = gt.mergeBatchIdempotent(
+      events.limit(10), 0L, root, txns.keys.head,
+      "user_id", Seq("event_id"))
+    require(!replayed, "batch-0 replay under the recorded writer id " +
+      "was not detected as committed")
+    gt.read(s, root)
+      .select(col("user_id"), col("event_id"),
+        round(col("value"), 2).as("value"))
+      .orderBy("user_id")
+  }
 }
 
 /** Planted biarc corpus for the self-verifying q40: 100 verb groups,

@@ -74,10 +74,22 @@ class GraftTableSourceProvider extends StreamSourceProvider
 
   /** The WRITE side of the same format — `df.writeStream.format(this)
     * .option("path", root)` lands each micro-batch as one atomic table
-    * version through [[GraftTable.appendBatchIdempotent]], so the
-    * exactly-once sink no longer requires hand-rolled `foreachBatch`
-    * plumbing. Append-mode only: a table version IS an append; update/
-    * complete semantics belong to a MERGE driven by the caller.
+    * version, so the exactly-once sink no longer requires hand-rolled
+    * `foreachBatch` plumbing. Two modes:
+    *
+    *   - APPEND (default): each batch is one
+    *     [[GraftTable.appendBatchIdempotent]] version;
+    *   - UPDATE with `option("mergeKey", k)` and
+    *     `option("mergeOrdering", "c1,c2")`: each batch is one ACID
+    *     latest-wins UPSERT keyed by `k`
+    *     ([[GraftTable.mergeBatchIdempotent]] — file-pruned on a
+    *     stats-carrying table), the natural sink for update-mode
+    *     streaming aggregations and CDC-shaped streams where keys
+    *     repeat across batches.
+    *
+    * Both modes share the writer-scoped replay watermark, so a
+    * post-crash batch replay is a no-op in either. Complete mode
+    * belongs to a caller-driven overwrite, not a version log.
     */
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
@@ -85,10 +97,27 @@ class GraftTableSourceProvider extends StreamSourceProvider
     require(partitionColumns.isEmpty,
       "partitionBy is not supported — use createPartitioned's stats " +
         "layout instead")
-    require(outputMode == OutputMode.Append(),
-      s"unsupported output mode $outputMode (append only)")
-    new GraftTableSink(sqlContext, GraftTableSource.rootOf(parameters),
-      parameters.get("appId"))
+    val root = GraftTableSource.rootOf(parameters)
+    val appId = parameters.get("appId")
+    if (outputMode == OutputMode.Update()) {
+      val key = parameters.getOrElse("mergeKey",
+        throw new IllegalArgumentException(
+          "update mode requires option('mergeKey', ...) — the upsert key"))
+      val ordering = parameters.get("mergeOrdering")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(throw new IllegalArgumentException(
+          "update mode requires option('mergeOrdering', 'c1,c2') — " +
+            "data columns that order same-key duplicates within a batch"))
+      require(ordering.nonEmpty, "mergeOrdering must name >= 1 column")
+      new GraftTableSink(sqlContext, root, appId,
+        merge = Some((key, ordering)))
+    } else {
+      require(outputMode == OutputMode.Append(),
+        s"unsupported output mode $outputMode (append or update)")
+      require(!parameters.contains("mergeKey"),
+        "mergeKey is an update-mode option; use outputMode('update')")
+      new GraftTableSink(sqlContext, root, appId)
+    }
   }
 }
 
@@ -108,7 +137,8 @@ class GraftTableSourceProvider extends StreamSourceProvider
   * directly would re-trigger the incremental plan.
   */
 class GraftTableSink(sqlContext: SQLContext, root: String,
-    explicitAppId: Option[String]) extends Sink {
+    explicitAppId: Option[String],
+    merge: Option[(String, Seq[String])] = None) extends Sink {
 
   private val spark =
     sqlContext.sparkSession.asInstanceOf[SparkSession]
@@ -121,7 +151,13 @@ class GraftTableSink(sqlContext: SQLContext, root: String,
         "no streaming query id on this thread — pass option(\"appId\", ...)"))
     val batch = spark.internalCreateDataFrame(
       data.queryExecution.toRdd, data.schema, isStreaming = false)
-    GraftTable.appendBatchIdempotent(batch, batchId, root, appId)
+    merge match {
+      case Some((key, ordering)) =>
+        GraftTable.mergeBatchIdempotent(batch, batchId, root, appId,
+          key, ordering)
+      case None =>
+        GraftTable.appendBatchIdempotent(batch, batchId, root, appId)
+    }
     ()
   }
 

@@ -427,6 +427,117 @@ class GraftTableSourceSpec extends AnyFunSuite {
     assert(GraftTable.read(spark, root).count() == 16L)
   }
 
+  test("update-mode sink: per-batch ACID upserts, within-batch collapse by ordering, replay no-op, append mode rejects mergeKey") {
+    import spark.implicits._
+    val base = freshDir()
+    val stage = s"$base/stage"
+    val root = s"$base/table"
+    val ckpt = s"$base/ckpt"
+
+    def drain(): Unit = {
+      val q = spark.readStream.format(Fmt).option("path", stage).load()
+        .select("k", "seq", "name")
+        .writeStream.format(Fmt)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .option("path", root)
+        .option("mergeKey", "k")
+        .option("mergeOrdering", "seq")
+        .start()
+      q.awaitTermination()
+    }
+    def snap(): Map[Long, (Long, String)] =
+      GraftTable.read(spark, root)
+        .as[(Long, Long, String)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+
+    // batch 1 (CREATE): within-batch duplicate of k=1 collapses by seq
+    GraftTable.create(
+      Seq((1L, 1L, "a1-stale"), (1L, 2L, "a1"), (2L, 1L, "b1"))
+        .toDF("k", "seq", "name"), stage)
+    drain()
+    assert(snap() == Map(1L -> (2L, "a1"), 2L -> (1L, "b1")))
+    // batch 2: cross-batch upsert of k=1, insert of k=3
+    GraftTable.append(
+      Seq((1L, 3L, "a2"), (3L, 1L, "c1")).toDF("k", "seq", "name"),
+      stage, 0L)
+    drain()
+    assert(snap() == Map(1L -> (3L, "a2"), 2L -> (1L, "b1"),
+      3L -> (1L, "c1")))
+    assert(GraftTable.latestVersion(spark, root) == 1L)
+    assert(GraftTable.history(spark, root).map(_.op) ==
+      Seq("CREATE", "MERGE"))
+    // the upsert version's change feed classified the cross-batch
+    // update and the insert
+    val feed = GraftTable.readChanges(spark, root, 1L, 1L)
+      .select("k", "name", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(feed == Set(
+      (1L, "a1", "update_preimage"), (1L, "a2", "update_postimage"),
+      (3L, "c1", "insert")))
+    // drained re-run: no new version
+    drain()
+    assert(GraftTable.latestVersion(spark, root) == 1L)
+    // direct replay under the recorded writer id is a no-op
+    val appId = GraftTable.manifest(spark, root, 1L).txns.keys.head
+    assert(!GraftTable.mergeBatchIdempotent(
+      Seq((9L, 9L, "x")).toDF("k", "seq", "name"), 0L, root, appId,
+      "k", Seq("seq")))
+    assert(snap().size == 3)
+    // a FRESH batch id under the same writer commits
+    assert(GraftTable.mergeBatchIdempotent(
+      Seq((2L, 5L, "b9")).toDF("k", "seq", "name"), 7L, root, appId,
+      "k", Seq("seq")))
+    assert(snap()(2L) == (5L, "b9"))
+    // append mode rejects the update-mode option loudly
+    val e = intercept[Exception] {
+      spark.readStream.format(Fmt).option("path", stage).load()
+        .select("k", "seq", "name")
+        .writeStream.format(Fmt)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$base/ckpt2")
+        .option("path", s"$base/t2")
+        .option("mergeKey", "k")
+        .start()
+    }
+    assert(e.getMessage.contains("update"))
+  }
+
+  test("update-mode sink on a stats-partitioned table goes through the file-pruned merge") {
+    import spark.implicits._
+    val base = freshDir()
+    val stage = s"$base/stage"
+    val root = s"$base/table"
+    // pre-created, range-partitioned on the merge key: the sink's
+    // upserts must rewrite only the files containing batch keys
+    GraftTable.createPartitioned(
+      (1L to 1000L).map(i => (i, 0L, s"n$i")).toDF("k", "seq", "name"),
+      root, "k", numFiles = 8)
+    val before = GraftTable.history(spark, root).head
+    GraftTable.create(
+      Seq((5L, 1L, "u5"), (7L, 1L, "u7")).toDF("k", "seq", "name"), stage)
+    val q = spark.readStream.format(Fmt).option("path", stage).load()
+      .select("k", "seq", "name")
+      .writeStream.format(Fmt)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ckpt")
+      .option("path", root)
+      .option("mergeKey", "k")
+      .option("mergeOrdering", "seq")
+      .start()
+    q.awaitTermination()
+    val after = GraftTable.history(spark, root).last
+    assert(after.op == "MERGE")
+    val carried = after.files.toSet.intersect(before.files.toSet)
+    assert(carried.nonEmpty,
+      "update-mode sink rewrote the whole table on a prunable merge")
+    assert(GraftTable.read(spark, root).count() == 1000L)
+    assert(GraftTable.read(spark, root).filter($"k" === 5L)
+      .select("name").head().getString(0) == "u5")
+  }
+
   test("in-stream evolution: the running query projects the pinned schema; restart serves the added column") {
     import spark.implicits._
     val base = freshDir()
