@@ -1,0 +1,133 @@
+#!/usr/bin/env python3
+"""Exact training replica of graft.operators.LangId for margin tuning.
+
+Parses SeedCorpus/HeldOut from LangId.scala, optionally merges candidate
+new languages from langid_new.py (NEW_SEED / NEW_HELD dicts), trains the
+NB model (codepoint polynomial-31 hash 1-4 grams mod 4096, quantized
+logs), and reports: per-language held-out + seed accuracy over the FULL
+language set, flips with per-gram contribution diffs, and the tightest
+margins.
+"""
+import math, re, sys, collections
+
+DIM, B, MAXN, SCALE = 4096, 31, 4, 1000000
+
+def parse_scala(path):
+    src = open(path, encoding='utf-8').read()
+    def block(name):
+        i = src.index(f"val {name}: Seq[(String, String)] = Seq(")
+        j = src.index(")\n", src.index("\n", i))
+        # find matching close: scan until a line ending with ')' at depth
+        # simpler: pairs via regex from i to the next 'val ' decl
+        k = src.find("\n  val ", i + 10)
+        if k == -1: k = len(src)
+        seg = src[i:k]
+        return re.findall(r'"([a-z]{2})" -> "((?:[^"\\]|\\.)*)"', seg)
+    return block("SeedCorpus"), block("HeldOut")
+
+def normalize(s):
+    s = re.sub(r'[ \t\n\x0b\f\r]+', ' ', s).strip(' ')
+    return s.translate(str.maketrans(
+        'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))
+
+def buckets(norm):
+    cps = [ord(c) for c in norm]
+    out = []
+    for n in range(1, MAXN + 1):
+        for j in range(len(cps) - n + 1):
+            h = 0
+            for m in range(n):
+                h = h * B + cps[j + m]
+            out.append(h % DIM)
+    return out
+
+def grams_at(norm):
+    """(gram-string, bucket) pairs for contribution reports."""
+    cps = list(norm)
+    out = []
+    for n in range(1, MAXN + 1):
+        for j in range(len(cps) - n + 1):
+            h = 0
+            for m in range(n):
+                h = h * B + ord(cps[j + m])
+            out.append((''.join(cps[j:j+n]), h % DIM))
+    return out
+
+def q(x):
+    return math.floor(x * SCALE + 0.5)
+
+def train(seed, langs):
+    counts = {l: collections.Counter() for l in langs}
+    totals = {l: 0 for l in langs}
+    nsent = {l: 0 for l in langs}
+    for l, t in seed:
+        nsent[l] += 1
+        for b in buckets(normalize(t)):
+            counts[l][b] += 1
+            totals[l] += 1
+    floors = {l: q(math.log(1.0 / (totals[l] + DIM))) for l in langs}
+    deltas = {l: {b: q(math.log((c + 1) / (totals[l] + DIM))) - floors[l]
+                  for b, c in counts[l].items()} for l in langs}
+    ntot = sum(nsent.values())
+    priors = {l: q(math.log(nsent[l] / ntot)) for l in langs}
+    return deltas, floors, priors
+
+def score(deltas, floors, priors, langs, text):
+    bs = buckets(normalize(text))
+    return len(bs), {l: priors[l] + len(bs) * floors[l] +
+                     sum(deltas[l].get(b, 0) for b in bs) for l in langs}
+
+def main():
+    seed, held = parse_scala(
+        '/root/repo/src/main/scala/graft/operators/LangId.scala')
+    langs = list(dict.fromkeys(l for l, _ in seed))
+    sys.path.insert(0, '/tmp')
+    try:
+        import langid_new
+        for l, ss in langid_new.NEW_SEED.items():
+            langs.append(l)
+            seed += [(l, s) for s in ss]
+        held += [(l, s) for l, ss in langid_new.NEW_HELD.items() for s in ss]
+        new_langs = set(langid_new.NEW_SEED)
+    except ImportError:
+        new_langs = set()
+    for l in langs:
+        ns = sum(1 for x, _ in seed if x == l)
+        nh = sum(1 for x, _ in held if x == l)
+        assert ns == 30, f"{l}: {ns} seeds"
+        assert nh == 8, f"{l}: {nh} held-out"
+    deltas, floors, priors = train(seed, langs)
+    flips, margins = [], []
+    for tag, corpus in (("seed", seed), ("held", held)):
+        for truth, text in corpus:
+            n, s = score(deltas, floors, priors, langs, text)
+            ranked = sorted(langs, key=lambda l: (-s[l], langs.index(l)))
+            pred = ranked[0]
+            margin = (s[ranked[0]] - s[ranked[1]]) / SCALE
+            margins.append((margin, tag, truth, pred, ranked[1], text[:40]))
+            if pred != truth:
+                flips.append((tag, truth, pred, margin, text))
+    print(f"langs={len(langs)} flips={len(flips)}")
+    for tag, truth, pred, margin, text in flips:
+        print(f"FLIP [{tag}] {truth} -> {pred} (m={margin:.2f}): {text}")
+        # top gram contributions for pred vs truth
+        contrib = collections.Counter()
+        for g, b in grams_at(normalize(text)):
+            d = deltas[pred].get(b, 0) - deltas[truth].get(b, 0)
+            if d:
+                contrib[g] += d
+        base = len(buckets(normalize(text))) * (floors[pred] - floors[truth])
+        print(f"  base(n*floor diff)={base/SCALE:.2f}")
+        for g, d in contrib.most_common(12):
+            print(f"    {g!r}: {d/SCALE:+.3f}")
+    margins.sort()
+    print("\ntightest 25 margins:")
+    for m, tag, truth, pred, second, text in margins[:25]:
+        mark = " *NEW*" if truth in new_langs or second in new_langs else ""
+        print(f"  {m:8.2f} [{tag}] {truth} (2nd={second}){mark}: {text}")
+    # existing-language sanity: did any OLD held-out flip?
+    old_flips = [f for f in flips if f[1] not in new_langs]
+    print(f"\nold-language flips: {len(old_flips)}")
+
+if __name__ == '__main__':
+    main()
