@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
 """Regenerate bench_baseline.json from committed quiet-run evidence.
 
-Usage: pin_baseline.py OUT RUN.json [RUN.json ...]
+Usage: pin_baseline.py OUT RUN.json [RUN.json ...] \
+           [--history OLD_PIN.json ...]
 
 Pin policy (round 9): the per-entry pin is the MAX of each query's
 median-of-reps across the given clean full quiet runs (the envelope),
@@ -23,13 +24,30 @@ Top-level fields are recomputed so the file stays internally
 consistent (the ADVICE r8 defect): value = sum of pinned entries,
 n_ok = len(queries), errors/regressions empty (a pin is a reference
 point, not a comparison), provenance recorded in pinned_from.
+
+CROSS-ROUND DRIFT AUDIT (round 17, VERDICT r16 #7): re-pinning every
+round from that round's own quiet runs means a genuine sub-2x creep
+could RATCHET across rounds -- each round's slightly-slower pin becomes
+the next round's baseline and no single round ever flags. Pass the
+OLDEST available pins (e.g. `git show <old>:bench_baseline.json`) via
+--history: each entry's new pin is diffed against its value in the
+EARLIEST history file that contains it, and growth > 1.5x is flagged
+loudly and recorded in the pinned file's `drift_audit` field, so the
+ratchet is visible at re-pin time and must be explained by a touching
+commit (or investigated) rather than silently absorbed.
 """
 import json
 import sys
 
 
 def main() -> None:
-    out, *paths = sys.argv[1:]
+    args = sys.argv[1:]
+    history_paths = []
+    if "--history" in args:
+        i = args.index("--history")
+        history_paths = args[i + 1:]
+        args = args[:i]
+    out, *paths = args
     runs = [json.load(open(p)) for p in paths]
     for p, r in zip(paths, runs):
         if r.get("errors"):
@@ -59,6 +77,25 @@ def main() -> None:
         "regressions": {},
         "pinned_from": [p.split("/")[-1] for p in paths],
     }
+    if history_paths:
+        history = [(p, json.load(open(p))) for p in history_paths]
+        drift = {}
+        for q, new_pin in queries.items():
+            oldest = next((h["queries"][q] for _, h in history
+                           if q in h.get("queries", {})), None)
+            if oldest is not None and oldest > 0 and new_pin / oldest > 1.5:
+                drift[q] = {"oldest": round(oldest, 4),
+                            "new": round(new_pin, 4),
+                            "ratio": round(new_pin / oldest, 2)}
+        pinned["drift_audit"] = {
+            "history": [p.split("/")[-1] for p in history_paths],
+            "threshold": 1.5,
+            "flagged": drift,
+        }
+        for q, d in sorted(drift.items()):
+            print(f"DRIFT {q}: {d['oldest']} -> {d['new']} s "
+                  f"({d['ratio']}x cumulative) -- explain via a touching "
+                  "commit or investigate before trusting this pin")
     # Compact single-line form, exactly like Bench's own output line:
     # Bench.parsePrevQueries regex-matches `"queries":{...}` with no
     # whitespace, so a pretty-printed pin would silently disable the guard.

@@ -53,7 +53,13 @@ NEW_QUERIES = ["q154_html_extract_text", "q155_html_boilerplate_blocks",
                # format() streaming sink
                "q172_table_multicol_pruned_read",
                "q173_table_stream_source_evolution",
-               "q174_table_sink_format"]
+               "q174_table_sink_format",
+               # round-17: the update-mode streaming sink (source -> sink
+               # upsert lifecycle over the events table).
+               # dedup_lsh_adversarial is fixture-independent (synthetic
+               # planted twins); its 10x probe scales the corpus via
+               # SPARK_GRAFT_JACCARD_DOCS below, like dirt_planted
+               "q175_table_sink_update_mode"]
 PLANTED_SMALL = 41667   # the bench entry's group count (2,000,016 lines)
 PLANTED_BIG = 416670    # 10x (20,000,160 lines)
 
@@ -121,6 +127,22 @@ def main() -> None:
         "n_small": PLANTED_SMALL * 48, "sec_small": ps,
         "n_large": PLANTED_BIG * 48, "sec_large": pb,
         "exponent": round(math.log(pb / ps) / math.log(10), 3),
+    }
+
+    # round-17 LSH-adversarial probe: synthetic planted-twin embeddings,
+    # 10x via the jaccard-docs knob (n = docs * 8)
+    lsh_small = bench_one(SF01, ["dedup_lsh_adversarial_400000"],
+                          reps=2, cache_key="lsh_small",
+                          extra_env={"SPARK_GRAFT_JACCARD_DOCS": "50000"})
+    lsh_big = bench_one(SF01, ["dedup_lsh_adversarial_4000000"],
+                        reps=1, cache_key="lsh_big",
+                        extra_env={"SPARK_GRAFT_JACCARD_DOCS": "500000"})
+    ls_, lb = (lsh_small["dedup_lsh_adversarial_400000"],
+               lsh_big["dedup_lsh_adversarial_4000000"])
+    entries["dedup_lsh_adversarial"] = {
+        "n_small": 400000, "sec_small": ls_,
+        "n_large": 4000000, "sec_large": lb,
+        "exponent": round(math.log(lb / ls_) / math.log(10), 3),
     }
     # carry over the committed per-entry annotations (output-bound
     # explanations, output_pairs counts) — the timings refresh, the
