@@ -16,9 +16,13 @@ five sub-second queries stayed perma-flagged against pins from one
 deep-warmed run). Against the envelope, a >2x flag means the query ran
 slower than TWICE ANYTHING a clean run of this code ever produced —
 i.e. a real regression or real contention, never baseline staleness.
-All source runs must come from the same code state for every entry they
-contain; entries absent from older runs (newly added queries) pin from
-the runs that have them.
+The LAST run defines the pinned entry set (it is the current code
+state); earlier runs contribute envelope values only for entries they
+share with it, so a renamed or removed entry can never linger in the
+pin and silently inflate the pin total the judge compares run totals
+against. For every entry pinned, all contributing runs must come from
+the same code state of THAT entry; entries absent from older runs
+(newly added or resized queries) pin from the runs that have them.
 
 Top-level fields are recomputed so the file stays internally
 consistent (the ADVICE r8 defect): value = sum of pinned entries,
@@ -53,7 +57,7 @@ def main() -> None:
         if r.get("errors"):
             raise SystemExit(f"{p}: refusing to pin from a run with errors")
 
-    names = sorted({q for r in runs for q in r["queries"]})
+    names = sorted(runs[-1]["queries"])
     queries, spread = {}, {}
     for q in names:
         vals = [r["queries"][q] for r in runs if q in r["queries"]]

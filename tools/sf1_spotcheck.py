@@ -130,18 +130,18 @@ def main() -> None:
     }
 
     # round-17 LSH-adversarial probe: synthetic planted-twin embeddings,
-    # 10x via the jaccard-docs knob (n = docs * 8)
-    lsh_small = bench_one(SF01, ["dedup_lsh_adversarial_400000"],
+    # 10x via the jaccard-docs knob (n = docs * 16)
+    lsh_small = bench_one(SF01, ["dedup_lsh_adversarial_800000"],
                           reps=2, cache_key="lsh_small",
                           extra_env={"SPARK_GRAFT_JACCARD_DOCS": "50000"})
-    lsh_big = bench_one(SF01, ["dedup_lsh_adversarial_4000000"],
+    lsh_big = bench_one(SF01, ["dedup_lsh_adversarial_8000000"],
                         reps=1, cache_key="lsh_big",
                         extra_env={"SPARK_GRAFT_JACCARD_DOCS": "500000"})
-    ls_, lb = (lsh_small["dedup_lsh_adversarial_400000"],
-               lsh_big["dedup_lsh_adversarial_4000000"])
+    ls_, lb = (lsh_small["dedup_lsh_adversarial_800000"],
+               lsh_big["dedup_lsh_adversarial_8000000"])
     entries["dedup_lsh_adversarial"] = {
-        "n_small": 400000, "sec_small": ls_,
-        "n_large": 4000000, "sec_large": lb,
+        "n_small": 800000, "sec_small": ls_,
+        "n_large": 8000000, "sec_large": lb,
         "exponent": round(math.log(lb / ls_) / math.log(10), 3),
     }
     # carry over the committed per-entry annotations (output-bound
