@@ -1026,22 +1026,38 @@ object GraftTable {
     */
   def mergeBatchIdempotent(batch0: DataFrame, batchId: Long,
       root: String, appId: String, key: String,
-      ordering: Seq[String]): Boolean = {
+      ordering: Seq[String], opCol: Option[String] = None): Boolean = {
     require(appId.nonEmpty && !appId.exists(c => c == '\t' || c == '\n'),
       s"appId must be non-empty and tab/newline-free: '$appId'")
     require(ordering.nonEmpty,
       "mergeBatchIdempotent needs ordering columns to collapse " +
         "same-key duplicates within a batch deterministically")
     val spark = batch0.sparkSession
-    val op = "__graft_op"
-    require(!batch0.columns.contains(op),
-      s"column name '$op' is reserved by the update-mode sink")
-    require((key +: ordering).forall(batch0.columns.contains),
-      s"batch lacks key/ordering columns: have ${batch0.columns.toSeq}")
+    // CDC shape (opCol = Some): the batch CARRIES its op column
+    // (I/U/D — deletes flow through the stream), which orders ties
+    // after the ordering columns and is NOT a stored table column.
+    // Plain shape (None): every row is an implicit upsert.
+    val op = opCol.getOrElse("__graft_op")
+    opCol match {
+      case Some(c) =>
+        require(batch0.columns.contains(c),
+          s"mergeOp column '$c' is not in the batch: ${batch0.columns.toSeq}")
+      case None =>
+        require(!batch0.columns.contains(op),
+          s"column name '$op' is reserved by the update-mode sink")
+    }
+    // the table's data shape = the batch minus the op column
+    val dataShape = opCol.map(batch0.drop(_)).getOrElse(batch0)
+    require((key +: ordering).forall(dataShape.columns.contains),
+      "batch lacks key/ordering columns (the op column cannot order): " +
+        s"have ${dataShape.columns.toSeq}")
     import org.apache.spark.sql.functions.lit
     // materialized once: the merge snapshot and the change feed are
     // separate jobs over this frame (see [[merge]]'s scaladoc)
-    val changes = batch0.withColumn(op, lit("U")).localCheckpoint(true)
+    val changes = (opCol match {
+      case Some(_) => batch0
+      case None => batch0.withColumn(op, lit("U"))
+    }).localCheckpoint(true)
     def stamp(p: Pending): Pending = p.copy(
       batch = Some(batchId),
       maxBatch = Some(math.max(batchId, p.maxBatch.getOrElse(-1L))),
@@ -1054,17 +1070,17 @@ object GraftTable {
         if (latest == -1L) {
           val emptyBase = spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            batch0.schema)
+            dataShape.schema)
           val merged =
             Cdc.latestWinsMerge(emptyBase, changes, key, ordering, op)
           commitVersion(merged, root, stamp(Pending("CREATE", -1L)))
         } else {
           val parent = readManifest(spark, root, latest)
           if (parent.txns.get(appId).exists(batchId <= _)) return false
-          require(schemaKey(batch0.schema) ==
+          require(schemaKey(dataShape.schema) ==
             schemaKey(StructType.fromDDL(parent.schemaDdl)),
             s"schema mismatch: table has [${parent.schemaDdl}], batch " +
-              s"$batchId has [${batch0.schema.toDDL}]")
+              s"$batchId has [${dataShape.schema.toDDL}]")
           if (parent.statsCols.contains(key))
             mergePrunedImpl(root, changes, key, ordering, latest, op,
               stamp)

@@ -85,7 +85,9 @@ class GraftTableSourceProvider extends StreamSourceProvider
     *     ([[GraftTable.mergeBatchIdempotent]] — file-pruned on a
     *     stats-carrying table), the natural sink for update-mode
     *     streaming aggregations and CDC-shaped streams where keys
-    *     repeat across batches.
+    *     repeat across batches; add `option("mergeOp", c)` when the
+    *     stream carries an I/U/D op column — deletes then flow through
+    *     the sink (the column orders ties and is not stored).
     *
     * Both modes share the writer-scoped replay watermark, so a
     * post-crash batch replay is a no-op in either. Complete mode
@@ -109,8 +111,11 @@ class GraftTableSourceProvider extends StreamSourceProvider
           "update mode requires option('mergeOrdering', 'c1,c2') — " +
             "data columns that order same-key duplicates within a batch"))
       require(ordering.nonEmpty, "mergeOrdering must name >= 1 column")
+      // optional CDC shape: option("mergeOp", col) — the stream carries
+      // an I/U/D op column (deletes flow through); it orders ties after
+      // mergeOrdering and is not stored in the table
       new GraftTableSink(sqlContext, root, appId,
-        merge = Some((key, ordering)))
+        merge = Some((key, ordering)), mergeOp = parameters.get("mergeOp"))
     } else {
       require(outputMode == OutputMode.Append(),
         s"unsupported output mode $outputMode (append or update)")
@@ -138,7 +143,8 @@ class GraftTableSourceProvider extends StreamSourceProvider
   */
 class GraftTableSink(sqlContext: SQLContext, root: String,
     explicitAppId: Option[String],
-    merge: Option[(String, Seq[String])] = None) extends Sink {
+    merge: Option[(String, Seq[String])] = None,
+    mergeOp: Option[String] = None) extends Sink {
 
   private val spark =
     sqlContext.sparkSession.asInstanceOf[SparkSession]
@@ -154,7 +160,7 @@ class GraftTableSink(sqlContext: SQLContext, root: String,
     merge match {
       case Some((key, ordering)) =>
         GraftTable.mergeBatchIdempotent(batch, batchId, root, appId,
-          key, ordering)
+          key, ordering, mergeOp)
       case None =>
         GraftTable.appendBatchIdempotent(batch, batchId, root, appId)
     }

@@ -504,6 +504,57 @@ class GraftTableSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("update"))
   }
 
+  test("update-mode sink with mergeOp: a CDC stream's deletes flow through; the op column is not stored") {
+    import spark.implicits._
+    val base = freshDir()
+    val stage = s"$base/stage"
+    val root = s"$base/table"
+    def drain(): Unit = {
+      val q = spark.readStream.format(Fmt).option("path", stage).load()
+        .select("k", "seq", "name", "op")
+        .writeStream.format(Fmt)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$base/ckpt")
+        .option("path", root)
+        .option("mergeKey", "k")
+        .option("mergeOrdering", "seq")
+        .option("mergeOp", "op")
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: two inserts (CDC insert images)
+    GraftTable.create(
+      Seq((1L, 1L, "a1", "I"), (2L, 1L, "b1", "I"))
+        .toDF("k", "seq", "name", "op"), stage)
+    drain()
+    assert(GraftTable.read(spark, root).columns.toSeq ==
+      Seq("k", "seq", "name"), "the op column leaked into the table")
+    // batch 2: update k=1, DELETE k=2, insert k=3 — a real changelog
+    GraftTable.append(
+      Seq((1L, 2L, "a2", "U"), (2L, 2L, "b1", "D"), (3L, 1L, "c1", "I"))
+        .toDF("k", "seq", "name", "op"), stage, 0L)
+    drain()
+    val got = GraftTable.read(spark, root)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 2L, "a2"), (3L, 1L, "c1")),
+      s"CDC deletes/updates misapplied: $got")
+    // the upsert version's own feed classifies the delete with its
+    // pre-image
+    val feed = GraftTable.readChanges(spark, root, 1L, 1L)
+      .select("k", "name", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(feed == Set(
+      (1L, "a1", "update_preimage"), (1L, "a2", "update_postimage"),
+      (2L, "b1", "delete"), (3L, "c1", "insert")))
+    // replay under the recorded writer id: no-op
+    val appId = GraftTable.manifest(spark, root, 1L).txns.keys.head
+    assert(!GraftTable.mergeBatchIdempotent(
+      Seq((9L, 9L, "x", "I")).toDF("k", "seq", "name", "op"),
+      0L, root, appId, "k", Seq("seq"), opCol = Some("op")))
+    assert(GraftTable.read(spark, root).count() == 2L)
+  }
+
   test("update-mode sink on a stats-partitioned table goes through the file-pruned merge") {
     import spark.implicits._
     val base = freshDir()
