@@ -64,10 +64,22 @@ object Cdc {
           dataCols.map(d => when(c(op).isNotNull, c(d)).otherwise(b(d)).as(d)): _*)
   }
 
-  /** One winner per key: max over (ordering..., op, data...) structs —
-    * ordering fields lead, so comparison never reaches the payload
-    * unless the caller's tiebreaker is non-unique. Partial-aggregated,
-    * so a hot key ships one row of shuffle per map task (class doc).
+  /** One winner per key: max over (ordering..., op-rank, op, data...)
+    * structs — ordering fields lead, so comparison never reaches the
+    * rank or payload unless the caller's tiebreaker is non-unique.
+    * Partial-aggregated, so a hot key ships one row of shuffle per map
+    * task (class doc).
+    *
+    * TIE ORDER (ADVICE r17): when two change rows share the key AND
+    * every ordering value, `D` outranks `U` outranks `I` — a delete
+    * and an upsert carrying the same sequence number resolve to the
+    * delete, so a same-seq delete-then-insert changelog cannot
+    * silently resurrect the pre-delete image. (The pre-r18 behavior
+    * compared the op CHARACTER, ranking 'U' > 'I' > 'D' — surprising,
+    * undocumented semantics for CDC streams whose changelogs can emit
+    * D and I at equal timestamps.) Callers wanting a different rule
+    * supply a unique tiebreaker in `ordering`, which always decides
+    * first.
     *
     * Ops are VALIDATED before the collapse (so a malformed op can
     * never win silently): anything outside I/U/D — including NULL —
@@ -85,6 +97,12 @@ object Cdc {
     // update-mode sink's shape): the comparison struct must carry each
     // field once or `w.<field>` is ambiguous at extraction
     val payload = dataCols.filterNot(ordering.toSet)
+    require(!dataCols.contains("__graft_oprank"),
+      "column name '__graft_oprank' is reserved by the CDC collapse")
+    // same-ordering tie rank: D > U > I (scaladoc above)
+    val opRank = when(col(op) === "D", 2)
+      .when(col(op) === "U", 1).otherwise(0)
+      .as("__graft_oprank")
     changes
       .withColumn(op,
         when(col(op).isin("I", "U", "D"), col(op))
@@ -93,7 +111,9 @@ object Cdc {
             coalesce(col(op), lit("NULL")),
             lit("' (changelog ops must be I, U or D)"))).cast("string")))
       .groupBy(col(key))
-      .agg(max(struct(((ordering :+ op) ++ payload).map(col): _*)).as("w"))
+      .agg(max(struct(
+        (ordering.map(col) :+ opRank :+ col(op)) ++
+          payload.map(col): _*)).as("w"))
       .select(col(key) +: (s"w.$op" +: dataCols.map(c => s"w.$c")).map(col): _*)
   }
 

@@ -375,9 +375,20 @@ class GraftTableSource(sqlContext: SQLContext, root: String,
         .getOrElse(effectiveStart),
       effectiveStart)
     val to = GraftTableOffset.versionOf(end)
-    // a WAL recovery batch re-establishes the rate-limit base after a
-    // restart that lost the in-memory state
-    knownBase = Some(math.max(knownBase.getOrElse(-1L), to))
+    // rate-limit base RE-FLOOR (ADVICE r17 low): `end` here is an
+    // offset the engine durably logged — the largest any restart can
+    // replay — so the base snaps to it. In normal flow base == to
+    // already (getOffset just wrote it ahead); after a crash BETWEEN
+    // getOffset's write-ahead and the engine's offset-WAL write, the
+    // persisted base had ratcheted past a never-committed target and
+    // the next batch could span up to ~2x the cap — snapping back to
+    // the recovery offset restores the exact K-version cadence. Safe
+    // in both directions: no offset beyond `to` was durably committed.
+    if (maxVersionsPerTrigger.isDefined &&
+      knownBase.getOrElse(Long.MinValue) != to) {
+      metadataPath.foreach(writeLongFile(_, "graft.maxOffsetSeen", to))
+      knownBase = Some(to)
+    }
     val batch =
       if (from > to)
         spark.createDataFrame(

@@ -148,4 +148,35 @@ class CdcSpec extends AnyFunSuite {
     assert(Cdc.latestWinsMerge(base, ok, "k", Seq("ts", "tieb"))
       .count() == 4L)
   }
+
+  test("same-ordering ties rank D > U > I: a same-seq delete+insert deletes, never resurrects (ADVICE r17)") {
+    // key 1: D and I share (ts, tieb) exactly — the delete must win,
+    // so the key disappears instead of resurrecting as the insert image
+    // (the pre-r18 char-compare ranked 'U' > 'I' > 'D' silently).
+    // key 2: U and D tie — delete wins. key 4: D ties with two
+    // same-seq upserts — delete still wins. A HIGHER seq always beats
+    // the rank (key 3: delete at seq 1, upsert at seq 2 → upsert wins).
+    val tied = Seq(
+      (1L, "zombie", 99.0, 5L, 5L, "I"),
+      (1L, "alice", 10.0, 5L, 5L, "D"),
+      (2L, "bob9", 29.0, 5L, 5L, "U"),
+      (2L, "bob", 20.0, 5L, 5L, "D"),
+      (3L, "carol", 30.0, 1L, 1L, "D"),
+      (3L, "carol2", 33.0, 2L, 1L, "U"),
+      (4L, "dave", 40.0, 5L, 5L, "D"),
+      (4L, "daveA", 41.0, 5L, 5L, "U"),
+      (4L, "daveB", 42.0, 5L, 5L, "U"))
+      .toDF("k", "name", "bal", "ts", "tieb", "op")
+    val got = Cdc.latestWinsMerge(base, tied, "k", Seq("ts", "tieb"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == Set((3L, "carol2", 33.0)),
+      s"tie rank broken: $got")
+    // the change feed mirrors the merge: three deletes + one
+    // update pre/post pair, and NO insert for the tied key 1
+    val feed = Cdc.latestWinsChanges(base, tied, "k", Seq("ts", "tieb"))
+      .groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(feed == Map("delete" -> 3L, "update_preimage" -> 1L,
+      "update_postimage" -> 1L), s"feed diverged: $feed")
+  }
 }

@@ -1039,10 +1039,14 @@ class CommitLogSpec extends AnyFunSuite {
     // silently running a check-then-act "CAS" two writers can both win
     // (VERDICT r16 "what's wrong" #1)
     val root = freshRoot()
+    // a "gs" fake here (not s3a): LogStoreSpec REGISTERS a coordinated
+    // store for s3a process-wide, and suite order must not decide
+    // whether this refusal fires — any non-allowlisted scheme pins the
+    // same guard
     val fakeS3 = new org.apache.hadoop.fs.RawLocalFileSystem() {
-      override def getUri: java.net.URI = java.net.URI.create("s3a://bucket")
+      override def getUri: java.net.URI = java.net.URI.create("gs://bucket")
     }
-    fakeS3.initialize(java.net.URI.create("s3a://bucket"),
+    fakeS3.initialize(java.net.URI.create("gs://bucket"),
       spark.sessionState.newHadoopConf())
     fakeS3.mkdirs(new org.apache.hadoop.fs.Path(s"$root/_graft_log"))
     val tmp = new org.apache.hadoop.fs.Path(s"$root/_graft_log/.tmp-x")
@@ -1085,5 +1089,117 @@ class CommitLogSpec extends AnyFunSuite {
       GraftTable.readChanges(spark, root, 0L, 1L).collect()
     }
     assert(e.getMessage.contains("predates the change feed"))
+  }
+
+  test("retention-compact that expires EVERY writer is not a legacy manifest: a fresh writer's batch 0 still lands (ADVICE r17 high)") {
+    val root = freshRoot()
+    // an old stream committed up to batch 7, then went away
+    assert(GraftTable.appendBatchIdempotent(
+      table3(Seq((1L, "a", 1.0))), 7L, root, "old-stream"))
+    Thread.sleep(10)
+    // retention-compaction expires ALL writer txn entries — the
+    // resulting manifest has txns EMPTY and maxBatch=7, the exact shape
+    // a legacy pre-txn manifest has. Without the txnfmt marker the
+    // unscoped fallback would adjudicate any batchId <= 7 from ANY
+    // writer as already-applied: silent permanent data loss.
+    GraftTable.compact(spark, root,
+      GraftTable.latestVersion(spark, root), txnRetentionMs = 1L)
+    val compacted = GraftTable.history(spark, root).last
+    assert(compacted.txns.isEmpty && compacted.maxBatch.contains(7L),
+      s"fixture broken: ${compacted.txns} / ${compacted.maxBatch}")
+    // a plain append keeps the shape (txns still empty, maxBatch
+    // carried) — the gate must hold on DESCENDANT manifests too
+    GraftTable.append(table3(Seq((2L, "b", 2.0))), root,
+      GraftTable.latestVersion(spark, root))
+    // a fresh writer restarting batch ids at 0 MUST commit
+    assert(GraftTable.appendBatchIdempotent(
+      table3(Seq((3L, "c", 3.0))), 0L, root, "fresh-writer"),
+      "fresh writer's batch 0 was swallowed by the expired watermark")
+    assert(GraftTable.read(spark, root).count() == 3L)
+    // the expired writer itself replays as a DUPLICATE (Delta's
+    // documented degradation: expiry loses the guard, never data)
+    assert(GraftTable.appendBatchIdempotent(
+      table3(Seq((1L, "a", 1.0))), 7L, root, "old-stream"))
+    assert(GraftTable.read(spark, root).count() == 4L)
+  }
+
+  test("timestamp time travel: monotonic commit stamps, binary-search resolution, before-first-commit error, skew floor") {
+    val root = freshRoot()
+    GraftTable.create(table3(Seq((1L, "a", 1.0))), root)
+    Thread.sleep(20)
+    GraftTable.append(table3(Seq((2L, "b", 2.0))), root, 0L)
+    Thread.sleep(20)
+    GraftTable.append(table3(Seq((3L, "c", 3.0))), root, 1L)
+    val ts = GraftTable.history(spark, root).map(_.ts.get)
+    assert(ts == ts.sorted, s"commit stamps not monotonic: $ts")
+    assert(ts(0) < ts(1) && ts(1) < ts(2),
+      s"sleeps should separate stamps: $ts")
+    // exact stamps resolve to their own version, midpoints to the
+    // version still current at that instant, the future to the latest
+    assert(GraftTable.versionAtTimestamp(spark, root, ts(0)) == 0L)
+    assert(GraftTable.versionAtTimestamp(spark, root,
+      (ts(0) + ts(1)) / 2) == 0L)
+    assert(GraftTable.versionAtTimestamp(spark, root, ts(1)) == 1L)
+    assert(GraftTable.versionAtTimestamp(spark, root,
+      (ts(1) + ts(2)) / 2) == 1L)
+    assert(GraftTable.versionAtTimestamp(spark, root, ts(2)) == 2L)
+    assert(GraftTable.versionAtTimestamp(spark, root,
+      ts(2) + 3600L * 1000) == 2L)
+    assert(GraftTable.readTimestamp(spark, root, ts(1)).count() == 2L)
+    // before the first commit: loud error (no state exists to serve)
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.versionAtTimestamp(spark, root, ts(0) - 1L)
+    }
+    assert(e.getMessage.contains("predates the first commit"))
+    // CLOCK SKEW: rewrite v2's stamp one hour into the future (a
+    // fast-clock writer); the next commit must floor at it, keeping
+    // the sequence monotonic instead of ordering a child before its
+    // parent
+    val future = ts(2) + 3600L * 1000
+    val mPath = new java.io.File(s"$root/_graft_log/v00000002.commit")
+    val text = new String(
+      java.nio.file.Files.readAllBytes(mPath.toPath), "UTF-8")
+    java.nio.file.Files.write(mPath.toPath,
+      text.replace(s"ts:${ts(2)}", s"ts:$future").getBytes("UTF-8"))
+    GraftTable.append(table3(Seq((4L, "d", 4.0))), root, 2L)
+    val ts3 = GraftTable.history(spark, root).last.ts.get
+    assert(ts3 >= future,
+      s"child stamp $ts3 not floored at skewed parent $future")
+    assert(GraftTable.versionAtTimestamp(spark, root, future) == 3L ||
+      GraftTable.versionAtTimestamp(spark, root, future) == 2L)
+    assert(GraftTable.versionAtTimestamp(spark, root, ts3) == 3L)
+  }
+
+  test("checkpoint change-feed index is WINDOWED: bounded size, manifest-read fallback stays correct (ADVICE r17 medium)") {
+    spark.conf.set("graft.checkpoint.indexWindow", "10")
+    try {
+      val root = freshRoot()
+      GraftTable.create(table3(Seq((0L, "n0", 0.0))), root)
+      (1L to 50L).foreach { i =>
+        GraftTable.append(table3(Seq((i, s"n$i", i.toDouble))), root,
+          i - 1L)
+      }
+      // checkpoints at 25 and 50 each carry only the last 10 versions
+      val c50 = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(s"$root/_graft_log/v00000050.ckpt").toPath),
+        "UTF-8").split("\n").toSeq
+      assert(c50.contains("vfrom:41"),
+        s"v50 checkpoint window floor wrong: ${c50.find(_.startsWith("vfrom"))}")
+      assert(c50.count(_.startsWith("vop:")) == 10,
+        s"index not bounded: ${c50.count(_.startsWith("vop:"))} entries")
+      // the referenced-directory sets stay CUMULATIVE (vacuum safety)
+      assert(c50.count(_.startsWith("datadir:")) == 51,
+        "vacuum's protection set must cover all versions")
+      assert(GraftTable.vacuum(spark, root, retentionMs = 0L).isEmpty,
+        "windowed checkpoint caused vacuum to see false orphans")
+      // a change-feed catch-up SPANNING the window falls back to
+      // manifest reads for the old versions and stays exact
+      val feed = GraftTable.readChanges(spark, root, 0L, 50L)
+      assert(feed.count() == 51L)
+      assert(feed.select("_commit_version").distinct().count() == 51L)
+      // and every snapshot remains readable
+      assert(GraftTable.read(spark, root).count() == 51L)
+      assert(GraftTable.readVersion(spark, root, 7L).count() == 8L)
+    } finally spark.conf.unset("graft.checkpoint.indexWindow")
   }
 }
