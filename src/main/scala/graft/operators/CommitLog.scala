@@ -1609,7 +1609,6 @@ object GraftTable {
     */
   def readChanges(spark: SparkSession, root: String, fromVersion: Long,
       toVersion: Long): DataFrame = {
-    import org.apache.spark.sql.functions.{lit, regexp_extract}
     require(fromVersion >= 0L && fromVersion <= toVersion,
       s"bad change range [$fromVersion, $toVersion]")
     val latest = latestVersion(spark, root)
@@ -1629,6 +1628,55 @@ object GraftTable {
     // one O(1) manifest read
     val schema = StructType.fromDDL(
       readManifest(spark, root, toVersion).schemaDdl)
+
+    // one scan: every file staged by a CREATE/APPEND commit in range
+    // (a commit's ADDED files are exactly those under its own version
+    // directory; carried files keep their original staging version)
+    val insertFiles = entries.collect {
+      case (_, e) if e.op == "CREATE" || e.op == "APPEND" => e.adds
+    }.flatten
+
+    // one scan: every change file a MERGE/DELETE in range staged
+    val cdfEntries = entries.filter { case (_, e) =>
+      e.op == "MERGE" || e.op == "DELETE"
+    }
+    cdfEntries.foreach { case (v, e) => require(e.hasCdfDir,
+      s"version $v (${e.op}) predates the change feed — " +
+        "its pre-images were not captured at commit time")
+    }
+    changesScan(spark, root, schema, insertFiles,
+      cdfEntries.flatMap(_._2.cdfAdds))
+  }
+
+  /** The feed of an EXPLICIT file slice — the streaming source's
+    * file-level admission unit ([[readChanges]]' plan over caller-
+    * chosen files instead of whole versions; VERDICT r17 next-round
+    * #2): `insertFiles` are files staged by CREATE/APPEND commits
+    * (served as `insert` rows), `cdfFiles` files staged by
+    * MERGE/DELETE commits (served as their recorded change rows), and
+    * `schemaVersion` pins the scan schema (pass the slice's LAST
+    * version). The caller is responsible for slicing at file
+    * granularity in commit order — this is the mechanism under
+    * `maxFilesPerTrigger`/`maxBytesPerTrigger`, where ONE giant
+    * version's file list is split across micro-batches.
+    */
+  def readChangesFiles(spark: SparkSession, root: String,
+      insertFiles: Seq[String], cdfFiles: Seq[String],
+      schemaVersion: Long): DataFrame = {
+    val schema = StructType.fromDDL(
+      readManifest(spark, root, schemaVersion).schemaDdl)
+    changesScan(spark, root, schema, insertFiles, cdfFiles)
+  }
+
+  /** The 2-scan change-feed plan over explicit file lists: inserts
+    * from `insertFiles`, recorded changes from `cdfFiles`, commit
+    * versions decoded per row from the version-encoding staged
+    * directory names — O(1) plan width in the version span.
+    */
+  private def changesScan(spark: SparkSession, root: String,
+      schema: StructType, insertFiles: Seq[String],
+      cdfFiles: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, regexp_extract}
     val shape = StructType(schema.fields ++ Seq(
       org.apache.spark.sql.types.StructField("_change_type",
         org.apache.spark.sql.types.StringType),
@@ -1645,12 +1693,6 @@ object GraftTable {
     def conform(df: DataFrame): DataFrame =
       df.select(shape.fieldNames.map(col(_)).toSeq: _*)
 
-    // one scan: every file staged by a CREATE/APPEND commit in range
-    // (a commit's ADDED files are exactly those under its own version
-    // directory; carried files keep their original staging version)
-    val insertFiles = entries.collect {
-      case (_, e) if e.op == "CREATE" || e.op == "APPEND" => e.adds
-    }.flatten
     val inserts =
       if (insertFiles.isEmpty) None
       else Some(conform(
@@ -1659,15 +1701,6 @@ object GraftTable {
           .withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", versionOf("data"))))
 
-    // one scan: every change file a MERGE/DELETE in range staged
-    val cdfEntries = entries.filter { case (_, e) =>
-      e.op == "MERGE" || e.op == "DELETE"
-    }
-    cdfEntries.foreach { case (v, e) => require(e.hasCdfDir,
-      s"version $v (${e.op}) predates the change feed — " +
-        "its pre-images were not captured at commit time")
-    }
-    val cdfFiles = cdfEntries.flatMap(_._2.cdfAdds)
     val cdfSchema = StructType(schema.fields :+
       org.apache.spark.sql.types.StructField("_change_type",
         org.apache.spark.sql.types.StringType))

@@ -5049,6 +5049,77 @@ object PipelineQueries {
         round(col("value"), 2).as("value"))
       .orderBy("user_id")
   }
+
+  /** Timestamp time travel (q176, VERDICT r17 next-round #4): build a
+    * three-version table (CREATE from orders, APPEND of shifted copies,
+    * DELETE of a residue class), then read it back at FOUR wall-clock
+    * probes straddling the recorded commit timestamps — the exact
+    * stamp of v0, the midpoint between v0 and v1, the exact stamp of
+    * v1, and one hour past v2 (Delta's `timestampAsOf` semantics:
+    * latest version committed at-or-before the probe). The probes are
+    * taken FROM the manifests, so the output is deterministic whatever
+    * the wall clock; in-query REQUIREs pin the resolution of each probe
+    * and the before-first-commit error, so a mis-resolved timestamp
+    * fails the query rather than serving a plausible snapshot. The
+    * oracle recomputes each probe's snapshot closed-form from orders.
+    */
+  val q176 = Q.checked(
+    "q176_table_timestamp_travel",
+    """WITH b AS (SELECT o_orderkey, o_totalprice FROM orders),
+       a AS (SELECT o_orderkey + 20000000 AS o_orderkey,
+                    o_totalprice + 500 AS o_totalprice
+             FROM b WHERE o_orderkey % 7 = 0),
+       v1 AS (SELECT * FROM b UNION ALL SELECT * FROM a),
+       v2 AS (SELECT * FROM v1 WHERE o_orderkey % 5 <> 1)
+       SELECT CAST(0 AS BIGINT) AS probe, o_orderkey,
+              round(o_totalprice, 2) AS o_totalprice
+       FROM b
+       UNION ALL SELECT 1, o_orderkey, round(o_totalprice, 2) FROM b
+       UNION ALL SELECT 2, o_orderkey, round(o_totalprice, 2) FROM v1
+       UNION ALL SELECT 3, o_orderkey, round(o_totalprice, 2) FROM v2
+       ORDER BY probe, o_orderkey""") { (s, d) =>
+    val root = s"${sys.props("java.io.tmpdir")}/graft_tts_${ProcessHandle.current().pid()}"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val gt = graft.operators.GraftTable
+    val base = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+    gt.create(base, root)
+    // stamps are millisecond wall-clock; the sleeps separate them so
+    // the midpoint probe is strictly between two versions
+    Thread.sleep(20)
+    val k = col("o_orderkey")
+    gt.append(base.filter(k % 7 === 0)
+      .select((k + 20000000L).as("o_orderkey"),
+        (col("o_totalprice") + 500).as("o_totalprice")), root, 0L)
+    Thread.sleep(20)
+    gt.deleteWhere(s, root, k % 5 === 1, 1L)
+    val ts = gt.history(s, root).map(_.ts.getOrElse(
+      sys.error("manifest missing its commit timestamp")))
+    require(ts == ts.sorted && ts(0) < ts(1) && ts(1) < ts(2),
+      s"commit stamps not strictly increasing: $ts")
+    // probe -> (timestamp, version it must resolve to)
+    val probes = Seq(
+      0L -> (ts(0), 0L),
+      1L -> ((ts(0) + ts(1)) / 2, 0L),
+      2L -> (ts(1), 1L),
+      3L -> (ts(2) + 3600L * 1000, 2L))
+    probes.foreach { case (p, (t, v)) =>
+      val got = gt.versionAtTimestamp(s, root, t)
+      require(got == v, s"probe $p at $t resolved to v$got, wanted v$v")
+    }
+    // a timestamp before the first commit must error, not serve v0
+    val early =
+      try { gt.versionAtTimestamp(s, root, ts(0) - 1L); None }
+      catch { case e: IllegalArgumentException => Some(e.getMessage) }
+    require(early.exists(_.contains("predates the first commit")),
+      s"pre-creation probe did not error: $early")
+    probes.map { case (p, (t, _)) =>
+      gt.readTimestamp(s, root, t)
+        .select(lit(p).as("probe"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+    }.reduce(_.unionByName(_)).orderBy("probe", "o_orderkey")
+  }
 }
 
 /** Planted biarc corpus for the self-verifying q40: 100 verb groups,

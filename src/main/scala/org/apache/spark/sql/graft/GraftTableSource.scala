@@ -70,7 +70,11 @@ class GraftTableSourceProvider extends StreamSourceProvider
       GraftTableSource.startingVersionOf(sqlContext, parameters),
       metadataPath = Some(metadataPath),
       maxVersionsPerTrigger =
-        GraftTableSource.maxVersionsPerTriggerOf(parameters))
+        GraftTableSource.positiveLongOf(parameters, "maxVersionsPerTrigger"),
+      maxFilesPerTrigger =
+        GraftTableSource.positiveLongOf(parameters, "maxFilesPerTrigger"),
+      maxBytesPerTrigger =
+        GraftTableSource.positiveLongOf(parameters, "maxBytesPerTrigger"))
 
   /** The WRITE side of the same format — `df.writeStream.format(this)
     * .option("path", root)` lands each micro-batch as one atomic table
@@ -203,23 +207,35 @@ object GraftTableSource {
         n
     }
 
-  /** `maxVersionsPerTrigger` option (Delta's `maxFilesPerTrigger`
-    * shape, at this source's natural admission unit): cap each
-    * micro-batch at K table versions, so a stream resuming a week
-    * behind a busy table catches up in bounded, INDIVIDUALLY
-    * CHECKPOINTED micro-batches instead of one giant batch (executor
-    * pressure, no incremental progress on failure — VERDICT r16
-    * "what's missing" #2). Unset = serve everything available.
+  /** The rate-limit options, each a positive long (Delta's
+    * AdmissionLimits vocabulary, at this source's three admission
+    * granularities):
+    *
+    *   - `maxVersionsPerTrigger`: cap each micro-batch at K table
+    *     versions, so a stream resuming a week behind a busy table
+    *     catches up in bounded, INDIVIDUALLY CHECKPOINTED micro-batches
+    *     instead of one giant batch (VERDICT r16 "what's missing" #2);
+    *   - `maxFilesPerTrigger` / `maxBytesPerTrigger`: cap at file /
+    *     byte granularity WITH intra-version offsets — one version is
+    *     unbounded (a compaction or a giant append lands all its files
+    *     at once; at 100 TB a single version can be the whole table),
+    *     so these caps can split ONE version's file list across
+    *     micro-batches (VERDICT r17 next-round #2). Each cap may
+    *     overshoot by at most one file (admission is check-before-add,
+    *     so at least one file always admits — Delta's contract).
+    *
+    * Unset = serve everything available. Caps compose: a batch stops at
+    * whichever cap it hits first.
     */
-  private[graft] def maxVersionsPerTriggerOf(
-      parameters: Map[String, String]): Option[Long] =
-    parameters.get("maxVersionsPerTrigger").map { v =>
+  private[graft] def positiveLongOf(parameters: Map[String, String],
+      key: String): Option[Long] =
+    parameters.get(key).map { v =>
       val n = try v.toLong catch {
         case _: NumberFormatException =>
           throw new IllegalArgumentException(
-            s"maxVersionsPerTrigger must be a positive number: '$v'")
+            s"$key must be a positive number: '$v'")
       }
-      require(n > 0L, s"maxVersionsPerTrigger must be positive: $n")
+      require(n > 0L, s"$key must be positive: $n")
       n
     }
 
@@ -262,51 +278,69 @@ object GraftTableSource {
   * versions leaked in later), and an option changed on a RESUMED
   * checkpoint keeps changing nothing.
   *
-  * `maxVersionsPerTrigger` caps each batch at K versions. The cap is
-  * relative to the highest offset this source has EXPOSED (write-ahead
-  * persisted beside the marker before the engine sees it), so a
-  * restart can never cap below an offset the engine may have
+  * `maxVersionsPerTrigger` caps each batch at K versions;
+  * `maxFilesPerTrigger`/`maxBytesPerTrigger` cap at file/byte
+  * granularity and can split ONE version's file list across
+  * micro-batches via the offset's intra-version file index (Delta's
+  * AdmissionLimits — at 100 TB a single COMPACT or bulk-append version
+  * can be the whole table, so version granularity alone is no bound).
+  * Every cap is relative to the highest offset this source has EXPOSED
+  * (write-ahead persisted beside the marker before the engine sees
+  * it), so a restart can never cap below an offset the engine may have
   * committed; a mid-catch-up restart resumes its bounded cadence from
-  * the recovery batch. With `Trigger.AvailableNow`/`Once` the engine
-  * snapshots ONE offset at start, so a run processes one capped batch
-  * — use a processing-time trigger for bounded multi-batch catch-up
-  * (Delta's rate limits behave the same way under Once).
+  * the recovery batch, re-floored at the engine's durable offset. With
+  * `Trigger.AvailableNow`/`Once` the engine snapshots ONE offset at
+  * start, so a run processes one capped batch — use a processing-time
+  * trigger for bounded multi-batch catch-up (Delta's rate limits
+  * behave the same way under Once).
   */
 class GraftTableSource(sqlContext: SQLContext, root: String,
     startingVersion: Long = 0L,
     metadataPath: Option[String] = None,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    maxFilesPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None)
   extends Source {
 
   private val spark =
     sqlContext.sparkSession.asInstanceOf[SparkSession]
   private val schema0 = GraftTableSource.feedSchema(sqlContext, root)
 
+  private val rateLimited = maxVersionsPerTrigger.isDefined ||
+    maxFilesPerTrigger.isDefined || maxBytesPerTrigger.isDefined
+
   private def metaFs(dir: String) =
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
-  private def readLongFile(dir: String, name: String): Option[Long] =
+  private def readStringFile(dir: String, name: String): Option[String] =
     try {
       val f = metaFs(dir)
       val p = new org.apache.hadoop.fs.Path(dir, name)
       if (!f.exists(p)) None
       else {
         val in = f.open(p)
-        val s =
+        Some(
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
-        Some(s.toLong)
+          finally in.close())
       }
     } catch { case _: Exception => None }
 
-  private def writeLongFile(dir: String, name: String, v: Long): Unit = {
+  private def readLongFile(dir: String, name: String): Option[Long] =
+    try readStringFile(dir, name).map(_.toLong)
+    catch { case _: Exception => None }
+
+  private def writeStringFile(dir: String, name: String,
+      v: String): Unit = {
     val f = metaFs(dir)
     f.mkdirs(new org.apache.hadoop.fs.Path(dir))
     val out = f.create(new org.apache.hadoop.fs.Path(dir, name), true)
-    try out.write(v.toString.getBytes("UTF-8"))
+    try out.write(v.getBytes("UTF-8"))
     finally out.close()
   }
+
+  private def writeLongFile(dir: String, name: String, v: Long): Unit =
+    writeStringFile(dir, name, v.toString)
 
   /** True iff this construction CREATED the marker — i.e. the
     * checkpoint is fresh (no prior run of this source wrote one).
@@ -327,38 +361,123 @@ class GraftTableSource(sqlContext: SQLContext, root: String,
     * floor-1 on a fresh checkpoint) — the rate-limit base. Persisted
     * write-ahead so the invariant `base >= any committed offset`
     * survives restarts; absent/torn reads degrade to one uncapped
-    * advance (safe direction).
+    * advance (safe direction). Pre-file-admission checkpoints persisted
+    * a bare version number — parsed as a complete offset.
     */
-  private var knownBase: Option[Long] =
-    if (maxVersionsPerTrigger.isEmpty) None
-    else if (freshCheckpoint) Some(effectiveStart - 1L)
-    else metadataPath.flatMap(readLongFile(_, "graft.maxOffsetSeen"))
+  private var knownBase: Option[GraftTableOffset] =
+    if (!rateLimited) None
+    else if (freshCheckpoint)
+      Some(GraftTableOffset(effectiveStart - 1L))
+    else metadataPath.flatMap(readStringFile(_, "graft.maxOffsetSeen"))
+      .flatMap(s =>
+        try Some(GraftTableOffset.parse(s)) catch {
+          case _: Exception => None
+        })
+
+  private def persistBase(o: GraftTableOffset): Unit = {
+    metadataPath.foreach(writeStringFile(_, "graft.maxOffsetSeen", o.json))
+    knownBase = Some(o)
+  }
+
+  /** A version's ADMISSION UNITS in commit order: the data files a
+    * CREATE/APPEND staged (served as inserts), the change files a
+    * MERGE/DELETE staged, nothing for COMPACT. One O(1) manifest read.
+    */
+  private def unitsOf(v: Long): (Seq[String], Boolean) = {
+    val c = GraftTable.manifest(spark, root, v)
+    c.op match {
+      case "CREATE" | "APPEND" =>
+        (c.files.filter(_.startsWith(f"data/v$v%08d-")), false)
+      case "MERGE" | "DELETE" =>
+        require(c.cdfDir.isDefined,
+          s"version $v (${c.op}) predates the change feed — " +
+            "its pre-images were not captured at commit time")
+        (c.cdfFiles, true)
+      case _ => (Nil, false)
+    }
+  }
+
+  /** The admission walk (Delta's AdmissionLimits): starting after
+    * `base`, admit whole versions and — at the file/byte caps — a
+    * PREFIX of one, recording the intra-version file offset in the
+    * returned offset. Check-before-add per file, so at least one file
+    * always admits (progress is guaranteed; each cap may overshoot by
+    * at most the final file). Manifest reads are bounded by the
+    * versions the caps admit, not the backlog.
+    */
+  private def admit(base: GraftTableOffset,
+      latest: Long): GraftTableOffset = {
+    var files = 0L
+    var bytes = 0L
+    var versions = 0L
+    def budgetLeft: Boolean =
+      maxFilesPerTrigger.forall(files < _) &&
+        maxBytesPerTrigger.forall(bytes < _)
+    lazy val fsys = metaFs(root)
+    def sizeOf(p: String): Long =
+      if (maxBytesPerTrigger.isEmpty) 0L
+      else fsys.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$root/$p")).getLen
+    var cur = base
+    var done = false
+    while (!done) {
+      val (v, from) =
+        if (!cur.complete) (cur.version, cur.index)
+        else (cur.version + 1L, 0L)
+      if (v > latest || maxVersionsPerTrigger.exists(versions >= _))
+        done = true
+      else {
+        versions += 1
+        val (units, _) = unitsOf(v)
+        var i = from
+        while (i < units.size && budgetLeft) {
+          files += 1
+          bytes += sizeOf(units(i.toInt))
+          i += 1
+        }
+        if (i >= units.size) {
+          cur = GraftTableOffset(v)
+          if (!budgetLeft) done = true
+        } else {
+          cur = GraftTableOffset(v, i)
+          done = true
+        }
+      }
+    }
+    cur
+  }
 
   override def schema: StructType = schema0
 
   override def getOffset: Option[Offset] = {
     val latest = GraftTable.latestVersion(spark, root)
     if (latest < 0L) return None
-    val target = (maxVersionsPerTrigger, knownBase) match {
-      case (Some(k), Some(b)) => math.max(math.min(latest, b + k), b)
-      case _ => latest
+    val target = (rateLimited, knownBase) match {
+      case (true, Some(b)) => admit(b, latest)
+      // capped but base unreadable (torn persist): one uncapped
+      // advance — the safe direction (never skips, never re-serves)
+      case _ => GraftTableOffset(latest)
     }
-    if (maxVersionsPerTrigger.isDefined &&
-      target > knownBase.getOrElse(Long.MinValue)) {
+    if (rateLimited && knownBase.forall(b => b != target &&
+      !GraftTableOffset.atOrBefore(target, b))) {
       // write-ahead BEFORE the engine sees the offset
-      metadataPath.foreach(writeLongFile(_, "graft.maxOffsetSeen", target))
-      knownBase = Some(target)
+      persistBase(target)
     }
-    Some(GraftTableOffset(target))
+    Some(target)
   }
 
-  /** Versions `(start, end]` as one batch — `start = None` means a
+  /** The units in `(start, end]` as one batch — `start = None` means a
     * fresh checkpoint, which serves from the pinned effective starting
     * version (default 0: initial snapshot as inserts). `from` is
     * additionally floored at the pinned starting version for EVERY
     * batch, not just the first — a stream started ahead of the
     * table's head must keep skipping the pre-start versions when they
-    * appear later (ADVICE r16). The projection conforms the feed to
+    * appear later (ADVICE r16). A whole-version span (no file-level
+    * offsets at either end) takes the checkpoint-indexed
+    * [[GraftTable.readChanges]] path; a span with an intra-version
+    * offset resolves its exact file slice per version and reads it
+    * through [[GraftTable.readChangesFiles]] — the same 2-scan plan
+    * over the sliced lists. The projection conforms the feed to
     * the stream's fixed schema in BOTH directions: columns a later
     * evolution added mid-stream are dropped until restart, and
     * schema0 columns the batch LACKS are null-filled — the post-crash
@@ -370,33 +489,51 @@ class GraftTableSource(sqlContext: SQLContext, root: String,
     * the evolved table reads its own pre-evolution files.
     */
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = math.max(
-      start.map(GraftTableOffset.versionOf(_) + 1L)
-        .getOrElse(effectiveStart),
-      effectiveStart)
-    val to = GraftTableOffset.versionOf(end)
+    val endO = GraftTableOffset.of(end)
     // rate-limit base RE-FLOOR (ADVICE r17 low): `end` here is an
     // offset the engine durably logged — the largest any restart can
-    // replay — so the base snaps to it. In normal flow base == to
+    // replay — so the base snaps to it. In normal flow base == end
     // already (getOffset just wrote it ahead); after a crash BETWEEN
     // getOffset's write-ahead and the engine's offset-WAL write, the
     // persisted base had ratcheted past a never-committed target and
     // the next batch could span up to ~2x the cap — snapping back to
-    // the recovery offset restores the exact K-version cadence. Safe
-    // in both directions: no offset beyond `to` was durably committed.
-    if (maxVersionsPerTrigger.isDefined &&
-      knownBase.getOrElse(Long.MinValue) != to) {
-      metadataPath.foreach(writeLongFile(_, "graft.maxOffsetSeen", to))
-      knownBase = Some(to)
+    // the recovery offset restores the exact capped cadence. Safe in
+    // both directions: no offset beyond `end` was durably committed.
+    if (rateLimited && !knownBase.contains(endO)) persistBase(endO)
+    // start of the span: the unit AFTER `start`, floored at the pinned
+    // starting version
+    val (fromV, fromIdx) = start.map(GraftTableOffset.of) match {
+      case None => (effectiveStart, 0L)
+      case Some(s) if s.complete => (s.version + 1L, 0L)
+      case Some(s) => (s.version, s.index)
     }
+    val (fv, fi) =
+      if (fromV < effectiveStart) (effectiveStart, 0L)
+      else (fromV, fromIdx)
     val batch =
-      if (from > to)
+      if (fv > endO.version)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema0)
       else {
-        val feed = GraftTable.readChanges(spark, root, from, to)
-        val have = feed.columns.toSet
-        batchConform(feed, have)
+        val feed =
+          if (fi == 0L && endO.complete)
+            GraftTable.readChanges(spark, root, fv, endO.version)
+          else {
+            val ins = Seq.newBuilder[String]
+            val cdf = Seq.newBuilder[String]
+            (fv to endO.version).foreach { v =>
+              val (units, isCdf) = unitsOf(v)
+              val lo = if (v == fv) fi.toInt else 0
+              val hi =
+                if (v == endO.version && !endO.complete) endO.index.toInt
+                else units.size
+              val slice = units.slice(lo, hi)
+              if (isCdf) cdf ++= slice else ins ++= slice
+            }
+            GraftTable.readChangesFiles(spark, root, ins.result(),
+              cdf.result(), endO.version)
+          }
+        batchConform(feed, feed.columns.toSet)
       }
     spark.internalCreateDataFrame(
       batch.queryExecution.toRdd, schema0, isStreaming = true)
@@ -416,19 +553,46 @@ class GraftTableSource(sqlContext: SQLContext, root: String,
   override def toString: String = s"GraftTableSource[$root]"
 }
 
-/** Offset = committed table version; `json` is just the number, so a
-  * checkpoint's offset log is human-readable. On restart the engine
-  * hands back a `SerializedOffset` wrapping that json — `versionOf`
-  * accepts both.
+/** Offset = committed table version, plus an optional INTRA-VERSION
+  * file index for the file/byte-capped admission path: `index ==
+  * Complete` (the default) means version `version` is fully served;
+  * `index == i` means the first `i` admission units of `version` are
+  * served and the rest are still pending — exactly Delta's
+  * `DeltaSourceOffset(reservoirVersion, index)` shape. `json` is the
+  * bare number for complete offsets (so pre-file-admission checkpoints
+  * replay unchanged and new checkpoints without file caps stay
+  * byte-identical to old ones) and `"v:i"` for partial ones. On
+  * restart the engine hands back a `SerializedOffset` wrapping that
+  * json — [[GraftTableOffset.of]] accepts both.
   */
-case class GraftTableOffset(version: Long) extends Offset {
-  override def json: String = version.toString
+case class GraftTableOffset(version: Long,
+    index: Long = GraftTableOffset.Complete) extends Offset {
+  def complete: Boolean = index == GraftTableOffset.Complete
+  override def json: String =
+    if (complete) version.toString else s"$version:$index"
 }
 
 object GraftTableOffset {
-  def versionOf(o: org.apache.spark.sql.connector.read.streaming.Offset)
-      : Long = o match {
-    case GraftTableOffset(v) => v
-    case other => other.json.trim.toLong
+
+  /** Sentinel index of a fully-served version — MaxValue, so the
+    * natural (version, index) tuple order is the stream order.
+    */
+  val Complete: Long = Long.MaxValue
+
+  def parse(s: String): GraftTableOffset = s.trim.split(":") match {
+    case Array(v) => GraftTableOffset(v.toLong)
+    case Array(v, i) => GraftTableOffset(v.toLong, i.toLong)
+    case _ => throw new IllegalArgumentException(s"bad offset json '$s'")
   }
+
+  def of(o: org.apache.spark.sql.connector.read.streaming.Offset)
+      : GraftTableOffset = o match {
+    case g: GraftTableOffset => g
+    case other => parse(other.json)
+  }
+
+  /** Stream order: `a` at or before `b`. */
+  def atOrBefore(a: GraftTableOffset, b: GraftTableOffset): Boolean =
+    a.version < b.version ||
+      (a.version == b.version && a.index <= b.index)
 }

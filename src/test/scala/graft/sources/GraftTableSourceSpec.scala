@@ -375,6 +375,120 @@ class GraftTableSourceSpec extends AnyFunSuite {
       s"restart did not resume the bounded cadence: $batches")
   }
 
+  test("maxFilesPerTrigger: ONE 40-file version drains in 4 exact file-sliced batches; a mid-version restart resumes at the file offset") {
+    import spark.implicits._
+    val base = freshDir()
+    val root = s"$base/table"
+    // 400 rows range-partitioned into 40 ten-row files, ONE version —
+    // the giant-append shape maxVersionsPerTrigger cannot bound
+    val df = (0L until 400L).map(i => (i, s"n$i")).toDF("k", "name")
+      .repartitionByRange(40, col("k"))
+    GraftTable.create(df, root)
+    assert(GraftTable.manifest(spark, root, 0L).files.size == 40,
+      "fixture must stage exactly 40 files")
+    val batches =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long])]
+    def collect(df: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      val ks = df.select("k").collect().map(_.getLong(0)).toSet
+      batches.synchronized { batches += ((id, ks)); () }
+      ()
+    }
+    def drain(ckpt: String, availableNow: Boolean = false): Unit = {
+      val w = spark.readStream.format(Fmt).option("path", root)
+        .option("maxFilesPerTrigger", "10").load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(collect _)
+      val q = (if (availableNow) w.trigger(Trigger.AvailableNow())
+        else w).start()
+      if (availableNow) q.awaitTermination()
+      else { q.processAllAvailable(); q.stop(); q.awaitTermination() }
+    }
+    drain(s"$base/ckpt1")
+    val got = batches.filter(_._2.nonEmpty).map(_._2).toSeq
+    // exact file partitions: files are range-partitioned in key order,
+    // so batch i is precisely files [10i, 10i+10) = keys [100i, 100i+100)
+    assert(got == Seq((0L until 100L).toSet, (100L until 200L).toSet,
+      (200L until 300L).toSet, (300L until 400L).toSet),
+      s"catch-up was not 4 exact file-sliced batches: ${got.map(_.size)}")
+
+    // mid-version restart: AvailableNow snapshots ONE capped offset —
+    // the run serves files [0,10) and stops with the offset holding an
+    // INTRA-VERSION file index; the restart resumes at file 10, nothing
+    // re-served or skipped
+    batches.clear()
+    drain(s"$base/ckpt2", availableNow = true)
+    assert(batches.filter(_._2.nonEmpty).map(_._2).toSeq ==
+      Seq((0L until 100L).toSet),
+      s"first capped run served: ${batches.map(_._2.size)}")
+    val offsetJson = {
+      val f = new java.io.File(s"$base/ckpt2/offsets/0")
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .split("\n").last.trim
+    }
+    assert(offsetJson == "0:10",
+      s"offset must record the intra-version file index, got '$offsetJson'")
+    batches.clear()
+    drain(s"$base/ckpt2")
+    assert(batches.filter(_._2.nonEmpty).map(_._2).toSeq ==
+      Seq((100L until 200L).toSet, (200L until 300L).toSet,
+        (300L until 400L).toSet),
+      s"restart did not resume at the file offset: ${batches.map(_._2.size)}")
+  }
+
+  test("file admission slices ACROSS versions and composes with byte caps; uncapped checkpoints stay bare-number offsets") {
+    import spark.implicits._
+    val base = freshDir()
+    val root = s"$base/table"
+    // two 4-file versions of 40 rows each
+    val mk = (lo: Long) => (lo until lo + 40L).map(i => (i, s"n$i"))
+      .toDF("k", "name").repartitionByRange(4, col("k"))
+    GraftTable.create(mk(0L), root)
+    GraftTable.append(mk(40L), root, 0L)
+    assert(GraftTable.history(spark, root)
+      .forall(_.files.count(_.startsWith(f"data/v${0L}%08d-")) <= 4))
+    val batches =
+      scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    def drain(opts: Map[String, String], ckpt: String): Unit = {
+      val r = spark.readStream.format(Fmt).option("path", root)
+      val q = opts.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }
+        .load().writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            val ks = df.select("k").collect().map(_.getLong(0)).toSet
+            batches.synchronized { batches += ks; () }
+            ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+    }
+    // 6-file cap: batch 1 = all 4 files of v0 + first 2 of v1 (the
+    // slice crosses the version boundary), batch 2 = the remainder
+    drain(Map("maxFilesPerTrigger" -> "6"), s"$base/ckpt1")
+    val got = batches.filter(_.nonEmpty).toSeq
+    assert(got == Seq((0L until 60L).toSet, (60L until 80L).toSet),
+      s"cross-version slicing broken: ${got.map(_.size)}")
+
+    // byte cap check-before-add: cap 1 byte still admits one file per
+    // batch (progress guaranteed), so 8 files = 8 batches of 10 rows
+    batches.clear()
+    drain(Map("maxBytesPerTrigger" -> "1"), s"$base/ckpt2")
+    val byteBatches = batches.filter(_.nonEmpty).toSeq
+    assert(byteBatches.size == 8 && byteBatches.forall(_.size == 10),
+      s"byte cap must admit exactly one file per batch: ${byteBatches.map(_.size)}")
+
+    // an UNCAPPED stream's offsets stay bare version numbers — the
+    // pre-file-admission checkpoint format, byte-identical
+    batches.clear()
+    drain(Map.empty, s"$base/ckpt3")
+    val off = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$base/ckpt3/offsets/0").toPath), "UTF-8")
+      .split("\n").last.trim
+    assert(off == "1", s"uncapped offset format changed: '$off'")
+    assert(batches.filter(_.nonEmpty).map(_.size).sum == 80)
+  }
+
   test("format() sink: micro-batches land as atomic versions, a checkpoint restart replays as a no-op, a fresh checkpoint is a fresh writer") {
     import spark.implicits._
     val base = freshDir()
