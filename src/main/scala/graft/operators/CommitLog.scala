@@ -105,7 +105,8 @@ object GraftTable {
       cdfDir: Option[String] = None,
       cdfFiles: Seq[String] = Nil,
       txnAware: Boolean = false,
-      ts: Option[Long] = None) {
+      ts: Option[Long] = None,
+      dvs: Map[String, Seq[(Long, Long)]] = Map.empty) {
     /** Primary stats column (the range-partitioning layout key). */
     def statsCol: Option[String] = statsCols.headOption
   }
@@ -546,8 +547,57 @@ object GraftTable {
       // expired-SetTransaction contract only degrades to duplicates).
       txnAware = lines.exists(_.startsWith("txnfmt:")) ||
         txnLines.nonEmpty,
-      ts = opt("ts").map(_.toLong))
+      ts = opt("ts").map(_.toLong),
+      // deletion vectors: `dv:<relpath>\t<a-b,c-d,...>` — inclusive
+      // sorted row-index ranges of DELETED rows within that file
+      dvs = lines.filter(_.startsWith("dv:")).map { l =>
+        l.drop(3).split("\t") match {
+          case Array(pth, enc) => pth -> parseDvRanges(enc)
+          case other =>
+            sys.error(s"manifest $p: bad dv line ${other.mkString("\t")}")
+        }
+      }.toMap)
   }
+
+  /** `a-b,c-d` (inclusive, sorted, disjoint) <-> range list. */
+  private def parseDvRanges(enc: String): Seq[(Long, Long)] =
+    enc.split(",").toSeq.filter(_.nonEmpty).map { r =>
+      r.split("-") match {
+        case Array(a) => (a.toLong, a.toLong)
+        case Array(a, b) => (a.toLong, b.toLong)
+        case _ => sys.error(s"bad dv range '$r'")
+      }
+    }
+
+  private def encodeDvRanges(rs: Seq[(Long, Long)]): String =
+    rs.map { case (a, b) => if (a == b) s"$a" else s"$a-$b" }
+      .mkString(",")
+
+  /** Merge two DV range lists into sorted disjoint ranges (row-index
+    * set union) — a file DV'd by successive point merges accumulates
+    * one normalized list, never duplicates.
+    */
+  private[graft] def unionDvRanges(a: Seq[(Long, Long)],
+      b: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val sorted = (a ++ b).sortBy(_._1)
+    sorted.foldLeft(Vector.empty[(Long, Long)]) { case (acc, (lo, hi)) =>
+      acc.lastOption match {
+        case Some((plo, phi)) if lo <= phi + 1 =>
+          acc.init :+ (plo, math.max(phi, hi))
+        case _ => acc :+ (lo, hi)
+      }
+    }
+  }
+
+  /** Row-index set from sorted ids. */
+  private[graft] def idsToRanges(ids: Seq[Long]): Seq[(Long, Long)] =
+    ids.sorted.foldLeft(Vector.empty[(Long, Long)]) { case (acc, i) =>
+      acc.lastOption match {
+        case Some((lo, hi)) if i <= hi + 1 =>
+          acc.init :+ (lo, math.max(hi, i))
+        case _ => acc :+ (i, i)
+      }
+    }
 
   /** Atomic no-overwrite publish of `tmp` as `dest`; true iff this
     * writer won. The primitive is resolved per filesystem SCHEME
@@ -587,7 +637,8 @@ object GraftTable {
       schemaDdl: Option[String] = None,
       statsKeys: Seq[String] = Nil,
       cdf: Option[DataFrame] = None,
-      tsFloor: Long = 0L)
+      tsFloor: Long = 0L,
+      carryDvs: Map[String, Seq[(Long, Long)]] = Map.empty)
 
   /** Per-file min/max of every stats column over freshly staged
     * files — ONE column-pruned scan of only those files computes all
@@ -762,6 +813,9 @@ object GraftTable {
         manifest.append(s"range:$pt\t$c\t$mn\t$mx\n")
       }
     }
+    p.carryDvs.toSeq.sortBy(_._1).foreach { case (pt, rs) =>
+      manifest.append(s"dv:$pt\t${encodeDvRanges(rs)}\n")
+    }
     val tmp = new Path(s"$root/$LogDir/.tmp-v$next-${staged.token}")
     f.mkdirs(new Path(s"$root/$LogDir"))
     val out = f.create(tmp, false)
@@ -930,7 +984,7 @@ object GraftTable {
       maxBatch = par.maxBatch, txns = par.txns,
       txnStamps = par.txnStamps,
       schemaDdl = Some(par.schemaDdl), statsKeys = par.statsCols,
-      tsFloor = par.ts.getOrElse(0L))
+      tsFloor = par.ts.getOrElse(0L), carryDvs = par.dvs)
     // AUTO-REBASE (Delta's append-vs-append rule): an append reads
     // nothing, so winners that only ADDED files (CREATE/APPEND with an
     // unchanged schema — an interleaved appendEvolve widens it and
@@ -984,7 +1038,7 @@ object GraftTable {
       txnStamps = parent.txnStamps,
       schemaDdl = Some(evolved.toDDL),
       statsKeys = parent.statsCols,
-      tsFloor = parent.ts.getOrElse(0L)))
+      tsFloor = parent.ts.getOrElse(0L), carryDvs = parent.dvs))
   }
 
   /** Exactly-once streaming sink primitive: append a micro-batch as a
@@ -1065,7 +1119,7 @@ object GraftTable {
             (appId -> System.currentTimeMillis()),
           schemaDdl = Some(par.schemaDdl),
           statsKeys = par.statsCols,
-          tsFloor = par.ts.getOrElse(0L)))
+          tsFloor = par.ts.getOrElse(0L), carryDvs = par.dvs))
       }
     val latest = latestVersion(spark, root)
     val p0 =
@@ -1109,7 +1163,8 @@ object GraftTable {
     */
   def mergeBatchIdempotent(batch0: DataFrame, batchId: Long,
       root: String, appId: String, key: String,
-      ordering: Seq[String], opCol: Option[String] = None): Boolean = {
+      ordering: Seq[String], opCol: Option[String] = None,
+      deletionVectors: Boolean = false): Boolean = {
     require(appId.nonEmpty && !appId.exists(c => c == '\t' || c == '\n'),
       s"appId must be non-empty and tab/newline-free: '$appId'")
     require(ordering.nonEmpty,
@@ -1166,7 +1221,7 @@ object GraftTable {
               s"$batchId has [${dataShape.schema.toDDL}]")
           if (parent.statsCols.contains(key))
             mergePrunedImpl(root, changes, key, ordering, latest, op,
-              stamp)
+              stamp, useDvs = deletionVectors)
           else
             mergeImpl(root, changes, key, ordering, latest, op, stamp)
         }
@@ -1298,9 +1353,40 @@ object GraftTable {
     mergePrunedImpl(root, changes0, key, ordering, expectedVersion, op,
       identity)
 
+  /** `deletionVectors = true` switches the pruned merge's WRITE SHAPE
+    * from rewrite-the-touched-files to record-deletion-vectors (VERDICT
+    * r17 next-round #3, Delta's DV recipe): instead of rewriting every
+    * file that contains a matched key — a 1-row update into a 1 GB file
+    * rewrites the gigabyte — the commit KEEPS the touched files, adds a
+    * `dv:` row-index bitmap line per touched file masking the matched
+    * rows, and appends one small file holding the winning images.
+    * Readers apply the mask via the parquet row index
+    * (`_metadata.row_index`); snapshots and the change feed are
+    * row-identical to the rewrite path; [[compact]] materializes DVs
+    * away. Falls back to the rewrite path when the matched-row count
+    * exceeds [[DvMaxRowsPerCommit]] (DVs live in the manifest, so they
+    * must stay driver-small — exactly the point-update/CDC-upsert
+    * workloads whose write amplification DVs exist to kill). Assumes
+    * the merge key is unique in the table (the upsert-table contract
+    * `latestWinsMerge` already implies).
+    */
+  def mergePruned(root: String, changes0: DataFrame, key: String,
+      ordering: Seq[String], expectedVersion: Long,
+      op: String, deletionVectors: Boolean): Long =
+    mergePrunedImpl(root, changes0, key, ordering, expectedVersion, op,
+      identity, useDvs = deletionVectors)
+
+  /** Matched-row bound for a DV commit: above this the pruned merge
+    * falls back to rewriting (a manifest-resident bitmap must stay
+    * driver-small; a changelog touching millions of rows is not the
+    * write-amplification case DVs target).
+    */
+  private[graft] val DvMaxRowsPerCommit = 100000L
+
   private def mergePrunedImpl(root: String, changes0: DataFrame,
       key: String, ordering: Seq[String], expectedVersion: Long,
-      op: String, mod: Pending => Pending): Long = {
+      op: String, mod: Pending => Pending,
+      useDvs: Boolean = false): Long = {
     val spark = changes0.sparkSession
     val parent = readManifest(spark, root, expectedVersion)
     require(parent.statsCols.contains(key),
@@ -1327,7 +1413,8 @@ object GraftTable {
           schemaDdl = Some(parent.schemaDdl),
           statsKeys = parent.statsCols,
           cdf = Some(withChangeType(empty)),
-          tsFloor = parent.ts.getOrElse(0L))))
+          tsFloor = parent.ts.getOrElse(0L),
+          carryDvs = parent.dvs)))
     }
     val (cmin, cmax) = (bounds.getLong(0), bounds.getLong(1))
     // stage 1: range-disjoint files can't hold a change key; files
@@ -1339,40 +1426,90 @@ object GraftTable {
       }
     }
     // stage 2: exact touch set — key-only scan of candidates,
-    // semi-join against distinct change keys, distinct file names
-    // (bounded by the candidate file count)
-    val touched: Set[String] =
-      if (candidates.isEmpty) Set.empty
+    // semi-join against distinct change keys, per-file matched-row
+    // counts (bounded by the candidate file count)
+    val matchedPerFile: Map[String, Long] =
+      if (candidates.isEmpty) Map.empty
       else {
         val cand = spark.read.schema(schema)
           .parquet(candidates.map(p => s"$root/$p"): _*)
           .select(col(key), input_file_name().as("__f"))
-        val hit = cand.join(changes.select(col(key)).distinct(), key)
-          .select("__f").distinct().collect().map(_.getString(0))
-        candidates.filter(p => hit.exists(_.endsWith(p))).toSet
+        val hits = cand.join(changes.select(col(key)).distinct(), key)
+          .groupBy("__f").count()
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        hits.flatMap { case (abs, n) =>
+          candidates.find(abs.endsWith(_)).map(_ -> n)
+        }.toMap
       }
+    val touched: Set[String] = matchedPerFile.keySet
     val carried = disjoint ++ candidates.filterNot(touched)
-    val base =
-      if (touched.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema)
-        .parquet(touched.toSeq.sorted.map(p => s"$root/$p"): _*)
-    val merged = Cdc.latestWinsMerge(base, changes, key, ordering, op)
-      .repartitionByRange(math.max(1, touched.size), col(key))
-    // the carried files provably hold no change key (stage 2 is exact),
-    // so the change feed computed against ONLY the touched files is the
-    // table's complete change set for this commit
-    commitVersion(merged, root, mod(Pending("MERGE", expectedVersion,
-      carryFiles = carried,
-      carryRanges = parent.ranges.filter(r => carried.contains(r._1)),
-      maxBatch = parent.maxBatch, txns = parent.txns,
-      txnStamps = parent.txnStamps,
-      schemaDdl = Some(parent.schemaDdl),
-      statsKeys = parent.statsCols,
-      cdf = Some(Cdc.latestWinsChanges(base, changes, key, ordering,
-        op)),
-      tsFloor = parent.ts.getOrElse(0L))))
+    // DV-filtered pre-image of the touched files: both the merge and
+    // the change feed must see only LIVE rows — a previously DV'd row
+    // must neither resurrect nor emit a second pre-image
+    val base = scanMinusDvs(spark, root, schema,
+      touched.toSeq.sorted, parent.dvs)
+    val keepSet = carried.toSet
+    val totalMatched = matchedPerFile.values.sum
+    val cdf = Cdc.latestWinsChanges(base, changes, key, ordering, op)
+    if (useDvs && totalMatched <= DvMaxRowsPerCommit) {
+      // DELETION-VECTOR shape: keep every touched file, mask its
+      // matched rows by row index, append only the winning images.
+      // newRows = latestWinsMerge into an EMPTY base = exactly the
+      // collapsed non-delete winner images (inserts included)
+      val emptyBase = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      val newRows =
+        Cdc.latestWinsMerge(emptyBase, changes, key, ordering, op)
+          .repartitionByRange(1, col(key))
+      // matched (file, row_index) pairs — the new DV entries; bounded
+      // by totalMatched <= DvMaxRowsPerCommit
+      import org.apache.spark.sql.functions.regexp_extract
+      val newDvIds: Map[String, Seq[Long]] =
+        if (touched.isEmpty) Map.empty
+        else spark.read.schema(schema)
+          .parquet(touched.toSeq.sorted.map(p => s"$root/$p"): _*)
+          .select(col(key),
+            regexp_extract(col("_metadata.file_path"),
+              "(data/v\\d{8}-[^/]+/[^/]+)$", 1).as("__f"),
+            col("_metadata.row_index").as("__ri"))
+          .join(changes.select(col(key)).distinct(), key)
+          .select("__f", "__ri")
+          .collect()
+          .groupBy(_.getString(0))
+          .view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+      val updatedDvs = parent.dvs.view.filterKeys(keepSet).toMap ++
+        newDvIds.map { case (pth, ids) =>
+          pth -> unionDvRanges(parent.dvs.getOrElse(pth, Nil),
+            idsToRanges(ids))
+        }
+      commitVersion(newRows, root, mod(Pending("MERGE", expectedVersion,
+        carryFiles = carried ++ touched.toSeq.sorted,
+        carryRanges = parent.ranges.filter(r =>
+          keepSet.contains(r._1) || touched.contains(r._1)),
+        maxBatch = parent.maxBatch, txns = parent.txns,
+        txnStamps = parent.txnStamps,
+        schemaDdl = Some(parent.schemaDdl),
+        statsKeys = parent.statsCols,
+        cdf = Some(cdf),
+        tsFloor = parent.ts.getOrElse(0L),
+        carryDvs = updatedDvs)))
+    } else {
+      val merged = Cdc.latestWinsMerge(base, changes, key, ordering, op)
+        .repartitionByRange(math.max(1, touched.size), col(key))
+      // the carried files provably hold no change key (stage 2 is
+      // exact), so the change feed computed against ONLY the touched
+      // files is the table's complete change set for this commit
+      commitVersion(merged, root, mod(Pending("MERGE", expectedVersion,
+        carryFiles = carried,
+        carryRanges = parent.ranges.filter(r => keepSet.contains(r._1)),
+        maxBatch = parent.maxBatch, txns = parent.txns,
+        txnStamps = parent.txnStamps,
+        schemaDdl = Some(parent.schemaDdl),
+        statsKeys = parent.statsCols,
+        cdf = Some(cdf),
+        tsFloor = parent.ts.getOrElse(0L),
+        carryDvs = parent.dvs.view.filterKeys(keepSet).toMap)))
+    }
   }
 
   /** ACID DELETE WHERE: commit a new version whose snapshot is the
@@ -1411,15 +1548,46 @@ object GraftTable {
     df.withColumn("_change_type", lit(tpe))
   }
 
-  private def snapshotOf(spark: SparkSession, root: String,
-      c: Commit): DataFrame = {
-    val schema = StructType.fromDDL(c.schemaDdl)
-    if (c.files.isEmpty)
-      spark.createDataFrame(
+  /** Scan `files` applying any deletion vectors recorded for them: the
+    * DV'd (file, row_index) pairs are expanded into a small frame and
+    * anti-joined against the scan's parquet row indexes
+    * (`_metadata.row_index`, the Delta DV read recipe) — a broadcast
+    * hash anti-join on the codegen'd path, costing nothing when `dvs`
+    * is empty (the plain scan is returned untouched, so DV-free tables
+    * keep their exact pre-DV plans). The relative path is decoded from
+    * `_metadata.file_path` by the same staged-directory pattern the
+    * change feed uses.
+    */
+  private def scanMinusDvs(spark: SparkSession, root: String,
+      schema: StructType, files: Seq[String],
+      dvs: Map[String, Seq[(Long, Long)]]): DataFrame = {
+    if (files.isEmpty)
+      return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
-      spark.read.schema(schema).parquet(c.files.map(p => s"$root/$p"): _*)
+    val base =
+      spark.read.schema(schema).parquet(files.map(p => s"$root/$p"): _*)
+    val relevant = dvs.view.filterKeys(files.toSet).toMap
+    if (relevant.isEmpty) return base
+    import org.apache.spark.sql.functions.{broadcast, regexp_extract}
+    import spark.implicits._
+    val deleted = relevant.toSeq.flatMap { case (pth, rs) =>
+      rs.flatMap { case (lo, hi) => (lo to hi).map(pth -> _) }
+    }.toDF("__graft_dv_file", "__graft_dv_ri")
+    base
+      .withColumn("__graft_dv_file",
+        regexp_extract(col("_metadata.file_path"),
+          "(data/v\\d{8}-[^/]+/[^/]+)$", 1))
+      .withColumn("__graft_dv_ri", col("_metadata.row_index"))
+      .join(broadcast(deleted),
+        Seq("__graft_dv_file", "__graft_dv_ri"), "left_anti")
+      .drop("__graft_dv_file", "__graft_dv_ri")
+      .select(schema.fieldNames.map(col(_)).toSeq: _*)
   }
+
+  private def snapshotOf(spark: SparkSession, root: String,
+      c: Commit): DataFrame =
+    scanMinusDvs(spark, root, StructType.fromDDL(c.schemaDdl), c.files,
+      c.dvs)
 
   /** Snapshot at `version` — the time-travel read. The scan carries
     * the manifest's schema explicitly, so an empty version reads as an
@@ -1555,12 +1723,7 @@ object GraftTable {
     val c = readManifest(spark, root, v)
     val schema = StructType.fromDDL(c.schemaDdl)
     val files = filesForRanges(spark, root, v, bounds)
-    val base =
-      if (files.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema)
-        .parquet(files.map(p => s"$root/$p"): _*)
+    val base = scanMinusDvs(spark, root, schema, files, c.dvs)
     bounds.foldLeft(base) { case (df, (k, (lo, hi))) =>
       df.filter(col(k) >= lo && col(k) <= hi)
     }

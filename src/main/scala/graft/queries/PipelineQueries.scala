@@ -4444,12 +4444,20 @@ object PipelineQueries {
          UNION ALL
          SELECT o_orderkey + 20000000, o_totalprice + 500
          FROM b WHERE o_orderkey <= (SELECT thr FROM t)
-                      AND o_orderkey % 19 = 2)
+                      AND o_orderkey % 19 = 2),
+       v2 AS (
+         SELECT o_orderkey,
+                CASE WHEN o_orderkey = (SELECT max(o_orderkey) FROM b)
+                     THEN o_totalprice + 111 ELSE o_totalprice END
+                  AS o_totalprice
+         FROM v1)
        SELECT CAST(0 AS BIGINT) AS version, o_orderkey,
               round(o_totalprice, 2) AS o_totalprice
        FROM b
        UNION ALL
        SELECT 1, o_orderkey, round(o_totalprice, 2) FROM v1
+       UNION ALL
+       SELECT 2, o_orderkey, round(o_totalprice, 2) FROM v2
        ORDER BY version, o_orderkey""") { (s, d) =>
     val root = s"${sys.props("java.io.tmpdir")}/graft_prm_${ProcessHandle.current().pid()}"
     val fs = new org.apache.hadoop.fs.Path(root)
@@ -4476,17 +4484,38 @@ object PipelineQueries {
       .withColumn("seq", lit(1L))
     gt.mergePruned(root, changes, key = "o_orderkey",
       ordering = Seq("seq"), expectedVersion = v0)
+    // version 2: a 1-row point update through the DELETION-VECTOR
+    // shape (VERDICT r17 next-round #3) — the commit must rewrite ZERO
+    // data files: every v1 file carried, one small image file added,
+    // one single-row dv mask recorded
+    val maxKey = base.agg(max("o_orderkey")).head().getLong(0)
+    val point = base.filter(k === maxKey)
+      .select(k, (col("o_totalprice") + 111).as("o_totalprice"),
+        lit("U").as("op"), lit(2L).as("seq"))
+    gt.mergePruned(root, point, key = "o_orderkey",
+      ordering = Seq("seq"), expectedVersion = 1L, op = "op",
+      deletionVectors = true)
     val h = gt.history(s, root)
     val carried = h(1).files.toSet.intersect(h(0).files.toSet)
     require(carried.nonEmpty,
       "pruned merge carried no untouched files — pruning is inert")
     require((h(0).files.toSet -- h(1).files.toSet).nonEmpty,
       "pruned merge rewrote no files — changes were lost")
+    require(h(1).files.forall(h(2).files.contains),
+      "DV point update rewrote a data file")
+    require(h(2).files.filterNot(h(1).files.toSet).size == 1,
+      "DV point update must add exactly one image file")
+    require(h(2).dvs.size == 1 &&
+      h(2).dvs.values.head.map(r => r._2 - r._1 + 1).sum == 1L,
+      s"DV point update must mask exactly one row: ${h(2).dvs}")
     val read0 = gt.readVersion(s, root, 0L)
     val read1 = gt.readVersion(s, root, 1L)
+    val read2 = gt.readVersion(s, root, 2L)
     read0.select(lit(0L).as("version"), col("o_orderkey"),
         round(col("o_totalprice"), 2).as("o_totalprice"))
       .unionByName(read1.select(lit(1L).as("version"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice")))
+      .unionByName(read2.select(lit(2L).as("version"), col("o_orderkey"),
         round(col("o_totalprice"), 2).as("o_totalprice")))
       .orderBy("version", "o_orderkey")
   }

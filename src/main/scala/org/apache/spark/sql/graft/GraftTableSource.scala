@@ -117,9 +117,16 @@ class GraftTableSourceProvider extends StreamSourceProvider
       require(ordering.nonEmpty, "mergeOrdering must name >= 1 column")
       // optional CDC shape: option("mergeOp", col) — the stream carries
       // an I/U/D op column (deletes flow through); it orders ties after
-      // mergeOrdering and is not stored in the table
+      // mergeOrdering and is not stored in the table. option
+      // ("deletionVectors", "true") switches the write shape on a
+      // stats-partitioned table from rewrite-touched-files to
+      // row-index masks + one small image file per batch — the
+      // write-amplification fix for exactly this sink's workload
+      // (point upserts hitting big files every micro-batch).
       new GraftTableSink(sqlContext, root, appId,
-        merge = Some((key, ordering)), mergeOp = parameters.get("mergeOp"))
+        merge = Some((key, ordering)), mergeOp = parameters.get("mergeOp"),
+        deletionVectors =
+          parameters.get("deletionVectors").exists(_.toBoolean))
     } else {
       require(outputMode == OutputMode.Append(),
         s"unsupported output mode $outputMode (append or update)")
@@ -148,7 +155,8 @@ class GraftTableSourceProvider extends StreamSourceProvider
 class GraftTableSink(sqlContext: SQLContext, root: String,
     explicitAppId: Option[String],
     merge: Option[(String, Seq[String])] = None,
-    mergeOp: Option[String] = None) extends Sink {
+    mergeOp: Option[String] = None,
+    deletionVectors: Boolean = false) extends Sink {
 
   private val spark =
     sqlContext.sparkSession.asInstanceOf[SparkSession]
@@ -164,7 +172,7 @@ class GraftTableSink(sqlContext: SQLContext, root: String,
     merge match {
       case Some((key, ordering)) =>
         GraftTable.mergeBatchIdempotent(batch, batchId, root, appId,
-          key, ordering, mergeOp)
+          key, ordering, mergeOp, deletionVectors)
       case None =>
         GraftTable.appendBatchIdempotent(batch, batchId, root, appId)
     }

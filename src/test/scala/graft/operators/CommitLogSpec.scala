@@ -1170,6 +1170,94 @@ class CommitLogSpec extends AnyFunSuite {
     assert(GraftTable.versionAtTimestamp(spark, root, ts3) == 3L)
   }
 
+  test("deletion vectors: a point upsert rewrites ZERO files (one dv line + one image file); snapshot and feed row-identical to the rewrite path") {
+    import spark.implicits._
+    def mk() = (1L to 1000L).map(i => (i, s"n$i", i * 1.0))
+      .toDF("k", "name", "bal")
+    val rootDv = freshRoot()
+    val rootRw = freshRoot()
+    GraftTable.createPartitioned(mk(), rootDv, "k", numFiles = 8)
+    GraftTable.createPartitioned(mk(), rootRw, "k", numFiles = 8)
+    val upd = Seq((500L, "upd", 999.0, "U", 1L))
+      .toDF("k", "name", "bal", "op", "seq")
+    GraftTable.mergePruned(rootDv, upd, "k", Seq("seq"), 0L, "op",
+      deletionVectors = true)
+    GraftTable.mergePruned(rootRw, upd, "k", Seq("seq"), 0L)
+    val h0 = GraftTable.manifest(spark, rootDv, 0L)
+    val h1 = GraftTable.manifest(spark, rootDv, 1L)
+    // ZERO data files rewritten: every v0 file carried verbatim; the
+    // only addition is one small winner-image file
+    assert(h0.files.forall(h1.files.contains),
+      "a DV point update must carry every existing file")
+    val added = h1.files.filterNot(h0.files.toSet)
+    assert(added.size == 1, s"expected 1 image file, added $added")
+    // exactly one file masked, exactly one row in the mask
+    assert(h1.dvs.size == 1, s"dv lines: ${h1.dvs}")
+    assert(h1.dvs.values.head.map(r => r._2 - r._1 + 1).sum == 1L,
+      s"mask must cover one row: ${h1.dvs}")
+    // the REWRITE twin rewrote a data file for the same 1-row change —
+    // the write amplification DVs remove
+    val rw1 = GraftTable.manifest(spark, rootRw, 1L)
+    assert(GraftTable.manifest(spark, rootRw, 0L).files
+      .exists(f => !rw1.files.contains(f)))
+    // snapshot and change feed are row-identical across the two shapes
+    def snap(root: String) = GraftTable.read(spark, root)
+      .as[(Long, String, Double)].collect().toSet
+    assert(snap(rootDv) == snap(rootRw))
+    def feed(root: String) = GraftTable.readChanges(spark, root, 1L, 1L)
+      .select("k", "name", "bal", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3))).toSet
+    assert(feed(rootDv) == feed(rootRw),
+      s"feeds diverged: ${feed(rootDv)} vs ${feed(rootRw)}")
+    // time travel is untouched: v0 still serves the original row
+    assert(GraftTable.readVersion(spark, rootDv, 0L)
+      .filter(col("k") === 500L).select("name").head().getString(0)
+      == "n500")
+
+    // a point DELETE is a dv line and NOTHING else — no new file at all
+    // (the empty winner stage's zero-row part is dropped)
+    val del = Seq((600L, "-", 0.0, "D", 2L))
+      .toDF("k", "name", "bal", "op", "seq")
+    GraftTable.mergePruned(rootDv, del, "k", Seq("seq"), 1L, "op",
+      deletionVectors = true)
+    val h2 = GraftTable.manifest(spark, rootDv, 2L)
+    assert(h2.files.toSet == h1.files.toSet,
+      "a DV point delete must add no data file")
+    assert(GraftTable.read(spark, rootDv).count() == 999L)
+    assert(GraftTable.read(spark, rootDv)
+      .filter(col("k") === 600L).isEmpty)
+    assert(GraftTable.readChanges(spark, rootDv, 2L, 2L)
+      .select("_change_type").head().getString(0) == "delete")
+
+    // DV'd reads compose with file pruning; a second DV merge on the
+    // SAME file unions the masks; appends carry dv lines forward
+    val upd2 = Seq((501L, "upd2", 1.0, "U", 3L))
+      .toDF("k", "name", "bal", "op", "seq")
+    GraftTable.mergePruned(rootDv, upd2, "k", Seq("seq"), 2L, "op",
+      deletionVectors = true)
+    val pruned = GraftTable.readRange(spark, rootDv, 495L, 605L)
+    val got = pruned.filter(col("k").isin(500L, 501L, 600L))
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == Set((500L, "upd", 999.0), (501L, "upd2", 1.0)),
+      s"pruned DV read wrong: $got")
+    GraftTable.append(Seq((2000L, "new", 2.0)).toDF("k", "name", "bal"),
+      rootDv, 3L)
+    assert(GraftTable.manifest(spark, rootDv, 4L).dvs.nonEmpty,
+      "append must carry dv lines forward")
+    assert(GraftTable.read(spark, rootDv).count() == 1000L) // 999+1+... 1000-1+1
+
+    // compact MATERIALIZES the masks away: same rows, dv-free manifest
+    val v5 = GraftTable.compact(spark, rootDv,
+      GraftTable.latestVersion(spark, rootDv), numFiles = 4)
+    val h5 = GraftTable.manifest(spark, rootDv, v5)
+    assert(h5.dvs.isEmpty, "compact must materialize deletion vectors")
+    assert(GraftTable.read(spark, rootDv).count() == 1000L)
+    assert(GraftTable.read(spark, rootDv)
+      .filter(col("k") === 500L).select("name").head().getString(0)
+      == "upd")
+  }
+
   test("checkpoint change-feed index is WINDOWED: bounded size, manifest-read fallback stays correct (ADVICE r17 medium)") {
     spark.conf.set("graft.checkpoint.indexWindow", "10")
     try {

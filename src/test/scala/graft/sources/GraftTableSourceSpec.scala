@@ -703,6 +703,45 @@ class GraftTableSourceSpec extends AnyFunSuite {
       .select("name").head().getString(0) == "u5")
   }
 
+  test("update-mode sink with deletionVectors: point upserts rewrite ZERO files per batch, masks accumulate, snapshot exact") {
+    import spark.implicits._
+    val base = freshDir()
+    val stage = s"$base/stage"
+    val root = s"$base/table"
+    GraftTable.createPartitioned(
+      (1L to 1000L).map(i => (i, 0L, s"n$i")).toDF("k", "seq", "name"),
+      root, "k", numFiles = 8)
+    val before = GraftTable.history(spark, root).head
+    GraftTable.create(
+      Seq((5L, 1L, "u5"), (905L, 1L, "u905")).toDF("k", "seq", "name"),
+      stage)
+    val q = spark.readStream.format(Fmt).option("path", stage).load()
+      .select("k", "seq", "name")
+      .writeStream.format(Fmt)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ckpt")
+      .option("path", root)
+      .option("mergeKey", "k")
+      .option("mergeOrdering", "seq")
+      .option("deletionVectors", "true")
+      .start()
+    q.awaitTermination()
+    val after = GraftTable.history(spark, root).last
+    assert(after.op == "MERGE")
+    // every original file carried; only winner-image files added
+    assert(before.files.forall(after.files.contains),
+      "DV sink rewrote a data file")
+    // two masked rows across the two touched files
+    assert(after.dvs.values.flatten
+      .map(r => r._2 - r._1 + 1).sum == 2L,
+      s"expected 2 masked rows: ${after.dvs}")
+    assert(GraftTable.read(spark, root).count() == 1000L)
+    assert(GraftTable.read(spark, root)
+      .filter($"k".isin(5L, 905L)).select("name")
+      .collect().map(_.getString(0)).toSet == Set("u5", "u905"))
+  }
+
   test("in-stream evolution: the running query projects the pinned schema; restart serves the added column") {
     import spark.implicits._
     val base = freshDir()
