@@ -1243,17 +1243,60 @@ object GraftTable {
     * them because their manifests still reference them. On a
     * stats-carrying table the rewrite is range-partitioned on the
     * stats key and fresh per-file ranges are recorded, so compaction
-    * preserves prunability.
+    * preserves prunability. Deletion vectors are MATERIALIZED away
+    * (the snapshot read applies them; the rewrite stores only live
+    * rows).
+    *
+    * `zorderBy = Seq(a, b)` (VERDICT r17 next-round #7 — Delta's
+    * `OPTIMIZE ... ZORDER BY`) clusters the rewrite on the Morton
+    * interleave of the two columns instead of linearly on the head
+    * stats key: each output file then covers a small RECTANGLE in
+    * (a, b) space rather than a slab in one dimension, so the fresh
+    * per-file min/max ranges are tight in BOTH columns and
+    * [[readRanges]]/[[filesForRanges]] open strictly fewer files for
+    * selective 2-D boxes ([[ClusteredWrite.mortonKey]]'s interleave,
+    * reused verbatim; bucket bounds from one tiny min/max agg over the
+    * snapshot). Both columns must be recorded stats columns — z-order
+    * clusters what the manifest can prune on.
     */
   def compact(spark: SparkSession, root: String, expectedVersion: Long,
       numFiles: Int = 1,
-      txnRetentionMs: Long = Long.MaxValue): Long = {
+      txnRetentionMs: Long = Long.MaxValue,
+      zorderBy: Seq[String] = Nil): Long = {
     require(numFiles > 0, s"numFiles must be positive: $numFiles")
     val parent = readManifest(spark, root, expectedVersion)
     val snap = snapshotOf(spark, root, parent)
-    val laid = parent.statsCol match {
-      case Some(k) => snap.repartitionByRange(numFiles, col(k))
-      case None => snap.repartition(numFiles)
+    val laid = zorderBy match {
+      case Seq(a, b) =>
+        require(parent.statsCols.contains(a) &&
+          parent.statsCols.contains(b),
+          s"zorderBy columns must be stats columns " +
+            s"(table stats: ${parent.statsCols}, asked: $zorderBy)")
+        val bounds = snap.agg(
+          fmin(col(a)).cast("double"), fmax(col(a)).cast("double"),
+          fmin(col(b)).cast("double"), fmax(col(b)).cast("double"))
+          .head()
+        if (bounds.isNullAt(0)) snap.repartition(numFiles)
+        else {
+          val (loA, hiA) = (bounds.getDouble(0), bounds.getDouble(1))
+          val (loB, hiB) = (bounds.getDouble(2), bounds.getDouble(3))
+          val bits = 8
+          val z = ClusteredWrite.mortonKey(
+            ClusteredWrite.bucketize(col(a), loA, math.nextUp(hiA), bits),
+            ClusteredWrite.bucketize(col(b), loB, math.nextUp(hiB), bits),
+            bits)
+          snap.withColumn("__graft_z", z)
+            .repartitionByRange(numFiles, col("__graft_z"))
+            .sortWithinPartitions("__graft_z")
+            .drop("__graft_z")
+        }
+      case Nil => parent.statsCol match {
+        case Some(k) => snap.repartitionByRange(numFiles, col(k))
+        case None => snap.repartition(numFiles)
+      }
+      case other => throw new IllegalArgumentException(
+        s"zorderBy takes exactly two columns (got $other) — one column " +
+          "is the linear layout the default compact already has")
     }
     // writer-transaction retention (ADVICE r16): every manifest carries
     // every writer id ever seen forward, and the streaming sink's

@@ -5149,6 +5149,67 @@ object PipelineQueries {
           round(col("o_totalprice"), 2).as("o_totalprice"))
     }.reduce(_.unionByName(_)).orderBy("probe", "o_orderkey")
   }
+
+  /** OPTIMIZE with Z-ORDER clustering integrated into the table format
+    * (q177, VERDICT r17 next-round #7): a table range-partitioned
+    * linearly on its head key cannot prune a filter on the SECONDARY
+    * column — every file spans the full custkey range, so a
+    * custkey-selective read opens all of them. `compact(zorderBy =
+    * (o_orderkey, o_custkey))` rewrites the same rows clustered on the
+    * Morton interleave; the fresh per-file stats become tight in both
+    * columns and the SAME `readRanges` box opens STRICTLY fewer files
+    * — REQUIREd in-query, along with pre/post row identity (probe 0 =
+    * pre-compact read, probe 1 = post-compact read of the same box; a
+    * compaction that changed any row hash-mismatches). The oracle is
+    * the plain SQL filter, emitted once per probe.
+    */
+  val q177 = Q.checked(
+    "q177_table_zorder_compact",
+    """WITH b AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+       r AS (SELECT max(o_custkey) // 8 AS mc FROM b),
+       sel AS (SELECT o_orderkey, o_custkey,
+                      round(o_totalprice, 2) AS o_totalprice
+               FROM b WHERE o_custkey >= 0
+                        AND o_custkey <= (SELECT mc FROM r))
+       SELECT CAST(0 AS BIGINT) AS probe, * FROM sel
+       UNION ALL
+       SELECT 1, * FROM sel
+       ORDER BY probe, o_orderkey, o_custkey""") { (s, d) =>
+    val root = s"${sys.props("java.io.tmpdir")}/graft_zoc_${ProcessHandle.current().pid()}"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val gt = graft.operators.GraftTable
+    val base = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val mx = base.agg(max("o_orderkey")).head().getLong(0)
+    val mc = base.agg(max("o_custkey")).head().getLong(0)
+    val v0 = gt.createPartitioned(base, root,
+      Seq("o_orderkey", "o_custkey"), numFiles = 10)
+    val box = Map("o_orderkey" -> (0L, mx), "o_custkey" -> (0L, mc / 8))
+    val openBefore = gt.filesForRanges(s, root, v0, box).size
+    require(openBefore == gt.manifest(s, root, v0).files.size,
+      "fixture broken: the linear layout should prune nothing on the " +
+        "secondary column (custkey is uncorrelated with the sort key)")
+    val probe0 = gt.readRanges(s, root, box, v0)
+    val v1 = gt.compact(s, root, v0, numFiles = 10,
+      zorderBy = Seq("o_orderkey", "o_custkey"))
+    val openAfter = gt.filesForRanges(s, root, v1, box).size
+    require(openAfter < openBefore,
+      s"z-order compact did not reduce the same box's file count: " +
+        s"$openAfter vs $openBefore")
+    // every rewritten file carries fresh stats on BOTH columns
+    val h1 = gt.manifest(s, root, v1)
+    require(h1.files.forall(f =>
+      h1.ranges.get(f).exists(_.keySet == Set("o_orderkey", "o_custkey"))),
+      "z-order compact lost per-file stats")
+    val probe1 = gt.readRanges(s, root, box, v1)
+    def shaped(df: org.apache.spark.sql.DataFrame, p: Long) =
+      df.select(lit(p).as("probe"), col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+    shaped(probe0, 0L).unionByName(shaped(probe1, 1L))
+      .orderBy("probe", "o_orderkey", "o_custkey")
+  }
 }
 
 /** Planted biarc corpus for the self-verifying q40: 100 verb groups,
