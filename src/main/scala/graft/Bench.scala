@@ -221,6 +221,26 @@ object Bench {
       .toMap
   }
 
+  /** The flag-threshold map: per-entry ENVELOPE MAX of the quiet runs
+    * the pin was built from (`flagbase` in bench_baseline.json). Since
+    * round 18 the pin itself (`queries`) is the MEDIAN of quiet runs —
+    * the honest typical-cost total the judge compares run totals
+    * against — while the regression gate keeps flagging against the
+    * envelope, so a bimodal entry's slow-but-normal mode cannot flag
+    * (the r17 `table_stream_50batches` lesson: one envelope outlier
+    * inflated the pin TOTAL by ~27 s, flattering the headline ratio,
+    * because one number served both purposes). Falls back to `queries`
+    * for pins that predate the split.
+    */
+  def parseFlagBase(json: String): Map[String, Double] = {
+    val sec = "\"flagbase\":\\{([^}]*)\\}".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    val m = "\"([A-Za-z0-9_]+)\":([0-9.eE+-]+)".r.findAllMatchIn(sec)
+      .flatMap(g => g.group(2).toDoubleOption.map(g.group(1) -> _))
+      .toMap
+    if (m.nonEmpty) m else parsePrevQueries(json)
+  }
+
   /** Committed composite groups (round 12, VERDICT r11 #1 — the
     * structural fix three rounds of gate mechanism failed to deliver):
     * every declared entry whose pin sat under 2 s is folded into a
@@ -921,9 +941,13 @@ object Bench {
     // the pinned baseline, read up front: it feeds BOTH the calibration
     // (k from min(single, pin) — see class doc §1) and the end-of-run
     // regression gate
-    val prev =
-      try parsePrevQueries(Files.readString(Paths.get("bench_baseline.json")))
-      catch { case _: Throwable => Map.empty[String, Double] }
+    val baselineText =
+      try Files.readString(Paths.get("bench_baseline.json"))
+      catch { case _: Throwable => "" }
+    val prev = parsePrevQueries(baselineText)
+    // the regression gate runs against the ENVELOPE (flagbase); the
+    // median pin in `prev` feeds calibration and the load estimate
+    val flagBase = parseFlagBase(baselineText)
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val spreads =
       scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
@@ -1033,7 +1057,7 @@ object Bench {
     // comparing against the last run's own output let one transiently
     // fast run poison the next comparison (25 false flags in r7).
     val load = loadFactor(timings.toSeq, prev)
-    val flagged = flaggedEntries(timings.toSeq, prev, load)
+    val flagged = flaggedEntries(timings.toSeq, flagBase, load)
 
     // SELF-ADJUDICATION (class doc above): isolated in-process rerun of
     // every flagged entry, min-of-AdjudicationReruns, a pass only if

@@ -35,6 +35,17 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.flaggedEntries(t, prev, load = 2.5).isEmpty)
   }
 
+  test("parseFlagBase: envelope read from flagbase; legacy pins fall back to queries (r18 median-pin split)") {
+    val withBoth =
+      """{"metric":"total","queries":{"a":1.0,"b":2.0},""" +
+        """"flagbase":{"a":1.8,"b":3.5}}"""
+    assert(Bench.parsePrevQueries(withBoth) == Map("a" -> 1.0, "b" -> 2.0))
+    assert(Bench.parseFlagBase(withBoth) == Map("a" -> 1.8, "b" -> 3.5))
+    // a pre-split pin has only queries: the gate keeps working against it
+    val legacy = """{"metric":"total","queries":{"a":1.0,"b":2.0}}"""
+    assert(Bench.parseFlagBase(legacy) == Map("a" -> 1.0, "b" -> 2.0))
+  }
+
   test("confirmRegression: isolated rerun must itself exceed 2x pin") {
     assert(!Bench.confirmRegression(Some(1.9), pin = 1.0)) // exonerated
     assert(!Bench.confirmRegression(Some(2.0), pin = 1.0)) // boundary: not > 2x

@@ -4,25 +4,34 @@
 Usage: pin_baseline.py OUT RUN.json [RUN.json ...] \
            [--history OLD_PIN.json ...]
 
-Pin policy (round 9): the per-entry pin is the MAX of each query's
-median-of-reps across the given clean full quiet runs (the envelope),
-and the pinned spread is [min of run mins, max of run maxes] across
-those runs. Rationale: per-entry medians whipsaw up to ~2.5x between
-clean runs of IDENTICAL code (committed examples: dirt_lifecycle_200000
-at 1.47/3.49/3.90 s across runs 10/8/11, q53 at 2.08-3.57 s), so any
-single-run pin — fast OR slow — makes some normal future run flag a
-false 2x regression (the round-8 'stale-fast baseline' failure, where
-five sub-second queries stayed perma-flagged against pins from one
-deep-warmed run). Against the envelope, a >2x flag means the query ran
-slower than TWICE ANYTHING a clean run of this code ever produced —
-i.e. a real regression or real contention, never baseline staleness.
-The LAST run defines the pinned entry set (it is the current code
-state); earlier runs contribute envelope values only for entries they
-share with it, so a renamed or removed entry can never linger in the
-pin and silently inflate the pin total the judge compares run totals
-against. For every entry pinned, all contributing runs must come from
-the same code state of THAT entry; entries absent from older runs
-(newly added or resized queries) pin from the runs that have them.
+Pin policy (round 18, VERDICT r17 "what's wrong" #2 / next-round #6 —
+splitting the two jobs one number used to do):
+
+  - `queries` (THE PIN, whose sum is the total the judge compares run
+    totals against) is each entry's MEDIAN across the clean quiet
+    runs: the honest typical cost. The previous envelope-max pin let a
+    single bimodal outlier inflate the pin total (~27 s of slack from
+    one `table_stream_50batches` reading in r17), flattering the
+    headline ratio.
+  - `flagbase` (THE FLAG BAND, read by Bench.parseFlagBase) is the
+    per-entry MAX across the runs — the envelope. Per-entry medians
+    whipsaw up to ~2.5x between clean runs of IDENTICAL code
+    (committed examples: dirt_lifecycle_200000 at 1.47/3.49/3.90 s
+    across runs 10/8/11, q53 at 2.08-3.57 s), so flagging against a
+    median would make some normal future run flag a false 2x
+    regression (the round-8 'stale-fast baseline' failure). Against
+    the envelope, a >2x flag means the query ran slower than TWICE
+    ANYTHING a clean run of this code ever produced — a real
+    regression or real contention, never baseline staleness.
+
+The pinned spread stays [min of run mins, max of run maxes]. The LAST
+run defines the pinned entry set (it is the current code state);
+earlier runs contribute values only for entries they share with it, so
+a renamed or removed entry can never linger in the pin and silently
+inflate the pin total. For every entry pinned, all contributing runs
+must come from the same code state of THAT entry; entries absent from
+older runs (newly added or resized queries) pin from the runs that
+have them.
 
 Top-level fields are recomputed so the file stays internally
 consistent (the ADVICE r8 defect): value = sum of pinned entries,
@@ -41,6 +50,7 @@ ratchet is visible at re-pin time and must be explained by a touching
 commit (or investigated) rather than silently absorbed.
 """
 import json
+import statistics
 import sys
 
 
@@ -58,13 +68,14 @@ def main() -> None:
             raise SystemExit(f"{p}: refusing to pin from a run with errors")
 
     names = sorted(runs[-1]["queries"])
-    queries, spread = {}, {}
+    queries, flagbase, spread = {}, {}, {}
     for q in names:
         vals = [r["queries"][q] for r in runs if q in r["queries"]]
-        queries[q] = max(vals)
+        queries[q] = statistics.median(vals)
+        flagbase[q] = max(vals)
         los = [r["spread"][q][0] for r in runs if q in r.get("spread", {})]
         his = [r["spread"][q][1] for r in runs if q in r.get("spread", {})]
-        spread[q] = [min(los) if los else queries[q], max(his) if his else queries[q]]
+        spread[q] = [min(los) if los else queries[q], max(his) if his else flagbase[q]]
 
     ref = runs[-1]
     pinned = {
@@ -76,6 +87,7 @@ def main() -> None:
         "n_ok": len(queries),
         "n_err": 0,
         "queries": {q: round(v, 4) for q, v in queries.items()},
+        "flagbase": {q: round(v, 4) for q, v in flagbase.items()},
         "spread": {q: [round(lo, 4), round(hi, 4)] for q, (lo, hi) in spread.items()},
         "errors": {},
         "regressions": {},
@@ -84,6 +96,9 @@ def main() -> None:
     if history_paths:
         history = [(p, json.load(open(p))) for p in history_paths]
         drift = {}
+        # NOTE: pre-r18 history pins are envelope maxes, so a new MEDIAN
+        # compared against them UNDER-reports drift for one transition
+        # round; from r18 on, history medians compare like-for-like.
         for q, new_pin in queries.items():
             oldest = next((h["queries"][q] for _, h in history
                            if q in h.get("queries", {})), None)
