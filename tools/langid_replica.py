@@ -56,6 +56,22 @@ def grams_at(norm):
 def q(x):
     return math.floor(x * SCALE + 0.5)
 
+# Per-language discriminative gram weighting for confusable clusters
+# (round 18, VERDICT r17 next-round #5) — must mirror
+# LangId.ContrastDamping exactly: the TARGET language (whose frequency
+# profile sits BETWEEN the references — mk between sr and bg, the very
+# reason r17 excluded it) has its delta damped, per bucket, by
+# GNUM/GDEN of the smallest delta any cluster language has there
+# (floor division, clamped at 0). Shared South-Slavic mass (the
+# generic -та/-ва endings mk stole sr/bg held-outs with) is common to
+# the cluster, so it melts out of mk's profile; mk-specific lexicon
+# (ќе/ѓ/џ-bearing grams, каде/зошто/дека) has a zero cluster minimum
+# and keeps full weight. ONLY the target's vector changes — every
+# other language scores bit-identically to the pre-mk model, so the
+# adjustment cannot perturb any committed non-cluster outcome.
+CONTRAST = [("mk", {"mk", "sr", "bg"}, 1, 24)]
+
+
 def train(seed, langs):
     counts = {l: collections.Counter() for l in langs}
     totals = {l: 0 for l in langs}
@@ -68,6 +84,15 @@ def train(seed, langs):
     floors = {l: q(math.log(1.0 / (totals[l] + DIM))) for l in langs}
     deltas = {l: {b: q(math.log((c + 1) / (totals[l] + DIM))) - floors[l]
                   for b, c in counts[l].items()} for l in langs}
+    for target, cluster, gnum, gden in CONTRAST:
+        members = [l for l in langs if l in cluster]
+        if target not in langs or len(members) != len(cluster):
+            continue  # inactive until every member is present
+        for b in list(deltas[target]):
+            common = min(deltas[l].get(b, 0) for l in members)
+            d = deltas[target][b]
+            # floor division matches Scala's Math.floorDiv
+            deltas[target][b] = max(0, d - (common * gnum) // gden)
     ntot = sum(nsent.values())
     priors = {l: q(math.log(nsent[l] / ntot)) for l in langs}
     return deltas, floors, priors
