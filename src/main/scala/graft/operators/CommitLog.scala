@@ -638,7 +638,11 @@ object GraftTable {
       statsKeys: Seq[String] = Nil,
       cdf: Option[DataFrame] = None,
       tsFloor: Long = 0L,
-      carryDvs: Map[String, Seq[(Long, Long)]] = Map.empty)
+      carryDvs: Map[String, Seq[(Long, Long)]] = Map.empty,
+      // a metadata-only commit (RESTORE): stage no data at all — even
+      // an empty DataFrame writes one zero-row part file, which a
+      // stats-free manifest would then carry forever
+      dataless: Boolean = false)
 
   /** Per-file min/max of every stats column over freshly staged
     * files — ONE column-pruned scan of only those files computes all
@@ -697,18 +701,23 @@ object GraftTable {
     * no reader ever lists; compute per-file stats for `statsKeys`.
     */
   private def stageData(df: DataFrame, root: String, next: Long,
-      statsKeys: Seq[String], cdf: Option[DataFrame]): StagedData = {
+      statsKeys: Seq[String], cdf: Option[DataFrame],
+      writeData: Boolean = true): StagedData = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     val token = java.util.UUID.randomUUID.toString.take(8)
     val dataRel = f"data/v$next%08d-$token"
-    df.write.parquet(s"$root/$dataRel")
-    val staged = f.listStatus(new Path(s"$root/$dataRel"))
-      .map(_.getPath.getName)
-      .filter(_.startsWith("part-"))
-      .sorted
-      .map(n => s"$dataRel/$n")
-      .toSeq
+    val staged =
+      if (!writeData) Nil
+      else {
+        df.write.parquet(s"$root/$dataRel")
+        f.listStatus(new Path(s"$root/$dataRel"))
+          .map(_.getPath.getName)
+          .filter(_.startsWith("part-"))
+          .sorted
+          .map(n => s"$dataRel/$n")
+          .toSeq
+      }
     // on a stats-carrying table, zero-row part files (one per empty
     // write task) are dropped from the manifest — see [[fileRanges]]
     val (newRanges, parts) =
@@ -838,7 +847,8 @@ object GraftTable {
     // below is the authoritative check
     val seen = latestVersion(spark, root)
     if (seen != p.expected) throw new ConflictException(p.expected, seen)
-    val staged = stageData(df, root, next, p.statsKeys, p.cdf)
+    val staged = stageData(df, root, next, p.statsKeys, p.cdf,
+      writeData = !p.dataless)
     if (!tryPublish(spark, root, p, staged, df.schema.toDDL)) {
       discardStage(f, root, staged)
       throw new ConflictException(p.expected, latestVersion(spark, root))
@@ -1322,6 +1332,123 @@ object GraftTable {
       tsFloor = parent.ts.getOrElse(0L)))
   }
 
+  /** RESTORE (Delta's RESTORE TABLE ... TO VERSION recipe): re-commit
+    * the snapshot at `toVersion` as a NEW version on top of
+    * `expectedVersion` — roll the table back without erasing history.
+    * The target's file list, per-file stats, deletion vectors, and
+    * schema are carried into the new manifest VERBATIM: zero data
+    * movement, a driver metadata op whatever the table size (the files
+    * still exist because manifests are immutable and [[vacuum]]'s
+    * protection set is cumulative over every committed version — a
+    * restore target can never have been vacuumed away). History is
+    * append-only: earlier versions, time travel, and the change feed
+    * before the restore all keep reading exactly what they did.
+    *
+    * The change feed the restore stages is ROW-EXACT: a file-level
+    * add/remove diff (Delta reconstructs restore CDF the same way)
+    * would double-report rows that merely moved between files — a
+    * DELETE that rewrote a 3-row file into a 2-row file would feed
+    * "insert 3 rows + delete 2 rows" on restore, and a latest-wins
+    * consumer seeing the same key inserted AND deleted at one commit
+    * version has no correct way to order them. Instead the candidate
+    * row sets from differing files are reconciled with EXCEPT ALL so
+    * rewrite overlap cancels: the feed carries exactly the rows whose
+    * membership changes. Cost is bounded by the files that DIFFER
+    * between the two manifests (common files are immutable — only
+    * their DV masks can differ, and those rows are addressed by row
+    * index directly), never by the table.
+    */
+  def restore(spark: SparkSession, root: String, expectedVersion: Long,
+      toVersion: Long): Long = {
+    val parent = readManifest(spark, root, expectedVersion)
+    require(toVersion >= 0L && toVersion <= expectedVersion,
+      s"restore target v$toVersion must be a committed version <= " +
+        s"v$expectedVersion — restore rolls back, it cannot invent " +
+        "future state")
+    val target = readManifest(spark, root, toVersion)
+    val schema = StructType.fromDDL(target.schemaDdl)
+
+    val curFiles = parent.files.toSet
+    val tgtFiles = target.files.toSet
+    // whole files present on one side only; reads null-fill or
+    // subselect to the TARGET schema (the restore version's schema —
+    // the same conformance rule the change-feed scan applies)
+    val addedWhole = target.files.filterNot(curFiles)
+    val removedWhole = parent.files.filterNot(tgtFiles)
+    // a common file's CONTENT is immutable — only its mask differs:
+    // rows masked now but not at the target resurrect (insert), rows
+    // masked at the target but live now disappear (delete)
+    def ids(rs: Seq[(Long, Long)]): Set[Long] =
+      rs.flatMap { case (lo, hi) => lo to hi }.toSet
+    val maskDiffs = target.files.filter(curFiles).flatMap { f =>
+      val c = ids(parent.dvs.getOrElse(f, Nil))
+      val t = ids(target.dvs.getOrElse(f, Nil))
+      if (c == t) None else Some((f, c -- t, t -- c))
+    }
+    // rows of specific (file, row_index) pairs — the DV-diff rows;
+    // the pair frame is driver-small (masks live in the manifest)
+    def rowsAt(pairs: Seq[(String, Long)]): Option[DataFrame] = {
+      if (pairs.isEmpty) return None
+      import org.apache.spark.sql.functions.{broadcast, regexp_extract}
+      import spark.implicits._
+      val wanted = pairs.toDF("__graft_dv_file", "__graft_dv_ri")
+      val files = pairs.map(_._1).distinct
+      Some(spark.read.schema(schema)
+        .parquet(files.map(p => s"$root/$p"): _*)
+        .withColumn("__graft_dv_file",
+          regexp_extract(col("_metadata.file_path"),
+            "(data/v\\d{8}-[^/]+/[^/]+)$", 1))
+        .withColumn("__graft_dv_ri", col("_metadata.row_index"))
+        .join(broadcast(wanted),
+          Seq("__graft_dv_file", "__graft_dv_ri"), "left_semi")
+        .select(schema.fieldNames.map(col(_)).toSeq: _*))
+    }
+    def wholeRows(files: Seq[String],
+        dvs: Map[String, Seq[(Long, Long)]]): Option[DataFrame] =
+      if (files.isEmpty) None
+      else Some(scanMinusDvs(spark, root, schema, files, dvs))
+    val insertCand = (wholeRows(addedWhole, target.dvs) ++
+      rowsAt(maskDiffs.flatMap { case (f, res, _) => res.map(f -> _) }))
+      .reduceOption(_.unionByName(_))
+    val deleteCand = (wholeRows(removedWhole, parent.dvs) ++
+      rowsAt(maskDiffs.flatMap { case (f, _, rem) => rem.map(f -> _) }))
+      .reduceOption(_.unionByName(_))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // EXCEPT ALL cancels rewrite overlap: a row that merely moved
+    // files is in both candidate sets and must not feed at all
+    val inserts = (insertCand, deleteCand) match {
+      case (Some(i), Some(d)) => i.exceptAll(d)
+      case (Some(i), None) => i
+      case _ => empty
+    }
+    val deletes = (insertCand, deleteCand) match {
+      case (Some(i), Some(d)) => d.exceptAll(i)
+      case (None, Some(d)) => d
+      case _ => empty
+    }
+    val cdf = withChangeType(inserts, "insert")
+      .unionByName(withChangeType(deletes, "delete"))
+    commitVersion(empty, root, Pending("RESTORE", expectedVersion,
+      carryFiles = target.files,
+      carryRanges = target.ranges,
+      carryDvs = target.dvs,
+      maxBatch = parent.maxBatch,
+      txns = parent.txns, txnStamps = parent.txnStamps,
+      schemaDdl = Some(target.schemaDdl),
+      statsKeys = target.statsCols,
+      cdf = Some(cdf),
+      tsFloor = parent.ts.getOrElse(0L),
+      dataless = true))
+  }
+
+  /** [[restore]] to [[versionAtTimestamp]]'s resolution — Delta's
+    * `RESTORE TABLE ... TO TIMESTAMP AS OF`. */
+  def restoreTimestamp(spark: SparkSession, root: String,
+      expectedVersion: Long, tsMillis: Long): Long =
+    restore(spark, root, expectedVersion,
+      versionAtTimestamp(spark, root, tsMillis))
+
   /** ACID MERGE: apply a changelog (op I/U/D, latest-wins by
     * `ordering`) to the snapshot at `expectedVersion` and commit the
     * result as one new version. The merge plan is
@@ -1687,6 +1814,35 @@ object GraftTable {
       tsMillis: Long): DataFrame =
     readVersion(spark, root, versionAtTimestamp(spark, root, tsMillis))
 
+  /** The FIRST version committed at-or-after `tsMillis` — the
+    * streaming `startingTimestamp` resolution (Delta's: "start from
+    * the first commit at or after the timestamp"), the mirror image of
+    * [[versionAtTimestamp]]'s at-or-before. Same O(log V) binary
+    * search on the monotonic commit stamps. A timestamp after the
+    * latest commit errors: there is no commit to start from, and
+    * silently positioning at latest+1 would make a typo'd far-future
+    * timestamp read as an empty-but-healthy stream.
+    */
+  def versionAtOrAfterTimestamp(spark: SparkSession, root: String,
+      tsMillis: Long): Long = {
+    val latest = latestVersion(spark, root)
+    require(latest >= 0L, s"no committed versions under $root")
+    def tsOf(v: Long): Long =
+      readManifest(spark, root, v).ts.getOrElse(0L)
+    require(tsOf(latest) >= tsMillis,
+      s"timestamp $tsMillis is after the latest commit of $root " +
+        s"(committed at ${tsOf(latest)}) — no commit exists to start " +
+        "from")
+    // invariant: ts(hi) >= tsMillis; answer = smallest such hi
+    var lo = 0L
+    var hi = latest
+    while (lo < hi) {
+      val mid = lo + (hi - lo) / 2
+      if (tsOf(mid) >= tsMillis) hi = mid else lo = mid + 1
+    }
+    lo
+  }
+
   /** The data files a `[lo, hi]` range read on the stats key must scan
     * at `version`: files whose recorded min/max is disjoint from the
     * range are pruned WITHOUT being opened (manifest-level data
@@ -1790,6 +1946,9 @@ object GraftTable {
     *     staged at write time ([[Cdc.latestWinsChanges]] — pre-images
     *     are only cheaply available while the merge holds them, so
     *     read-time snapshot diffing is never needed);
+    *   - RESTORE versions read the row-exact membership diff their
+    *     commit staged (bounded by the files that differed — see
+    *     [[restore]]);
     *   - COMPACT versions emit nothing (same rows, new layout — a
     *     physical rewrite is not a logical change).
     *
@@ -1810,8 +1969,12 @@ object GraftTable {
     * implementation unioned one DataFrame per version (a 10k-way
     * driver-side union plan — VERDICT r15 "what's wrong" #3). Scan
     * schema = the range's LAST version's (schema is append-only:
-    * [[appendEvolve]] rejects drops/retypes, every other commit
-    * republishes the parent's, so the last is the range's widest).
+    * [[appendEvolve]] rejects drops/retypes and every other commit
+    * republishes the parent's — except [[restore]], which republishes
+    * the TARGET's schema, Delta-style metadata rollback: a range
+    * ending at a schema-rolling-back RESTORE is served in the restored
+    * narrower schema, matching how the restored table reads its own
+    * history).
     */
   def readChanges(spark: SparkSession, root: String, fromVersion: Long,
       toVersion: Long): DataFrame = {
@@ -1842,9 +2005,9 @@ object GraftTable {
       case (_, e) if e.op == "CREATE" || e.op == "APPEND" => e.adds
     }.flatten
 
-    // one scan: every change file a MERGE/DELETE in range staged
+    // one scan: every change file a MERGE/DELETE/RESTORE in range staged
     val cdfEntries = entries.filter { case (_, e) =>
-      e.op == "MERGE" || e.op == "DELETE"
+      e.op == "MERGE" || e.op == "DELETE" || e.op == "RESTORE"
     }
     cdfEntries.foreach { case (v, e) => require(e.hasCdfDir,
       s"version $v (${e.op}) predates the change feed — " +

@@ -5210,6 +5210,78 @@ object PipelineQueries {
     shaped(probe0, 0L).unionByName(shaped(probe1, 1L))
       .orderBy("probe", "o_orderkey", "o_custkey")
   }
+
+  /** RESTORE — metadata-only rollback as a first-class table operation
+    * (q178, Delta's RESTORE TABLE recipe): build CREATE → APPEND →
+    * DELETE, then restore to the pre-delete version. The restore must
+    * move ZERO data (its manifest lists exactly the target's files —
+    * REQUIREd), the rolled-back snapshot must equal the target's
+    * (probe 0, recomputed closed-form by the oracle), and its change
+    * feed must be ROW-EXACT (probe 1): only the deleted rows come back
+    * as inserts — the rows the delete's rewrite merely moved between
+    * files cancel, REQUIREd as zero delete rows in the feed, where a
+    * file-level add/remove diff would have double-fed every survivor.
+    * Restoring to a future version is REQUIREd to error, and the
+    * restore's own commit stamp must resolve through timestamp travel.
+    */
+  val q178 = Q.checked(
+    "q178_table_restore",
+    """WITH b AS (SELECT o_orderkey, o_totalprice FROM orders),
+       a AS (SELECT o_orderkey + 20000000 AS o_orderkey,
+                    o_totalprice + 500 AS o_totalprice
+             FROM b WHERE o_orderkey % 7 = 0),
+       v1 AS (SELECT * FROM b UNION ALL SELECT * FROM a),
+       gone AS (SELECT * FROM v1 WHERE o_orderkey % 5 = 1)
+       SELECT CAST(0 AS BIGINT) AS probe, 'snap' AS change, o_orderkey,
+              round(o_totalprice, 2) AS o_totalprice
+       FROM v1
+       UNION ALL
+       SELECT 1, 'insert', o_orderkey, round(o_totalprice, 2) FROM gone
+       ORDER BY probe, o_orderkey""") { (s, d) =>
+    val root = s"${sys.props("java.io.tmpdir")}/graft_rst_${ProcessHandle.current().pid()}"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val gt = graft.operators.GraftTable
+    val base = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+    gt.create(base, root)
+    val k = col("o_orderkey")
+    gt.append(base.filter(k % 7 === 0)
+      .select((k + 20000000L).as("o_orderkey"),
+        (col("o_totalprice") + 500).as("o_totalprice")), root, 0L)
+    gt.deleteWhere(s, root, k % 5 === 1, 1L)
+    val v3 = gt.restore(s, root, expectedVersion = 2L, toVersion = 1L)
+    // zero data movement: the restore manifest is the target's file
+    // list verbatim — nothing staged under the restore's own version
+    val h1 = gt.manifest(s, root, 1L)
+    val h3 = gt.manifest(s, root, v3)
+    require(h3.files == h1.files && h3.op == "RESTORE",
+      s"restore moved data: ${h3.files.diff(h1.files)}")
+    // a restore cannot invent future state
+    val bad =
+      try { gt.restore(s, root, v3, toVersion = 99L); None }
+      catch { case e: IllegalArgumentException => Some(e.getMessage) }
+    require(bad.exists(_.contains("restore rolls back")),
+      s"future-version restore did not error: $bad")
+    // the restore's stamp participates in timestamp travel
+    val ts3 = h3.ts.getOrElse(sys.error("restore manifest missing ts"))
+    require(gt.versionAtTimestamp(s, root, ts3) == v3,
+      "restore stamp did not resolve to the restore version")
+    val feed = gt.readChanges(s, root, v3, v3)
+    // row-exact: a pure rollback of a delete feeds ONLY inserts — the
+    // survivors the delete's rewrite moved between files cancel
+    require(feed.filter(col("_change_type") =!= "insert").isEmpty,
+      "restore feed leaked rewrite-overlap rows")
+    val probe0 = gt.read(s, root)
+      .select(lit(0L).as("probe"), lit("snap").as("change"),
+        col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+    val probe1 = feed
+      .select(lit(1L).as("probe"), col("_change_type").as("change"),
+        col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+    probe0.unionByName(probe1).orderBy("probe", "o_orderkey")
+  }
 }
 
 /** Planted biarc corpus for the self-verifying q40: 100 verb groups,

@@ -30,9 +30,10 @@ import graft.operators.GraftTable
   * }}}
   *
   * Semantics per version (exactly [[GraftTable.readChanges]]):
-  * CREATE/APPEND serve their added files as `insert` rows, MERGE and
-  * DELETE serve the classified change rows their commit staged
-  * (pre-images included), COMPACT serves nothing. The first batch of a
+  * CREATE/APPEND serve their added files as `insert` rows, MERGE,
+  * DELETE and RESTORE serve the classified change rows their commit
+  * staged (pre-images included; a restore's row-exact membership
+  * diff), COMPACT serves nothing. The first batch of a
   * fresh checkpoint starts at version 0 — the initial snapshot arrives
   * as inserts, then the query is incremental (Delta's
   * `startingVersion=0` behavior).
@@ -199,7 +200,24 @@ object GraftTableSource {
     * it on a resumed query changes nothing.
     */
   private[graft] def startingVersionOf(sqlContext: SQLContext,
-      parameters: Map[String, String]): Long =
+      parameters: Map[String, String]): Long = {
+    // `startingTimestamp` (Delta's): the first commit AT-OR-AFTER the
+    // wall-clock millis — the mirror of timestampAsOf's at-or-before,
+    // resolved once at stream start by the same O(log V) binary search
+    // ([[GraftTable.versionAtOrAfterTimestamp]]). Mutually exclusive
+    // with startingVersion; the same existing-checkpoint-wins contract.
+    parameters.get("startingTimestamp").foreach { t =>
+      require(!parameters.contains("startingVersion"),
+        "startingVersion and startingTimestamp are mutually exclusive " +
+          "— they both position the first offset of a fresh checkpoint")
+      val ts = try t.toLong catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"startingTimestamp must be epoch millis: '$t'")
+      }
+      return GraftTable.versionAtOrAfterTimestamp(
+        sqlContext.sparkSession, rootOf(parameters), ts)
+    }
     parameters.get("startingVersion") match {
       case None => 0L
       case Some("latest") =>
@@ -214,6 +232,7 @@ object GraftTableSource {
         require(n >= 0L, s"startingVersion must be >= 0: $n")
         n
     }
+  }
 
   /** The rate-limit options, each a positive long (Delta's
     * AdmissionLimits vocabulary, at this source's three admission
@@ -389,14 +408,15 @@ class GraftTableSource(sqlContext: SQLContext, root: String,
 
   /** A version's ADMISSION UNITS in commit order: the data files a
     * CREATE/APPEND staged (served as inserts), the change files a
-    * MERGE/DELETE staged, nothing for COMPACT. One O(1) manifest read.
+    * MERGE/DELETE/RESTORE staged, nothing for COMPACT. One O(1)
+    * manifest read.
     */
   private def unitsOf(v: Long): (Seq[String], Boolean) = {
     val c = GraftTable.manifest(spark, root, v)
     c.op match {
       case "CREATE" | "APPEND" =>
         (c.files.filter(_.startsWith(f"data/v$v%08d-")), false)
-      case "MERGE" | "DELETE" =>
+      case "MERGE" | "DELETE" | "RESTORE" =>
         require(c.cdfDir.isDefined,
           s"version $v (${c.op}) predates the change feed — " +
             "its pre-images were not captured at commit time")

@@ -1258,6 +1258,130 @@ class CommitLogSpec extends AnyFunSuite {
       == "upd")
   }
 
+  test("restore: metadata-only rollback — target files carried verbatim, row-exact feed, future targets rejected, replay guards survive") {
+    import spark.implicits._
+    val root = freshRoot()
+    GraftTable.create(table3((1L to 6L).map(i => (i, s"n$i", i * 1.0))),
+      root)
+    GraftTable.append(table3((7L to 9L).map(i => (i, s"n$i", i * 1.0))),
+      root, 0L)
+    // v2 rewrites the snapshot without the k%3==0 rows
+    GraftTable.deleteWhere(spark, root, col("k") % 3 === 0, 1L)
+    assert(GraftTable.read(spark, root).count() == 6L)
+
+    val v3 = GraftTable.restore(spark, root, expectedVersion = 2L,
+      toVersion = 1L)
+    assert(v3 == 3L)
+    val h1 = GraftTable.manifest(spark, root, 1L)
+    val h3 = GraftTable.manifest(spark, root, v3)
+    assert(h3.op == "RESTORE")
+    // zero data movement: the restore manifest lists EXACTLY the
+    // target's files — nothing staged under its own version
+    assert(h3.files == h1.files)
+    assert(!h3.files.exists(_.startsWith("data/v00000003-")))
+    // the snapshot is the target's, row for row
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String, Double)].collect().toSet
+    assert(rows(GraftTable.read(spark, root)) ==
+      rows(GraftTable.readVersion(spark, root, 1L)))
+    // ROW-EXACT feed: only the rows whose membership changed (the
+    // deleted k%3==0 rows come back as inserts); the six rows that
+    // merely moved files in the delete's rewrite CANCEL — a file-level
+    // add/remove diff would have fed all nine
+    val feed = GraftTable.readChanges(spark, root, v3, v3)
+    assert(feed.filter(col("_change_type") =!= "insert").isEmpty,
+      "a pure rollback of a delete must feed only inserts")
+    assert(feed.select("k").as[Long].collect().toSet ==
+      Set(3L, 6L, 9L))
+    // history is append-only: pre-restore versions still read
+    assert(GraftTable.readVersion(spark, root, 2L).count() == 6L)
+    // nothing newly unreferenced: vacuum deletes no data
+    assert(GraftTable.vacuum(spark, root, retentionMs = 0L).isEmpty)
+    // a restore cannot invent future state
+    val bad = intercept[IllegalArgumentException] {
+      GraftTable.restore(spark, root, expectedVersion = v3,
+        toVersion = 99L)
+    }
+    assert(bad.getMessage.contains("restore rolls back"))
+    // writer replay guards ride the PARENT manifest, not the target:
+    // a batch committed before the restore replays as a no-op after it
+    assert(GraftTable.appendBatchIdempotent(
+      table3(Seq((100L, "x", 1.0))), 7L, root, "w1"))
+    val v5 = GraftTable.restore(spark, root, expectedVersion = 4L,
+      toVersion = 1L)
+    assert(!GraftTable.appendBatchIdempotent(
+      table3(Seq((100L, "x", 1.0))), 7L, root, "w1"),
+      "a replayed batch must be a no-op across a restore")
+    assert(GraftTable.latestVersion(spark, root) == v5)
+    // restoreTimestamp resolves through versionAtTimestamp and the
+    // restore's own stamp keeps the sequence monotonic
+    val ts = GraftTable.history(spark, root).map(_.ts.get)
+    assert(ts == ts.sorted, s"stamps not monotonic: $ts")
+    val v6 = GraftTable.restoreTimestamp(spark, root,
+      expectedVersion = v5, tsMillis = ts(2))
+    assert(rows(GraftTable.read(spark, root)) ==
+      rows(GraftTable.readVersion(spark, root, 2L)))
+    assert(GraftTable.manifest(spark, root, v6).op == "RESTORE")
+  }
+
+  test("restore across deletion vectors: a mask-only difference feeds by row index without touching identical files") {
+    import spark.implicits._
+    val root = freshRoot()
+    GraftTable.createPartitioned(
+      (1L to 1000L).map(i => (i, s"n$i", i * 1.0))
+        .toDF("k", "name", "bal"), root, "k", numFiles = 8)
+    // v1 masks one row in one file; every data file is carried
+    GraftTable.mergePruned(root,
+      Seq((500L, "-", 0.0, "D", 1L)).toDF("k", "name", "bal", "op", "seq"),
+      "k", Seq("seq"), 0L, "op", deletionVectors = true)
+    assert(GraftTable.read(spark, root).count() == 999L)
+    // restore to v0: the ONLY difference is the mask — the feed is the
+    // single resurrected row, served by row index from the one file
+    val v2 = GraftTable.restore(spark, root, expectedVersion = 1L,
+      toVersion = 0L)
+    val h2 = GraftTable.manifest(spark, root, v2)
+    assert(h2.dvs.isEmpty, "the restored manifest must carry the " +
+      "TARGET's (empty) mask set")
+    assert(GraftTable.read(spark, root).count() == 1000L)
+    val feed = GraftTable.readChanges(spark, root, v2, v2)
+      .select("k", "_change_type").as[(Long, String)].collect().toSeq
+    assert(feed == Seq((500L, "insert")), s"feed was $feed")
+    // and the mirror: restoring FORWARD-shaped mask growth (back onto
+    // the masked version) feeds the row as a delete
+    val v3 = GraftTable.restore(spark, root, expectedVersion = v2,
+      toVersion = 1L)
+    val feed3 = GraftTable.readChanges(spark, root, v3, v3)
+      .select("k", "_change_type").as[(Long, String)].collect().toSeq
+    assert(feed3 == Seq((500L, "delete")), s"feed was $feed3")
+    assert(GraftTable.read(spark, root).count() == 999L)
+  }
+
+  test("restore rolls the schema back with the data: a post-evolution restore serves the narrow schema and a narrow feed") {
+    import spark.implicits._
+    val root = freshRoot()
+    GraftTable.create(table3(Seq((1L, "a", 1.0), (2L, "b", 2.0))), root)
+    GraftTable.appendEvolve(
+      Seq((3L, "c", 3.0, 30L)).toDF("k", "name", "bal", "score"),
+      root, 0L)
+    assert(GraftTable.read(spark, root).columns.toSeq ==
+      Seq("k", "name", "bal", "score"))
+    val v2 = GraftTable.restore(spark, root, expectedVersion = 1L,
+      toVersion = 0L)
+    // Delta-style metadata rollback: the restored snapshot IS v0's,
+    // schema included
+    assert(GraftTable.read(spark, root).columns.toSeq ==
+      Seq("k", "name", "bal"))
+    assert(GraftTable.read(spark, root).count() == 2L)
+    val feed = GraftTable.readChanges(spark, root, v2, v2)
+    assert(feed.columns.toSeq ==
+      Seq("k", "name", "bal", "_change_type", "_commit_version"))
+    assert(feed.select("k", "_change_type").as[(Long, String)]
+      .collect().toSeq == Seq((3L, "delete")))
+    // time travel still serves the evolved version in ITS schema
+    assert(GraftTable.readVersion(spark, root, 1L).columns.toSeq ==
+      Seq("k", "name", "bal", "score"))
+  }
+
   test("checkpoint change-feed index is WINDOWED: bounded size, manifest-read fallback stays correct (ADVICE r17 medium)") {
     spark.conf.set("graft.checkpoint.indexWindow", "10")
     try {

@@ -764,4 +764,86 @@ class GraftTableSourceSpec extends AnyFunSuite {
       .as[(Long, Option[Double], Long)].collect().toSet
     assert(got == Set((2L, Some(7.5), 1L), (3L, Some(9.5), 2L)))
   }
+
+  test("a RESTORE mid-stream serves its row-exact diff through the same checkpoint, not a re-snapshot") {
+    import spark.implicits._
+    val base = freshDir()
+    val root = s"$base/table"
+    val ckpt = s"$base/ckpt"
+    val v0 = GraftTable.create(
+      (1L to 6L).map(i => (i, s"n$i")).toDF("k", "name"), root)
+    val v1 = GraftTable.append(
+      Seq((7L, "n7")).toDF("k", "name"), root, v0)
+    GraftTable.deleteWhere(spark, root, col("k") % 3 === 0, v1)
+    runAvailableNow(root, ckpt, s"$base/out1")
+    assert(spark.read.parquet(s"$base/out1").count() == 9L) // 7 ins + 2 del
+
+    // the table is rolled back while the stream is down; the resumed
+    // checkpoint serves ONLY the restore's membership diff — the two
+    // resurrected rows — never a fresh snapshot
+    val v3 = GraftTable.restore(spark, root, expectedVersion = 2L,
+      toVersion = v1)
+    runAvailableNow(root, ckpt, s"$base/out2")
+    val got = spark.read.parquet(s"$base/out2")
+      .select("k", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((3L, "insert", v3), (6L, "insert", v3)),
+      s"restore feed wrong: $got")
+  }
+
+  test("startingTimestamp positions a fresh checkpoint at the first commit at-or-after; exclusive with startingVersion; after-latest errors") {
+    import spark.implicits._
+    val base = freshDir()
+    val root = s"$base/table"
+    val v0 = GraftTable.create(Seq((1L, "a")).toDF("k", "name"), root)
+    Thread.sleep(20)
+    val v1 = GraftTable.append(Seq((2L, "b")).toDF("k", "name"), root, v0)
+    Thread.sleep(20)
+    val v2 = GraftTable.append(Seq((3L, "c")).toDF("k", "name"), root, v1)
+    val ts = GraftTable.history(spark, root).map(_.ts.get)
+
+    def run(ckpt: String, out: String, opts: Map[String, String]): Unit = {
+      val reader = spark.readStream.format(Fmt).option("path", root)
+      val q = opts.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
+        .load()
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.write.mode("append").parquet(out)
+            ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    // the exact stamp of v1 resolves to v1; a probe strictly between
+    // v1 and v2 resolves FORWARD to v2 (at-or-after — the mirror of
+    // timestampAsOf's at-or-before)
+    run(s"$base/ck1", s"$base/out1",
+      Map("startingTimestamp" -> ts(1).toString))
+    assert(spark.read.parquet(s"$base/out1")
+      .select("k", "_commit_version").as[(Long, Long)].collect().toSet
+      == Set((2L, v1), (3L, v2)))
+    if (ts(1) + 1 < ts(2)) {
+      run(s"$base/ck2", s"$base/out2",
+        Map("startingTimestamp" -> (ts(1) + 1).toString))
+      assert(spark.read.parquet(s"$base/out2")
+        .select("k", "_commit_version").as[(Long, Long)].collect().toSet
+        == Set((3L, v2)))
+    }
+    // both options together is a contradiction, refused loudly
+    val both = intercept[Exception] {
+      run(s"$base/ck3", s"$base/out3",
+        Map("startingTimestamp" -> ts(1).toString,
+          "startingVersion" -> "0"))
+    }
+    assert(both.getMessage.contains("mutually exclusive"))
+    // after the latest commit: no commit exists to start from
+    val late = intercept[Exception] {
+      run(s"$base/ck4", s"$base/out4",
+        Map("startingTimestamp" -> (ts(2) + 3600L * 1000).toString))
+    }
+    assert(late.getMessage.contains("no commit exists"))
+  }
 }
