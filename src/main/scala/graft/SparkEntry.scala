@@ -102,7 +102,7 @@ object SparkEntry {
     PipelineQueries.q168, PipelineQueries.q169, PipelineQueries.q170,
     PipelineQueries.q171, PipelineQueries.q172, PipelineQueries.q173,
     PipelineQueries.q174, PipelineQueries.q175, PipelineQueries.q176,
-    PipelineQueries.q177, PipelineQueries.q178)
+    PipelineQueries.q177, PipelineQueries.q178, PipelineQueries.q179)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

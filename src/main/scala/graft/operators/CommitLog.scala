@@ -106,7 +106,8 @@ object GraftTable {
       cdfFiles: Seq[String] = Nil,
       txnAware: Boolean = false,
       ts: Option[Long] = None,
-      dvs: Map[String, Seq[(Long, Long)]] = Map.empty) {
+      dvs: Map[String, Seq[(Long, Long)]] = Map.empty,
+      checks: Map[String, String] = Map.empty) {
     /** Primary stats column (the range-partitioning layout key). */
     def statsCol: Option[String] = statsCols.headOption
   }
@@ -556,6 +557,15 @@ object GraftTable {
           case other =>
             sys.error(s"manifest $p: bad dv line ${other.mkString("\t")}")
         }
+      }.toMap,
+      // CHECK constraints: `check:<name>\t<sql expr>` — enforced on
+      // every row-adding commit (Delta's table constraints)
+      checks = lines.filter(_.startsWith("check:")).map { l =>
+        l.drop(6).split("\t", 2) match {
+          case Array(name, e) => name -> e
+          case other =>
+            sys.error(s"manifest $p: bad check line ${other.mkString("\t")}")
+        }
       }.toMap)
   }
 
@@ -639,10 +649,11 @@ object GraftTable {
       cdf: Option[DataFrame] = None,
       tsFloor: Long = 0L,
       carryDvs: Map[String, Seq[(Long, Long)]] = Map.empty,
-      // a metadata-only commit (RESTORE): stage no data at all — even
-      // an empty DataFrame writes one zero-row part file, which a
+      // a metadata-only commit (RESTORE/ALTER): stage no data at all —
+      // even an empty DataFrame writes one zero-row part file, which a
       // stats-free manifest would then carry forever
-      dataless: Boolean = false)
+      dataless: Boolean = false,
+      checks: Map[String, String] = Map.empty)
 
   /** Per-file min/max of every stats column over freshly staged
     * files — ONE column-pruned scan of only those files computes all
@@ -825,6 +836,9 @@ object GraftTable {
     p.carryDvs.toSeq.sortBy(_._1).foreach { case (pt, rs) =>
       manifest.append(s"dv:$pt\t${encodeDvRanges(rs)}\n")
     }
+    p.checks.toSeq.sortBy(_._1).foreach { case (n, e) =>
+      manifest.append(s"check:$n\t$e\n")
+    }
     val tmp = new Path(s"$root/$LogDir/.tmp-v$next-${staged.token}")
     f.mkdirs(new Path(s"$root/$LogDir"))
     val out = f.create(tmp, false)
@@ -832,6 +846,26 @@ object GraftTable {
     finally out.close()
     if (publishManifest(f, tmp, manifestPath(root, next))) true
     else { f.delete(tmp, false); false }
+  }
+
+  /** SQL CHECK semantics: a row violates only when the expression is
+    * FALSE — NULL/UNKNOWN passes. One job per constraint over the
+    * rows being written (the same write-time cost Delta's constraint
+    * enforcement pays); carried files need no re-scan because
+    * [[addCheckConstraint]] validated the whole snapshot when the
+    * constraint was added and every later commit validated its own
+    * rows (induction).
+    */
+  private def enforceChecks(df: DataFrame,
+      checks: Map[String, String]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    checks.toSeq.sortBy(_._1).foreach { case (name, e) =>
+      val bad = df.filter(not(coalesce(expr(e), lit(true))))
+      if (!bad.isEmpty)
+        throw new IllegalArgumentException(
+          s"CHECK constraint '$name' ($e) violated by rows in this " +
+            "commit — nothing was written")
+    }
   }
 
   /** Stage `df` as parquet and atomically publish it as version
@@ -847,6 +881,11 @@ object GraftTable {
     // below is the authoritative check
     val seen = latestVersion(spark, root)
     if (seen != p.expected) throw new ConflictException(p.expected, seen)
+    // COMPACT re-lays and DELETE subsets rows a prior commit already
+    // validated — re-scanning them would put an O(snapshot) constraint
+    // job on every maintenance pass for rows that cannot be new
+    if (!p.dataless && p.op != "COMPACT" && p.op != "DELETE")
+      enforceChecks(df, p.checks)
     val staged = stageData(df, root, next, p.statsKeys, p.cdf,
       writeData = !p.dataless)
     if (!tryPublish(spark, root, p, staged, df.schema.toDDL)) {
@@ -909,6 +948,10 @@ object GraftTable {
       }
       seen = latestVersion(spark, root)
     }
+    // checks are stable across the rebase loop: the append whitelist
+    // only re-parents across APPEND/CREATE winners, which never alter
+    // the constraint set (an ALTER winner surfaces a conflict)
+    enforceChecks(df, p.checks)
     var staged = stageData(df, root, p.expected + 1, p.statsKeys, None)
     while (true) {
       if (tryPublish(spark, root, p, staged, df.schema.toDDL)) {
@@ -994,7 +1037,8 @@ object GraftTable {
       maxBatch = par.maxBatch, txns = par.txns,
       txnStamps = par.txnStamps,
       schemaDdl = Some(par.schemaDdl), statsKeys = par.statsCols,
-      tsFloor = par.ts.getOrElse(0L), carryDvs = par.dvs)
+      tsFloor = par.ts.getOrElse(0L), carryDvs = par.dvs,
+      checks = par.checks)
     // AUTO-REBASE (Delta's append-vs-append rule): an append reads
     // nothing, so winners that only ADDED files (CREATE/APPEND with an
     // unchanged schema — an interleaved appendEvolve widens it and
@@ -1048,7 +1092,8 @@ object GraftTable {
       txnStamps = parent.txnStamps,
       schemaDdl = Some(evolved.toDDL),
       statsKeys = parent.statsCols,
-      tsFloor = parent.ts.getOrElse(0L), carryDvs = parent.dvs))
+      tsFloor = parent.ts.getOrElse(0L), carryDvs = parent.dvs,
+      checks = parent.checks))
   }
 
   /** Exactly-once streaming sink primitive: append a micro-batch as a
@@ -1129,7 +1174,8 @@ object GraftTable {
             (appId -> System.currentTimeMillis()),
           schemaDdl = Some(par.schemaDdl),
           statsKeys = par.statsCols,
-          tsFloor = par.ts.getOrElse(0L), carryDvs = par.dvs))
+          tsFloor = par.ts.getOrElse(0L), carryDvs = par.dvs,
+          checks = par.checks))
       }
     val latest = latestVersion(spark, root)
     val p0 =
@@ -1329,7 +1375,8 @@ object GraftTable {
       txnStamps = parent.txnStamps.view.filterKeys(kept).toMap,
       schemaDdl = Some(parent.schemaDdl),
       statsKeys = parent.statsCols,
-      tsFloor = parent.ts.getOrElse(0L)))
+      tsFloor = parent.ts.getOrElse(0L),
+      checks = parent.checks))
   }
 
   /** RESTORE (Delta's RESTORE TABLE ... TO VERSION recipe): re-commit
@@ -1439,7 +1486,8 @@ object GraftTable {
       statsKeys = target.statsCols,
       cdf = Some(cdf),
       tsFloor = parent.ts.getOrElse(0L),
-      dataless = true))
+      dataless = true,
+      checks = target.checks))
   }
 
   /** [[restore]] to [[versionAtTimestamp]]'s resolution — Delta's
@@ -1448,6 +1496,67 @@ object GraftTable {
       expectedVersion: Long, tsMillis: Long): Long =
     restore(spark, root, expectedVersion,
       versionAtTimestamp(spark, root, tsMillis))
+
+  /** Add a CHECK constraint (Delta's `ALTER TABLE ADD CONSTRAINT`):
+    * a metadata-only ALTER commit carrying `check:<name>\t<expr>`.
+    * Like Delta, the CURRENT snapshot is validated first — a
+    * constraint the existing data already violates is refused, so a
+    * reader can trust that every row of every subsequent version
+    * satisfies every constraint in its manifest (add-time validation
+    * + write-time enforcement on each later commit's new rows, by
+    * induction; NULL/UNKNOWN passes, per SQL CHECK semantics). The
+    * expression is any Spark SQL boolean expression over the table's
+    * columns. [[restore]] rolls constraints back WITH the data (they
+    * are metadata), so a restored snapshot is always consistent with
+    * the constraint set of its own manifest.
+    */
+  def addCheckConstraint(spark: SparkSession, root: String,
+      expectedVersion: Long, name: String, exprSql: String): Long = {
+    require(name.nonEmpty && !name.exists(c => c == '\t' || c == '\n'),
+      s"constraint name must be non-empty and tab/newline-free: '$name'")
+    require(!exprSql.exists(c => c == '\t' || c == '\n'),
+      "constraint expression must be tab/newline-free " +
+        "(one manifest line)")
+    val parent = readManifest(spark, root, expectedVersion)
+    require(!parent.checks.contains(name),
+      s"constraint '$name' already exists: ${parent.checks(name)}")
+    // add-time validation over the whole snapshot (Delta refuses too)
+    enforceChecks(snapshotOf(spark, root, parent),
+      Map(name -> exprSql))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType.fromDDL(parent.schemaDdl))
+    commitVersion(empty, root, Pending("ALTER", expectedVersion,
+      carryFiles = parent.files, carryRanges = parent.ranges,
+      maxBatch = parent.maxBatch, txns = parent.txns,
+      txnStamps = parent.txnStamps,
+      schemaDdl = Some(parent.schemaDdl),
+      statsKeys = parent.statsCols,
+      tsFloor = parent.ts.getOrElse(0L), carryDvs = parent.dvs,
+      dataless = true,
+      checks = parent.checks + (name -> exprSql)))
+  }
+
+  /** Drop a CHECK constraint — the metadata-only ALTER twin. */
+  def dropCheckConstraint(spark: SparkSession, root: String,
+      expectedVersion: Long, name: String): Long = {
+    val parent = readManifest(spark, root, expectedVersion)
+    require(parent.checks.contains(name),
+      s"no such constraint '$name' (table has: " +
+        s"${parent.checks.keys.toSeq.sorted.mkString(", ")})")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType.fromDDL(parent.schemaDdl))
+    commitVersion(empty, root, Pending("ALTER", expectedVersion,
+      carryFiles = parent.files, carryRanges = parent.ranges,
+      maxBatch = parent.maxBatch, txns = parent.txns,
+      txnStamps = parent.txnStamps,
+      schemaDdl = Some(parent.schemaDdl),
+      statsKeys = parent.statsCols,
+      tsFloor = parent.ts.getOrElse(0L), carryDvs = parent.dvs,
+      dataless = true,
+      checks = parent.checks - name))
+  }
 
   /** ACID MERGE: apply a changelog (op I/U/D, latest-wins by
     * `ordering`) to the snapshot at `expectedVersion` and commit the
@@ -1493,7 +1602,8 @@ object GraftTable {
       statsKeys = parent.statsCols,
       cdf = Some(Cdc.latestWinsChanges(base, staged, key, ordering,
         op)),
-      tsFloor = parent.ts.getOrElse(0L))))
+      tsFloor = parent.ts.getOrElse(0L),
+      checks = parent.checks)))
   }
 
   /** File-pruned ACID MERGE (the Delta data-skipping recipe, VERDICT
@@ -1584,7 +1694,8 @@ object GraftTable {
           statsKeys = parent.statsCols,
           cdf = Some(withChangeType(empty)),
           tsFloor = parent.ts.getOrElse(0L),
-          carryDvs = parent.dvs)))
+          carryDvs = parent.dvs,
+          checks = parent.checks)))
     }
     val (cmin, cmax) = (bounds.getLong(0), bounds.getLong(1))
     // stage 1: range-disjoint files can't hold a change key; files
@@ -1662,7 +1773,8 @@ object GraftTable {
         statsKeys = parent.statsCols,
         cdf = Some(cdf),
         tsFloor = parent.ts.getOrElse(0L),
-        carryDvs = updatedDvs)))
+        carryDvs = updatedDvs,
+        checks = parent.checks)))
     } else {
       val merged = Cdc.latestWinsMerge(base, changes, key, ordering, op)
         .repartitionByRange(math.max(1, touched.size), col(key))
@@ -1678,7 +1790,8 @@ object GraftTable {
         statsKeys = parent.statsCols,
         cdf = Some(cdf),
         tsFloor = parent.ts.getOrElse(0L),
-        carryDvs = parent.dvs.view.filterKeys(keepSet).toMap)))
+        carryDvs = parent.dvs.view.filterKeys(keepSet).toMap,
+        checks = parent.checks)))
     }
   }
 
@@ -1708,7 +1821,8 @@ object GraftTable {
       schemaDdl = Some(parent.schemaDdl),
       statsKeys = parent.statsCols,
       cdf = Some(withChangeType(gone, "delete")),
-      tsFloor = parent.ts.getOrElse(0L)))
+      tsFloor = parent.ts.getOrElse(0L),
+      checks = parent.checks))
   }
 
   /** `df` + a constant `_change_type` column — the stored CDF shape. */

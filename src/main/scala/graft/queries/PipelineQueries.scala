@@ -5282,6 +5282,72 @@ object PipelineQueries {
         round(col("o_totalprice"), 2).as("o_totalprice"))
     probe0.unionByName(probe1).orderBy("probe", "o_orderkey")
   }
+
+  /** CHECK constraints as first-class table metadata (q179, Delta's
+    * ALTER TABLE ADD CONSTRAINT): add `price_nonneg`, REQUIRE a
+    * violating append is refused with nothing written, commit a valid
+    * append (probe 0), REQUIRE the constraint rides through COMPACT
+    * (maintenance must not drop governance metadata), drop it, and
+    * commit the previously-refused rows (probe 1). Both probes are
+    * recomputed closed-form by the oracle; the refusals are in-query
+    * REQUIREs — a constraint that silently admits bad rows or drops
+    * valid ones changes a probe's hash.
+    */
+  val q179 = Q.checked(
+    "q179_table_check_constraint",
+    """WITH b AS (SELECT o_orderkey, o_totalprice FROM orders),
+       pos AS (SELECT o_orderkey + 20000000 AS o_orderkey,
+                      o_totalprice AS o_totalprice
+               FROM b WHERE o_orderkey % 11 = 0),
+       neg AS (SELECT o_orderkey + 40000000 AS o_orderkey,
+                      -o_totalprice AS o_totalprice
+               FROM b WHERE o_orderkey % 13 = 0),
+       v_ok AS (SELECT * FROM b UNION ALL SELECT * FROM pos),
+       v_all AS (SELECT * FROM v_ok UNION ALL SELECT * FROM neg)
+       SELECT CAST(0 AS BIGINT) AS probe, o_orderkey,
+              round(o_totalprice, 2) AS o_totalprice
+       FROM v_ok
+       UNION ALL
+       SELECT 1, o_orderkey, round(o_totalprice, 2) FROM v_all
+       ORDER BY probe, o_orderkey""") { (s, d) =>
+    val root = s"${sys.props("java.io.tmpdir")}/graft_chk_${ProcessHandle.current().pid()}"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val gt = graft.operators.GraftTable
+    val base = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+    gt.create(base, root)
+    val v1 = gt.addCheckConstraint(s, root, 0L, "price_nonneg",
+      "o_totalprice >= 0")
+    val k = col("o_orderkey")
+    val pos = base.filter(k % 11 === 0)
+      .select((k + 20000000L).as("o_orderkey"), col("o_totalprice"))
+    val neg = base.filter(k % 13 === 0)
+      .select((k + 40000000L).as("o_orderkey"),
+        (-col("o_totalprice")).as("o_totalprice"))
+    // a violating append is refused and nothing lands
+    val refused =
+      try { gt.append(neg, root, v1); None }
+      catch { case e: IllegalArgumentException => Some(e.getMessage) }
+    require(refused.exists(_.contains("price_nonneg")),
+      s"violating append was not refused: $refused")
+    require(gt.latestVersion(s, root) == v1,
+      "a refused append must write nothing")
+    val v2 = gt.append(pos, root, v1)
+    val probe0 = gt.read(s, root)
+    // the constraint survives maintenance
+    val v3 = gt.compact(s, root, v2)
+    require(gt.manifest(s, root, v3).checks.contains("price_nonneg"),
+      "compact dropped the constraint")
+    val v4 = gt.dropCheckConstraint(s, root, v3, "price_nonneg")
+    gt.append(neg, root, v4)
+    val probe1 = gt.read(s, root)
+    def shaped(df: org.apache.spark.sql.DataFrame, p: Long) =
+      df.select(lit(p).as("probe"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+    shaped(probe0, 0L).unionByName(shaped(probe1, 1L))
+      .orderBy("probe", "o_orderkey")
+  }
 }
 
 /** Planted biarc corpus for the self-verifying q40: 100 verb groups,
