@@ -1150,10 +1150,23 @@ object GraftTable {
     * legacy writer, the very reason it was replaced.)
     */
   def appendBatchIdempotent(df: DataFrame, batchId: Long,
-      root: String, appId: String): Boolean = {
+      root: String, appId: String,
+      statsColumns: Seq[String] = Nil): Boolean = {
     require(appId.nonEmpty && !appId.exists(c => c == '\t' || c == '\n'),
       s"appId must be non-empty and tab/newline-free: '$appId'")
     val spark = df.sparkSession
+    // `statsColumns` applies when THIS call creates the table (the
+    // first batch of a stream writing to a fresh root): without it a
+    // sink-created table has no per-file stats, so range pruning,
+    // pruned merges, and deletion vectors are all unavailable to every
+    // consumer forever. On an existing table the committed layout is
+    // the contract — a differing option is refused, never silently
+    // ignored.
+    def checkStats(par: Commit): Unit =
+      require(statsColumns.isEmpty || statsColumns == par.statsCols,
+        s"statsColumns ${statsColumns} differs from the table's " +
+          s"committed stats layout ${par.statsCols} — stats columns " +
+          "are fixed at table creation")
     def decideFrom(par: Commit): RebaseDecision =
       if (par.txns.get(appId).exists(batchId <= _)) AlreadyApplied
       else if (!par.txnAware && par.txns.isEmpty &&
@@ -1164,6 +1177,7 @@ object GraftTable {
           schemaKey(StructType.fromDDL(par.schemaDdl)),
           s"schema mismatch: table has [${par.schemaDdl}], batch " +
             s"$batchId has [${df.schema.toDDL}]")
+        checkStats(par)
         Rebase(Pending("APPEND", par.version,
           carryFiles = par.files, carryRanges = par.ranges,
           batch = Some(batchId),
@@ -1182,7 +1196,8 @@ object GraftTable {
       if (latest == -1L)
         Pending("CREATE", -1L, batch = Some(batchId),
           maxBatch = Some(batchId), txns = Map(appId -> batchId),
-          txnStamps = Map(appId -> System.currentTimeMillis()))
+          txnStamps = Map(appId -> System.currentTimeMillis()),
+          statsKeys = statsColumns)
       else decideFrom(readManifest(spark, root, latest)) match {
         case Rebase(p) => p
         case AlreadyApplied => return false
@@ -1220,7 +1235,8 @@ object GraftTable {
   def mergeBatchIdempotent(batch0: DataFrame, batchId: Long,
       root: String, appId: String, key: String,
       ordering: Seq[String], opCol: Option[String] = None,
-      deletionVectors: Boolean = false): Boolean = {
+      deletionVectors: Boolean = false,
+      statsColumns: Seq[String] = Nil): Boolean = {
     require(appId.nonEmpty && !appId.exists(c => c == '\t' || c == '\n'),
       s"appId must be non-empty and tab/newline-free: '$appId'")
     require(ordering.nonEmpty,
@@ -1265,9 +1281,17 @@ object GraftTable {
           val emptyBase = spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             dataShape.schema)
-          val merged =
+          // a stats-creating first batch is range-laid on the head
+          // stats column so the layout starts prunable, exactly like
+          // createPartitioned (later merges preserve it)
+          val merged0 =
             Cdc.latestWinsMerge(emptyBase, changes, key, ordering, op)
-          commitVersion(merged, root, stamp(Pending("CREATE", -1L)))
+          val merged = statsColumns.headOption match {
+            case Some(k) => merged0.repartitionByRange(col(k))
+            case None => merged0
+          }
+          commitVersion(merged, root, stamp(Pending("CREATE", -1L,
+            statsKeys = statsColumns)))
         } else {
           val parent = readManifest(spark, root, latest)
           if (parent.txns.get(appId).exists(batchId <= _)) return false
@@ -1275,6 +1299,10 @@ object GraftTable {
             schemaKey(StructType.fromDDL(parent.schemaDdl)),
             s"schema mismatch: table has [${parent.schemaDdl}], batch " +
               s"$batchId has [${dataShape.schema.toDDL}]")
+          require(statsColumns.isEmpty || statsColumns == parent.statsCols,
+            s"statsColumns ${statsColumns} differs from the table's " +
+              s"committed stats layout ${parent.statsCols} — stats " +
+              "columns are fixed at table creation")
           if (parent.statsCols.contains(key))
             mergePrunedImpl(root, changes, key, ordering, latest, op,
               stamp, useDvs = deletionVectors)

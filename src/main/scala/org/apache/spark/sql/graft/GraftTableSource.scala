@@ -106,6 +106,15 @@ class GraftTableSourceProvider extends StreamSourceProvider
         "layout instead")
     val root = GraftTableSource.rootOf(parameters)
     val appId = parameters.get("appId")
+    // `statsColumns` ("c1,c2"): when the FIRST batch creates the
+    // table, commit it with these per-file stats columns — without
+    // this a sink-created table is permanently unprunable (no range
+    // pruning, no pruned merges, no deletion vectors). On an existing
+    // table the option must match the committed layout; it is never
+    // silently ignored.
+    val statsColumns = parameters.get("statsColumns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
     if (outputMode == OutputMode.Update()) {
       val key = parameters.getOrElse("mergeKey",
         throw new IllegalArgumentException(
@@ -127,13 +136,15 @@ class GraftTableSourceProvider extends StreamSourceProvider
       new GraftTableSink(sqlContext, root, appId,
         merge = Some((key, ordering)), mergeOp = parameters.get("mergeOp"),
         deletionVectors =
-          parameters.get("deletionVectors").exists(_.toBoolean))
+          parameters.get("deletionVectors").exists(_.toBoolean),
+        statsColumns = statsColumns)
     } else {
       require(outputMode == OutputMode.Append(),
         s"unsupported output mode $outputMode (append or update)")
       require(!parameters.contains("mergeKey"),
         "mergeKey is an update-mode option; use outputMode('update')")
-      new GraftTableSink(sqlContext, root, appId)
+      new GraftTableSink(sqlContext, root, appId,
+        statsColumns = statsColumns)
     }
   }
 }
@@ -157,7 +168,8 @@ class GraftTableSink(sqlContext: SQLContext, root: String,
     explicitAppId: Option[String],
     merge: Option[(String, Seq[String])] = None,
     mergeOp: Option[String] = None,
-    deletionVectors: Boolean = false) extends Sink {
+    deletionVectors: Boolean = false,
+    statsColumns: Seq[String] = Nil) extends Sink {
 
   private val spark =
     sqlContext.sparkSession.asInstanceOf[SparkSession]
@@ -173,9 +185,11 @@ class GraftTableSink(sqlContext: SQLContext, root: String,
     merge match {
       case Some((key, ordering)) =>
         GraftTable.mergeBatchIdempotent(batch, batchId, root, appId,
-          key, ordering, mergeOp, deletionVectors)
+          key, ordering, mergeOp, deletionVectors,
+          statsColumns = statsColumns)
       case None =>
-        GraftTable.appendBatchIdempotent(batch, batchId, root, appId)
+        GraftTable.appendBatchIdempotent(batch, batchId, root, appId,
+          statsColumns = statsColumns)
     }
     ()
   }

@@ -765,6 +765,61 @@ class GraftTableSourceSpec extends AnyFunSuite {
     assert(got == Set((2L, Some(7.5), 1L), (3L, Some(9.5), 2L)))
   }
 
+  test("statsColumns option: a sink-CREATED table is prunable — the first batch commits the stats layout, later DV batches rewrite zero files, mismatches refuse") {
+    import spark.implicits._
+    val base = freshDir()
+    val root = s"$base/table"
+
+    def writeBatch(data: org.apache.spark.sql.DataFrame,
+        batchId: Long): Unit = {
+      val sink = new org.apache.spark.sql.graft.GraftTableSink(
+        spark.sqlContext, root, Some("w1"),
+        merge = Some(("k", Seq("seq"))),
+        deletionVectors = true, statsColumns = Seq("k"))
+      sink.addBatch(batchId, data)
+    }
+    // first batch CREATES the table — with the stats layout
+    writeBatch((1L to 1000L).map(i => (i, s"n$i", i))
+      .toDF("k", "name", "seq"), 0L)
+    val h0 = GraftTable.manifest(spark, root, 0L)
+    assert(h0.statsCols == Seq("k"), s"stats layout lost: ${h0.statsCols}")
+    assert(h0.files.forall(f => h0.ranges.contains(f)),
+      "sink-created table must carry per-file ranges")
+    // second batch: a 1-row upsert goes down the DV path (possible
+    // ONLY because the sink-created table has stats) — zero rewrites
+    writeBatch(Seq((500L, "upd", 2000L)).toDF("k", "name", "seq"), 1L)
+    val h1 = GraftTable.manifest(spark, root, 1L)
+    assert(h0.files.forall(h1.files.contains),
+      "a DV point upsert into a sink-created table must rewrite nothing")
+    assert(h1.dvs.size == 1, s"expected one mask: ${h1.dvs}")
+    assert(GraftTable.read(spark, root)
+      .filter(col("k") === 500L).select("name").head().getString(0)
+      == "upd")
+    // a differing statsColumns on the existing table is refused loudly
+    val bad = intercept[IllegalArgumentException] {
+      val sink = new org.apache.spark.sql.graft.GraftTableSink(
+        spark.sqlContext, root, Some("w1"),
+        merge = Some(("k", Seq("seq"))), statsColumns = Seq("seq"))
+      sink.addBatch(2L, Seq((1L, "x", 1L)).toDF("k", "name", "seq"))
+    }
+    assert(bad.getMessage.contains("fixed at table creation"))
+
+    // append-mode twin: fresh root, option flows through the provider
+    val root2 = s"$base/table2"
+    val q = spark.readStream.format(Fmt).option("path", root).load()
+      .select("k", "name")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .format(Fmt)
+      .option("path", root2)
+      .option("checkpointLocation", s"$base/ck2")
+      .option("statsColumns", "k")
+      .start()
+    q.awaitTermination()
+    val g0 = GraftTable.manifest(spark, root2, 0L)
+    assert(g0.statsCols == Seq("k"),
+      s"append sink lost the stats option: ${g0.statsCols}")
+  }
+
   test("a RESTORE mid-stream serves its row-exact diff through the same checkpoint, not a re-snapshot") {
     import spark.implicits._
     val base = freshDir()
