@@ -59,7 +59,12 @@ NEW_QUERIES = ["q154_html_extract_text", "q155_html_boilerplate_blocks",
                # dedup_lsh_adversarial is fixture-independent (synthetic
                # planted twins); its 10x probe scales the corpus via
                # SPARK_GRAFT_JACCARD_DOCS below, like dirt_planted
-               "q175_table_sink_update_mode"]
+               "q175_table_sink_update_mode",
+               # round-18: timestamp travel, z-order compact, RESTORE,
+               # CHECK constraints (all table-metadata ops whose data
+               # work is bounded by the touched files, not the table)
+               "q176_table_timestamp_travel", "q177_table_zorder_compact",
+               "q178_table_restore", "q179_table_check_constraint"]
 PLANTED_SMALL = 41667   # the bench entry's group count (2,000,016 lines)
 PLANTED_BIG = 416670    # 10x (20,000,160 lines)
 
