@@ -1324,6 +1324,36 @@ class CommitLogSpec extends AnyFunSuite {
     assert(GraftTable.manifest(spark, root, v6).op == "RESTORE")
   }
 
+  test("restore races surface, never fork: an append winner conflicts the restore, a restore winner conflicts the rebasing append") {
+    import spark.implicits._
+    val root = freshRoot()
+    GraftTable.create(table3(Seq((1L, "a", 1.0))), root)
+    GraftTable.append(table3(Seq((2L, "b", 2.0))), root, 0L)
+    // an append wins between the restore's read and its publish: the
+    // restore's CAS loses and surfaces a ConflictException (a restore
+    // derived against a stale parent must re-derive — its feed diff
+    // was computed against the old latest)
+    GraftTable.append(table3(Seq((3L, "c", 3.0))), root, 1L)
+    val stale = intercept[GraftTable.ConflictException] {
+      GraftTable.restore(spark, root, expectedVersion = 1L,
+        toVersion = 0L)
+    }
+    assert(stale.actual == 2L)
+    // retried against the real latest it lands
+    val v3 = GraftTable.restore(spark, root, expectedVersion = 2L,
+      toVersion = 0L)
+    assert(GraftTable.read(spark, root).count() == 1L)
+    // a restore winner conflicts a blind append mid-rebase: RESTORE is
+    // not in the append whitelist (it REMOVES files a reader may have
+    // reasoned about), so the append surfaces instead of silently
+    // re-parenting onto a rolled-back snapshot
+    val app = intercept[GraftTable.ConflictException] {
+      GraftTable.append(table3(Seq((4L, "d", 4.0))), root,
+        expectedVersion = 2L)
+    }
+    assert(app.actual == v3)
+  }
+
   test("restore across deletion vectors: a mask-only difference feeds by row index without touching identical files") {
     import spark.implicits._
     val root = freshRoot()

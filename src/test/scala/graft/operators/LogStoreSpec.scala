@@ -276,4 +276,35 @@ class LogStoreSpec extends AnyFunSuite {
       table3(Seq((9L, "s", 9.0))), 0L, root, "s3a-stream"))
     assert(GraftTable.read(spark, root).count() == 3L)
   }
+
+  test("round-18 ops on mock s3a through the coordinated store: constraints enforce, restore rolls back row-exact, timestamp travel resolves") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = s3aRoot()
+    GraftTable.create(table3(Seq((1L, "a", 1.0), (2L, "b", 2.0))), root)
+    // constraint add + enforcement commit through the coordinated CAS
+    val v1 = GraftTable.addCheckConstraint(spark, root, 0L,
+      "bal_nonneg", "bal >= 0.0")
+    val bad = intercept[IllegalArgumentException] {
+      GraftTable.append(table3(Seq((3L, "c", -1.0))), root, v1)
+    }
+    assert(bad.getMessage.contains("bal_nonneg"))
+    val v2 = GraftTable.append(table3(Seq((3L, "c", 3.0))), root, v1)
+    GraftTable.deleteWhere(spark, root, col("k") === 2L, v2)
+    assert(GraftTable.read(spark, root).count() == 2L)
+    // restore on the object-store path: metadata-only, row-exact feed
+    val v4 = GraftTable.restore(spark, root, 3L, toVersion = v2)
+    assert(GraftTable.read(spark, root).count() == 3L)
+    val feed = GraftTable.readChanges(spark, root, v4, v4)
+      .select("k", "_change_type").as[(Long, String)].collect().toSeq
+    assert(feed == Seq((2L, "insert")), s"feed was $feed")
+    assert(GraftTable.manifest(spark, root, v4).checks
+      == Map("bal_nonneg" -> "bal >= 0.0"))
+    // timestamp travel binary-searches the same coordinated manifests
+    val ts = GraftTable.history(spark, root).map(_.ts.get)
+    assert(ts == ts.sorted)
+    assert(GraftTable.versionAtTimestamp(spark, root, ts.last) == v4)
+    assert(GraftTable.readTimestamp(spark, root, ts(v2.toInt))
+      .count() == 3L)
+  }
 }
