@@ -45,7 +45,11 @@ object FreezeCentroids {
 
     val trained = dirs.map { dir =>
       val key = new java.io.File(dir).getName
-      val emb = Tables.embeddings(spark, dir)
+      // raw single-split read: frozen artifacts must be derived from the
+      // DETERMINISTIC scan order (float reduce order is the only slack
+      // the drift gates tolerate; the r18 Spread floor would otherwise
+      // make the provenance depend on the freezing machine's core count)
+      val emb = Tables.raw(spark, dir, "embeddings")
       val coarse = graft.operators.Ivf.trainCentroids(emb, nList = 16, iters = 2)
       val cb = graft.operators.Pq.trainCodebooks(emb, m = 8, ksub = 16, iters = 2)
       // the q121 PCA recipe: k = 4 top eigenpairs + the mean vector

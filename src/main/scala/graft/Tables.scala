@@ -15,7 +15,31 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** One `spark.read.parquet`, floored to the cluster's parallelism.
+    *
+    * Each fixture table is a single small parquet file with one row
+    * group, and one row group is one scan task — so WITHOUT the floor
+    * every per-row stage fed directly by a scan (codecs, tokenizers,
+    * signatures) runs on ONE core of the whole cluster (measured: the
+    * multimodal/minhash bench entries spent >80% of their time in that
+    * single task). [[graft.util.Spread.cpuBound]] adds one round-robin
+    * exchange of the scanned rows only when the scan's parallelism is
+    * below the cluster's — on a real many-partition table it is a
+    * structural no-op, and filters/pruning still push through the
+    * repartition to the scan (plan-asserted in SpreadSpec).
+    */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.util.Spread.cpuBound(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** The un-floored single-split read, for the ONE consumer whose
+    * committed pin is stream-order-dependent: q147's DataSketches HLL
+    * estimate uses the HIP estimator, whose value depends on the order
+    * items enter the sketch — its frozen oracle values were pinned on
+    * the stable single-split scan, and must keep matching at ANY core
+    * count (the driver re-runs correctness at several), so that query
+    * keeps the deterministic 1-task scan its pin was made with.
+    */
+  def raw(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")

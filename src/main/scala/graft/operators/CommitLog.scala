@@ -653,7 +653,11 @@ object GraftTable {
       // even an empty DataFrame writes one zero-row part file, which a
       // stats-free manifest would then carry forever
       dataless: Boolean = false,
-      checks: Map[String, String] = Map.empty)
+      checks: Map[String, String] = Map.empty,
+      // false on the deliberately-laid commits (createPartitioned /
+      // COMPACT / mergePruned's range rewrites): their file count IS
+      // the operation's contract, [[rightSized]] must not touch it
+      sized: Boolean = true)
 
   /** Per-file min/max of every stats column over freshly staged
     * files — ONE column-pruned scan of only those files computes all
@@ -708,6 +712,44 @@ object GraftTable {
       ranges: Map[String, Map[String, (Long, Long)]],
       cdf: Option[(String, Seq[String])])
 
+  /** Right-size a small staged write (optimization guide §6, Delta's
+    * optimized-write idea reduced to the estimate-cheap case): a
+    * commit's parquet layout otherwise mirrors the plan's partitioning,
+    * so a 200-row micro-batch at 32-way parallelism writes 32 part
+    * files of ~6 rows — 32 task launches and file opens per commit, and
+    * a snapshot that accretes one tiny-file pile per version (the
+    * small-files problem §6 warns about, measured at ~0.33 s/commit on
+    * the 50-batch stream entry). When the optimizer's size estimate
+    * says the whole commit is under `spark.graft.write.smallCommitBytes`
+    * (default 32 MB), coalesce to one file per
+    * `spark.graft.write.targetFileBytes` (default 128 MB) — an
+    * order-preserving merge of adjacent partitions, no exchange.
+    *
+    * Scale-adaptive by construction: a large append's estimate exceeds
+    * the threshold and its parallelism is untouched. A caller who
+    * DELIBERATELY shaped the write (repartitionByRange for a prunable
+    * layout, an explicit numFiles) is detected via the repartition
+    * node in the logical plan and left alone, as are the internal
+    * layout-shaping paths (createPartitioned/compact/mergePruned),
+    * which pass `sized = false` on their [[Pending]].
+    */
+  private def rightSized(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.conf
+    val target = conf.getOption("spark.graft.write.targetFileBytes")
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    val small = conf.getOption("spark.graft.write.smallCommitBytes")
+      .map(_.toLong).getOrElse(32L * 1024 * 1024)
+    if (small <= 0) return df
+    val shaped = df.queryExecution.logical.collectFirst {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => r
+      case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
+    }.isDefined
+    if (shaped) return df
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est > small) df
+    else df.coalesce(math.max(1L, (est.toLong + target - 1) / target).toInt)
+  }
+
   /** Write `df` (and `cdf`) under version-encoded staging directories
     * no reader ever lists; compute per-file stats for `statsKeys`.
     */
@@ -740,7 +782,10 @@ object GraftTable {
     // manifest — one atomic publish covers both (an empty change set
     // still records its directory, so readers can tell "no changes"
     // from "written before CDF existed")
-    val cdfRel = cdf.map { rows =>
+    val cdfRel = cdf.map { rows0 =>
+      // change-feed rows are never deliberately laid out — always
+      // eligible for the small-commit coalesce
+      val rows = rightSized(rows0)
       val rel = f"cdf/v$next%08d-$token"
       rows.write.parquet(s"$root/$rel")
       val cdfParts = f.listStatus(new Path(s"$root/$rel"))
@@ -886,7 +931,8 @@ object GraftTable {
     // job on every maintenance pass for rows that cannot be new
     if (!p.dataless && p.op != "COMPACT" && p.op != "DELETE")
       enforceChecks(df, p.checks)
-    val staged = stageData(df, root, next, p.statsKeys, p.cdf,
+    val body = if (p.sized && !p.dataless) rightSized(df) else df
+    val staged = stageData(body, root, next, p.statsKeys, p.cdf,
       writeData = !p.dataless)
     if (!tryPublish(spark, root, p, staged, df.schema.toDDL)) {
       discardStage(f, root, staged)
@@ -952,7 +998,8 @@ object GraftTable {
     // only re-parents across APPEND/CREATE winners, which never alter
     // the constraint set (an ALTER winner surfaces a conflict)
     enforceChecks(df, p.checks)
-    var staged = stageData(df, root, p.expected + 1, p.statsKeys, None)
+    val body = if (p0.sized) rightSized(df) else df
+    var staged = stageData(body, root, p.expected + 1, p.statsKeys, None)
     while (true) {
       if (tryPublish(spark, root, p, staged, df.schema.toDDL)) {
         writeHint(f, root, p.expected + 1)
@@ -1007,7 +1054,7 @@ object GraftTable {
     val seen = latestVersion(df.sparkSession, root)
     require(seen == -1L, s"table already exists at $root (version $seen)")
     commitVersion(df.repartitionByRange(numFiles, col(keys.head)), root,
-      Pending("CREATE", -1L, statsKeys = keys))
+      Pending("CREATE", -1L, statsKeys = keys, sized = false))
   }
 
   /** Single-key convenience overload. */
@@ -1404,7 +1451,7 @@ object GraftTable {
       schemaDdl = Some(parent.schemaDdl),
       statsKeys = parent.statsCols,
       tsFloor = parent.ts.getOrElse(0L),
-      checks = parent.checks))
+      checks = parent.checks, sized = false))
   }
 
   /** RESTORE (Delta's RESTORE TABLE ... TO VERSION recipe): re-commit

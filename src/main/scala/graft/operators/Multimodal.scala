@@ -237,9 +237,9 @@ object Multimodal {
   def syntheticWavTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
+    graft.util.Spread.cpuBoundDs(docs
       .select(col(idCol).cast("long").as("doc_id"))
-      .as[Long]
+      .as[Long])
       .mapPartitions { ids =>
         ids.map { id =>
           val n = 800 + (id % 800).toInt
@@ -350,9 +350,9 @@ object Multimodal {
   def syntheticPngTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
+    graft.util.Spread.cpuBoundDs(docs
       .select(col(idCol).cast("long").as("doc_id"))
-      .as[Long]
+      .as[Long])
       .mapPartitions { ids =>
         ids.map { id =>
           val w = 16 + (id % 48).toInt
@@ -775,9 +775,9 @@ object Multimodal {
       idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
+    graft.util.Spread.cpuBoundDs(docs
       .select(col(idCol).cast("long").as("doc_id"))
-      .as[Long]
+      .as[Long])
       .mapPartitions { ids =>
         ids.map { id =>
           val w = 16 + (id % 16).toInt
@@ -942,9 +942,9 @@ object Multimodal {
       idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
+    graft.util.Spread.cpuBoundDs(docs
       .select(col(idCol).cast("long").as("doc_id"))
-      .as[Long]
+      .as[Long])
       .mapPartitions { ids =>
         ids.map { id =>
           val w = 16 + (id % 16).toInt
@@ -1303,9 +1303,9 @@ object Multimodal {
       idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
+    graft.util.Spread.cpuBoundDs(docs
       .select(col(idCol).cast("long").as("doc_id"))
-      .as[Long]
+      .as[Long])
       .mapPartitions { ids =>
         ids.map { id =>
           val w = 16 + (id % 16).toInt
@@ -1482,9 +1482,9 @@ object Multimodal {
       idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
+    graft.util.Spread.cpuBoundDs(docs
       .select(col(idCol).cast("long").as("doc_id"))
-      .as[Long]
+      .as[Long])
       .mapPartitions { ids =>
         ids.map { id =>
           val w = 16 + (id % 16).toInt

@@ -464,8 +464,11 @@ object PipelineQueries {
         // tolerant caller (Bench warmup) must re-fire loudly on the
         // next use, not vanish
         if (!centroidDriftChecked.contains(s"coarse:$d")) {
+          // raw single-split read: the frozen artifacts' provenance is
+          // the deterministic scan order (see FreezeCentroids), so the
+          // drift retrain reproduces that order at any core count
           requireCentroidDrift("coarse", d, frozen,
-            graft.operators.Ivf.trainCentroids(Tables.embeddings(s, d),
+            graft.operators.Ivf.trainCentroids(Tables.raw(s, d, "embeddings"),
               nList = 16, iters = 2))
           centroidDriftChecked.add(s"coarse:$d")
         }
@@ -480,8 +483,8 @@ object PipelineQueries {
     graft.operators.FrozenCentroids.codebooksFor(d) match {
       case Some(frozen) =>
         if (!centroidDriftChecked.contains(s"pq:$d")) {
-          val live = graft.operators.Pq.trainCodebooks(Tables.embeddings(s, d),
-            m = 8, ksub = 16, iters = 2)
+          val live = graft.operators.Pq.trainCodebooks(
+            Tables.raw(s, d, "embeddings"), m = 8, ksub = 16, iters = 2)
           for (j <- 0 until frozen.m)
             requireCentroidDrift(s"pq[$j]", d, frozen.cents(j), live.cents(j))
           centroidDriftChecked.add(s"pq:$d")
@@ -1138,8 +1141,8 @@ object PipelineQueries {
   val q106 = Q.checked("q106_multimodal_image_dedup", MediaSql.imageDedup) {
     (s, d) =>
     import s.implicits._
-    val ids = Tables.documents(s, d).select(col("doc_id").cast("long"))
-      .as[Long]
+    val ids = graft.util.Spread.cpuBoundDs(
+      Tables.documents(s, d).select(col("doc_id").cast("long")).as[Long])
     val media = ids.mapPartitions(_.flatMap { id =>
       val a = 1 + (id % 97).toInt
       val b = 1 + (id % 89).toInt
@@ -1172,8 +1175,8 @@ object PipelineQueries {
   val q107 = Q.checked("q107_multimodal_audio_dedup", MediaSql.audioDedup) {
     (s, d) =>
     import s.implicits._
-    val ids = Tables.documents(s, d).select(col("doc_id").cast("long"))
-      .as[Long]
+    val ids = graft.util.Spread.cpuBoundDs(
+      Tables.documents(s, d).select(col("doc_id").cast("long")).as[Long])
     val media = ids.mapPartitions(_.flatMap { id =>
       val a = 1 + (id % 28).toInt // never 0 mod 29: envelope stays varied
       val b = (id % 29).toInt
@@ -3470,8 +3473,10 @@ object PipelineQueries {
   val q147 = Q.checked("q147_hll_distinct_sketch",
     FrozenSketchSql.q147) { (s, d) =>
     val lgK = 12
+    // raw single-split read: the frozen HLL estimates are HIP
+    // (stream-order) dependent — see Tables.raw
     val out = graft.operators.DistinctSketch
-      .bySource(Tables.documents(s, d), lgK = lgK)
+      .bySource(Tables.raw(s, d, "documents"), lgK = lgK)
       .select(col("source"), col("n_exact"),
         col("est_whole").cast("long").as("est_whole"),
         col("est_merged").cast("long").as("est_merged"))

@@ -29,7 +29,9 @@ class FrozenCentroidsSpec extends AnyFunSuite {
   for (sf <- Seq("sf0.01", "sf0.1")) {
     test(s"frozen $sf coarse16 == Ivf.trainCentroids(nList=16, iters=2) retrained") {
       assume(haveFixture(sf), s"fixture $sf not present")
-      val emb = graft.Tables.embeddings(spark, fixture(sf))
+      // raw single-split read: the frozen artifacts' documented
+      // provenance is the deterministic scan order (see FreezeCentroids)
+      val emb = graft.Tables.raw(spark, fixture(sf), "embeddings")
       val retrained = Ivf.trainCentroids(emb, nList = 16, iters = 2)
         .map(_.toVector).toVector
       assert(retrained == FrozenCentroids.coarse16BySf(sf),
@@ -39,7 +41,7 @@ class FrozenCentroidsSpec extends AnyFunSuite {
 
     test(s"frozen $sf pqCodebooks == Pq.trainCodebooks(m=8, ksub=16, iters=2) retrained") {
       assume(haveFixture(sf), s"fixture $sf not present")
-      val emb = graft.Tables.embeddings(spark, fixture(sf))
+      val emb = graft.Tables.raw(spark, fixture(sf), "embeddings")
       val cb = Pq.trainCodebooks(emb, m = 8, ksub = 16, iters = 2)
       val frozen = FrozenCentroids.pqCodebooksBySf(sf)
       assert(cb.m == frozen.size && cb.dsub == frozen.head.head.size,
@@ -54,7 +56,7 @@ class FrozenCentroidsSpec extends AnyFunSuite {
     test(s"frozen $sf PCA == Pca.fitTopK(k=4) retrained (bit-exact)") {
       assume(haveFixture(sf), s"fixture $sf not present")
       import org.apache.spark.sql.functions.col
-      val emb = graft.Tables.embeddings(spark, fixture(sf))
+      val emb = graft.Tables.raw(spark, fixture(sf), "embeddings")
       import spark.implicits._
       val rows = Pca.fitTopK(emb, k = 4)
         .select("comp_id", "eigenvalue", "vector", "mean")
@@ -70,7 +72,7 @@ class FrozenCentroidsSpec extends AnyFunSuite {
   test("frozen apply-path equals the train-then-apply path on sf0.01") {
     assume(haveFixture("sf0.01"), "fixture sf0.01 not present")
     val d = fixture("sf0.01")
-    val emb = graft.Tables.embeddings(spark, d)
+    val emb = graft.Tables.raw(spark, d, "embeddings")
     // ivfTopK(iters=2) trains exactly the frozen recipe, so the frozen
     // apply must reproduce it row-for-row — pins the refactor seam
     val trained = Ivf.ivfTopK(emb, queryIds = 0L to 4L, k = 3,

@@ -1,0 +1,66 @@
+package graft.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The round-18 scan-parallelism floor (Spread.cpuBound, wired into
+  * Tables.apply): a single-file fixture table must fan out to the
+  * cluster's parallelism before per-row-expensive stages, WITHOUT
+  * losing filter pushdown or column pruning at the parquet scan, and
+  * must be a structural no-op on an input that already has enough
+  * partitions.
+  */
+class SpreadSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("spread-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("cpuBound floors a 1-partition scan to defaultParallelism") {
+    assume(new java.io.File(sf).exists(), "sf0.001 fixture not present")
+    val docs = graft.Tables.documents(spark, sf)
+    assert(docs.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism,
+      "single-file scan must be floored to the cluster's parallelism")
+  }
+
+  test("cpuBound is a no-op when the input already has enough partitions") {
+    import spark.implicits._
+    val wide = (0 until 100).toDF("i").repartition(16)
+    // 16 >= defaultParallelism(4): the SAME frame comes back, no
+    // second exchange appended
+    assert(Spread.cpuBound(wide) eq wide)
+  }
+
+  test("filter pushdown and column pruning survive the spread") {
+    assume(new java.io.File(sf).exists(), "sf0.001 fixture not present")
+    val plan = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") === 7L)
+      .select("doc_id", "lang")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)]"),
+      s"filter did not reach the scan:\n$plan")
+    val readSchema = plan.linesIterator
+      .find(_.trim.startsWith("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("lang") &&
+      !readSchema.contains("text"),
+      s"column pruning lost through the spread: $readSchema")
+  }
+
+  test("spread rows are the scanned rows — same result set") {
+    assume(new java.io.File(sf).exists(), "sf0.001 fixture not present")
+    val viaSpread = graft.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaSpread == raw)
+  }
+}
