@@ -489,6 +489,12 @@ object Dedup {
       // using-column joins reorder columns (join key first) and
       // .as[Tuple] binds by ordinal — select explicitly or ids swap
       .select(col("id1"), col("id2"), col("t1"), col("t2"))
+      // verify is CPU-bound (two shingle sets + intersect per pair);
+      // AQE coalesces the small post-join BYTES into one partition and
+      // serializes it (measured: a 9.8 s single-task stage) — the same
+      // bytes-track-compute mismatch the signature map above guards
+      // against, so spread the same way
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Long, String, String)]
       .map { case (id1, id2, t1, t2) =>
         val s1 = shingles(t1, shingleK)
@@ -547,6 +553,9 @@ object Dedup {
       // explicit select: using-column joins put the key first and the
       // tuple encoder binds by ordinal
       .select(col("batch_id"), col("base_id"), col("t1"), col("t2"))
+      // CPU-bound verify: keep AQE's byte-based coalescing from
+      // funnelling it into one task (see minhashPairs)
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Long, String, String)]
       .map { case (batchId, baseId, t1, t2) =>
         val s1 = shingles(t1, shingleK)
