@@ -356,7 +356,9 @@ object Bench {
     "q69_dedup_drop_clusters", "q130_dedup_keep_best", "q83_dedup_pagerank")
 
   private def dedupGraphBody(spark: SparkSession, sfDir: String): Unit = {
-    val docs = Tables.documents(spark, sfDir)
+    // tokenization + profile build are the CPU-heavy stages; floor the
+    // single-split fixture scan to cluster parallelism (Spread scaladoc)
+    val docs = graft.util.Spread.cpuBound(Tables.documents(spark, sfDir))
     val pairs = graft.operators.Dedup.jaccardPairs(docs, threshold = 0.5)
       .localCheckpoint(true)
     val comps = graft.operators.DupGraph.components(pairs)

@@ -15,29 +15,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** One `spark.read.parquet`, floored to the cluster's parallelism.
+  /** One `spark.read.parquet` per table, NO parallelism floor here.
     *
     * Each fixture table is a single small parquet file with one row
-    * group, and one row group is one scan task — so WITHOUT the floor
-    * every per-row stage fed directly by a scan (codecs, tokenizers,
-    * signatures) runs on ONE core of the whole cluster (measured: the
-    * multimodal/minhash bench entries spent >80% of their time in that
-    * single task). [[graft.util.Spread.cpuBound]] adds one round-robin
-    * exchange of the scanned rows only when the scan's parallelism is
-    * below the cluster's — on a real many-partition table it is a
-    * structural no-op, and filters/pruning still push through the
-    * repartition to the scan (plan-asserted in SpreadSpec).
+    * group, and one row group is one scan task — so a per-row-expensive
+    * stage fed directly by a scan (codecs, tokenizers, signatures) runs
+    * on ONE core of the whole cluster. The fix is
+    * [[graft.util.Spread.cpuBound]] — but applied at the SPECIFIC
+    * CPU-bound call sites (media generators, signature/verify maps,
+    * deletion-variant fan-out), NOT blanket here: a measured full-bench
+    * A/B showed the blanket floor costs every light query ~0.3–0.5 s
+    * (round-robin's sort-before-repartition plus an extra AQE stage
+    * barrier per read), which across 10–15-member composites outweighed
+    * its wins, while the targeted sites keep the full benefit.
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    graft.util.Spread.cpuBound(spark.read.parquet(s"$dir/$name.parquet"))
+    spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The un-floored single-split read, for the ONE consumer whose
-    * committed pin is stream-order-dependent: q147's DataSketches HLL
-    * estimate uses the HIP estimator, whose value depends on the order
-    * items enter the sketch — its frozen oracle values were pinned on
-    * the stable single-split scan, and must keep matching at ANY core
-    * count (the driver re-runs correctness at several), so that query
-    * keeps the deterministic 1-task scan its pin was made with.
+  /** Alias of [[apply]] kept for consumers that must DOCUMENT their
+    * dependence on the deterministic single-split scan order: q147's
+    * DataSketches HLL estimate uses the HIP estimator (stream-order
+    * dependent), and the frozen-quantizer provenance (FreezeCentroids,
+    * drift gates) compares float reductions bit-exactly — both are only
+    * stable because this read is one task at ANY core count.
     */
   def raw(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")

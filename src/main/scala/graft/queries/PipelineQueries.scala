@@ -97,7 +97,8 @@ object PipelineQueries {
          JOIN counts c2 ON c2.id = id2)
        WHERE jaccard >= 0.5
        ORDER BY id1, id2""") { (s, d) =>
-    Dedup.jaccardPairs(Tables.documents(s, d), threshold = 0.5)
+    Dedup.jaccardPairs(graft.util.Spread.cpuBound(Tables.documents(s, d)),
+        threshold = 0.5)
       .orderBy("id1", "id2")
   }
 
@@ -139,7 +140,7 @@ object PipelineQueries {
          JOIN counts c2 ON c2.id = id2)
        WHERE jaccard >= 0.5
        ORDER BY id1, id2""") { (s, d) =>
-    Dedup.jaccardPairs(Tables.documents(s, d), threshold = 0.5, ngram = 3)
+    Dedup.jaccardPairs(graft.util.Spread.cpuBound(Tables.documents(s, d)), threshold = 0.5, ngram = 3)
       .orderBy("id1", "id2")
   }
 
@@ -2279,8 +2280,8 @@ object PipelineQueries {
        WHERE levenshtein(a.c_name, b.c_name) <= 1
        ORDER BY id1, id2""") { (s, d) =>
     graft.operators.FuzzyJoin
-      .editDistanceSelfJoin(Tables.customer(s, d), "c_custkey", "c_name",
-        maxDist = 1)
+      .editDistanceSelfJoin(graft.util.Spread.cpuBound(Tables.customer(s, d)),
+        "c_custkey", "c_name", maxDist = 1)
       .orderBy("id1", "id2")
   }
 

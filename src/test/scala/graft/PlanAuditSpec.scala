@@ -495,15 +495,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // the regex chain must stay a single projected scan — any Exchange
     // means the extraction stopped being embarrassingly parallel
     val p = plan("q154_html_extract_text")
-    // allowed exchanges: the final presentation sort's range
-    // partitioning plus the r18 input-spread round-robin (Tables.apply's
-    // scan-parallelism floor on the single-file fixture — a no-op on a
-    // many-partition table); any OTHER exchange means the chain stopped
-    // being map-only. (formatted explain names each node twice — tree
-    // and details — and an AQE-cached subplan prints its exchange in
-    // BOTH the initial and final plan sections, so the spread exchange
-    // can contribute two numbered headers)
-    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 3, p.take(3000))
+    // the only allowed exchange is the final presentation sort's range
+    // partitioning; a second one means the chain stopped being map-only
+    // (formatted explain names each node twice — tree and details — so
+    // count the numbered details headers, one per physical node)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1, p.take(3000))
     assert(!p.contains("hashpartitioning"),
       s"a key shuffle crept into the extraction chain: ${p.take(3000)}")
     assert(!p.contains("Window") && !p.contains("HashAggregate"),
@@ -541,11 +537,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // means a join/agg crept into the scoring path. The scan must also
     // prune to (doc_id, text).
     val p = plan("q162_langid_model")
-    // allowed exchanges: the presentation sort's range partitioning and
-    // the r18 input-spread round-robin (scan-parallelism floor; absent
-    // on a many-partition table); a hash partitioning means a join/agg
-    // crept into the scoring path
-    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2,
+    // formatted explain prints each node once in the tree and once in
+    // the detail section -> exactly one Exchange node = two mentions,
+    // and it must be the presentation sort's range partitioning
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 1,
       s"non-sort exchange in the scoring path: ${p.take(4000)}")
     assert(p.contains("rangepartitioning") && !p.contains("hashpartitioning"),
       p.take(4000))

@@ -5,12 +5,12 @@ import org.apache.spark.sql.execution.ExplainMode
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The round-18 scan-parallelism floor (Spread.cpuBound, wired into
-  * Tables.apply): a single-file fixture table must fan out to the
-  * cluster's parallelism before per-row-expensive stages, WITHOUT
-  * losing filter pushdown or column pruning at the parquet scan, and
-  * must be a structural no-op on an input that already has enough
-  * partitions.
+/** The round-18 scan-parallelism floor (Spread.cpuBound, applied at the
+  * CPU-bound operator call sites): a single-file fixture scan must fan
+  * out to the cluster's parallelism before per-row-expensive stages,
+  * WITHOUT losing filter pushdown or column pruning at the parquet
+  * scan, and must be a structural no-op on an input that already has
+  * enough partitions.
   */
 class SpreadSpec extends AnyFunSuite {
 
@@ -24,9 +24,11 @@ class SpreadSpec extends AnyFunSuite {
 
   val sf = "/root/testdata/sf0.001"
 
+  private def docs = Spread.cpuBound(
+    spark.read.parquet(s"$sf/documents.parquet"))
+
   test("cpuBound floors a 1-partition scan to defaultParallelism") {
     assume(new java.io.File(sf).exists(), "sf0.001 fixture not present")
-    val docs = graft.Tables.documents(spark, sf)
     assert(docs.rdd.getNumPartitions ==
       spark.sparkContext.defaultParallelism,
       "single-file scan must be floored to the cluster's parallelism")
@@ -42,7 +44,7 @@ class SpreadSpec extends AnyFunSuite {
 
   test("filter pushdown and column pruning survive the spread") {
     assume(new java.io.File(sf).exists(), "sf0.001 fixture not present")
-    val plan = graft.Tables.documents(spark, sf)
+    val plan = docs
       .filter(col("doc_id") === 7L)
       .select("doc_id", "lang")
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
@@ -57,7 +59,7 @@ class SpreadSpec extends AnyFunSuite {
 
   test("spread rows are the scanned rows — same result set") {
     assume(new java.io.File(sf).exists(), "sf0.001 fixture not present")
-    val viaSpread = graft.Tables.documents(spark, sf)
+    val viaSpread = docs
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     val raw = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
