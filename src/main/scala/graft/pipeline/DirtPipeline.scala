@@ -53,6 +53,19 @@ object DirtPipeline {
       .flatMap(pi => Seq(
         Triple(pi.path, "X", pi.x, pi.cnt),
         Triple(pi.path, "Y", pi.y, pi.cnt)))
+      // ONE exchange serves three consumers (guide §2.4 "share the
+      // exchange"): hashpartitioning(slot, word) satisfies the
+      // ClusteredDistribution of the (path, slot, word) aggregation
+      // below (a subset-key partitioning co-locates every full key), of
+      // [[swMargins]]' (slot, word) aggregation, AND of [[miFeatures]]'
+      // (slot, word) join — so the triple agg runs exchange-free on top
+      // of this repartition and the persisted `tr` feeds the margin agg
+      // and the MI join without re-shuffling its 2|corpus| rows each
+      // time. Partial aggregation compressed almost nothing here anyway:
+      // the triple vocabulary scales WITH the corpus (planted/synthetic
+      // corpora: distinct keys ~ rows), so the raw-row exchange moves
+      // the same bytes the partially-aggregated one did.
+      .repartition(col("slot"), col("word"))
       .groupBy("path", "slot", "word")
       .agg(sum("cnt").as("cnt"))
   }
