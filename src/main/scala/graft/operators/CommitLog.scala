@@ -673,7 +673,98 @@ object GraftTable {
     * q170's out-of-range-append REQUIRE tripped on an empty part file
     * at the 10x fixture).
     */
-  private def fileRanges(spark: SparkSession, root: String,
+  /** Footer-based twin of [[fileRanges]] (optimization guide §6 /
+    * VERDICT r18 next-round #5): parquet footers already carry exact
+    * per-row-group min/max and null counts for integer columns, so the
+    * per-commit stats pass can be a driver-side metadata read of the few
+    * freshly staged footers instead of a full Spark re-scan of the rows
+    * it just wrote — at scale this halves the commit write path's I/O
+    * (the data is read back zero times instead of once).
+    *
+    * Exactness guard: returns None — and the caller falls back to the
+    * row scan — unless EVERY requested key in EVERY staged file is a
+    * plain signed INT32/INT64 primitive whose chunks all carry usable
+    * statistics (min/max present, or a null count proving the chunk is
+    * all-NULL). Within that domain the footer aggregation reproduces
+    * `min(col) / max(col) cast long` bit-for-bit: widening an INT32
+    * min/max to long commutes with min/max, an all-NULL file yields no
+    * range for that column (same unprunable-forever semantics), and a
+    * zero-row part file is reported absent exactly as the groupBy scan
+    * reported it.
+    */
+  private[graft] def fileRangesFromFooters(spark: SparkSession, root: String,
+      files: Seq[String], keys: Seq[String])
+      : Option[(Map[String, Map[String, (Long, Long)]], Set[String])] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    try {
+      val perFile = files.map { p =>
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(s"$root/$p"), conf))
+        try {
+          val footer = reader.getFooter
+          val schema = footer.getFileMetaData.getSchema
+          val blocks = footer.getBlocks.asScala.toSeq
+          val rows = blocks.map(_.getRowCount).sum
+          val perCol = keys.flatMap { k =>
+            if (!schema.containsField(k)) return None
+            val field = schema.getType(Seq(k): _*)
+            if (!field.isPrimitive) return None
+            val prim = field.asPrimitiveType()
+            val tn = prim.getPrimitiveTypeName
+            val isInt =
+              tn == PrimitiveType.PrimitiveTypeName.INT32 ||
+                tn == PrimitiveType.PrimitiveTypeName.INT64
+            val annOk = prim.getLogicalTypeAnnotation match {
+              case null => true
+              case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                i.isSigned
+              case _ => false
+            }
+            if (!isInt || !annOk ||
+              prim.getRepetition == org.apache.parquet.schema.Type.Repetition.REPEATED)
+              return None
+            var mn = Long.MaxValue
+            var mx = Long.MinValue
+            var any = false
+            blocks.foreach { b =>
+              val chunk = b.getColumns.asScala
+                .find(_.getPath.toDotString == k)
+                .getOrElse(return None)
+              val st = chunk.getStatistics
+              if (st == null || !st.isNumNullsSet) return None
+              val allNull = st.getNumNulls == chunk.getValueCount
+              if (!allNull) {
+                if (!st.hasNonNullValue) return None
+                val (bMn, bMx) = (st.genericGetMin, st.genericGetMax) match {
+                  case (a: java.lang.Long, b2: java.lang.Long) =>
+                    (a.longValue, b2.longValue)
+                  case (a: java.lang.Integer, b2: java.lang.Integer) =>
+                    (a.longValue, b2.longValue)
+                  case _ => return None
+                }
+                if (bMn < mn) mn = bMn
+                if (bMx > mx) mx = bMx
+                any = true
+              }
+            }
+            if (any) Some(k -> (mn, mx)) else None
+          }.toMap
+          (p, rows, perCol)
+        } finally reader.close()
+      }
+      val seen = perFile.collect { case (p, rows, _) if rows > 0 => p }.toSet
+      val ranges = perFile.collect {
+        case (p, rows, perCol) if rows > 0 && perCol.nonEmpty => p -> perCol
+      }.toMap
+      Some((ranges, seen))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private[graft] def fileRanges(spark: SparkSession, root: String,
       files: Seq[String], keys: Seq[String])
       : (Map[String, Map[String, (Long, Long)]], Set[String]) = {
     if (files.isEmpty) return (Map.empty, Set.empty)
@@ -775,7 +866,12 @@ object GraftTable {
     // write task) are dropped from the manifest — see [[fileRanges]]
     val (newRanges, parts) =
       if (statsKeys.nonEmpty) {
-        val (ranges, withRows) = fileRanges(spark, root, staged, statsKeys)
+        // footer metadata first (no second pass over the staged rows);
+        // the exact row scan remains the fallback for any column shape
+        // the footer path cannot reproduce bit-for-bit
+        val (ranges, withRows) =
+          fileRangesFromFooters(spark, root, staged, statsKeys)
+            .getOrElse(fileRanges(spark, root, staged, statsKeys))
         (ranges, staged.filter(withRows))
       } else (Map.empty[String, Map[String, (Long, Long)]], staged)
     // change-data feed staged beside the data, referenced by the same

@@ -439,13 +439,14 @@ object Dedup {
     import spark.implicits._
     val numPerm = bands * rowsPerBand
 
-    // Repartition the projected (id, text) pairs before the CPU-heavy
-    // signature map: input splits track bytes, not compute, and a single
-    // split must not serialize the whole corpus through one task.
-    val sigs = docs
+    // Floor the projected (id, text) pairs' parallelism before the
+    // CPU-heavy signature map: input splits track bytes, not compute,
+    // and a single split must not serialize the whole corpus through
+    // one task. cpuBoundDs (not an unconditional repartition): on a
+    // many-partition cluster table this is a structural no-op.
+    val sigs = graft.util.Spread.cpuBoundDs(docs
       .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-      .repartition(spark.sparkContext.defaultParallelism)
-      .as[(Long, String)]
+      .as[(Long, String)])
       .map { case (id, t) =>
         (id, minhashSignature(shingles(t, shingleK), numPerm))
       }
@@ -483,18 +484,17 @@ object Dedup {
     // Exact-verify candidates with shingle Jaccard.
     val texts = docs.select(col(idCol).cast("long").as("id"),
       col(textCol).as("t"))
-    candidates
+    graft.util.Spread.cpuBoundPost(candidates
       .join(texts.select(col("id").as("id1"), col("t").as("t1")), "id1")
       .join(texts.select(col("id").as("id2"), col("t").as("t2")), "id2")
       // using-column joins reorder columns (join key first) and
       // .as[Tuple] binds by ordinal — select explicitly or ids swap
-      .select(col("id1"), col("id2"), col("t1"), col("t2"))
+      .select(col("id1"), col("id2"), col("t1"), col("t2")))
       // verify is CPU-bound (two shingle sets + intersect per pair);
       // AQE coalesces the small post-join BYTES into one partition and
-      // serializes it (measured: a 9.8 s single-task stage) — the same
-      // bytes-track-compute mismatch the signature map above guards
-      // against, so spread the same way
-      .repartition(spark.sparkContext.defaultParallelism)
+      // serializes it (measured: a 9.8 s single-task stage) — spread via
+      // cpuBoundPost, which never drops below the session's configured
+      // shuffle width on a cluster
       .as[(Long, Long, String, String)]
       .map { case (id1, id2, t1, t2) =>
         val s1 = shingles(t1, shingleK)
@@ -547,15 +547,14 @@ object Dedup {
       col(textCol).as("t1"))
     val baseTexts = base.select(col(idCol).cast("long").as("base_id"),
       col(textCol).as("t2"))
-    candidates
+    graft.util.Spread.cpuBoundPost(candidates
       .join(batchTexts, "batch_id")
       .join(baseTexts, "base_id")
       // explicit select: using-column joins put the key first and the
       // tuple encoder binds by ordinal
-      .select(col("batch_id"), col("base_id"), col("t1"), col("t2"))
+      .select(col("batch_id"), col("base_id"), col("t1"), col("t2")))
       // CPU-bound verify: keep AQE's byte-based coalescing from
       // funnelling it into one task (see minhashPairs)
-      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Long, String, String)]
       .map { case (batchId, baseId, t1, t2) =>
         val s1 = shingles(t1, shingleK)

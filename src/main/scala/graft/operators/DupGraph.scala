@@ -106,6 +106,16 @@ object DupGraph {
   /** One large-star pass: every strictly larger neighbor of u hangs off
     * m = min(Γ(u) ∪ {u}). m <= u < v keeps the output canonical.
     * private[graft] so PlanAuditSpec audits THIS plan, not a copy.
+    *
+    * Deliberately NOT exchange-shared (round-19 A/B, guide §1): an
+    * explicit `repartition(u)` serving both the min-agg and the join
+    * looks like one exchange saved on paper, but locally AQE broadcasts
+    * the small min-neighbor table — the join then shuffles NOTHING and
+    * the explicit repartition is a pure extra full-edge exchange
+    * (measured: dedup_components_adversarial 9.1 → 11.3 s isolated
+    * min). Leaving the plan shuffle-free-by-broadcast when m fits and
+    * SMJ-with-own-exchange (AQE skew-splittable) when it does not is
+    * the scale-adaptive shape.
     */
   private[graft] def largeStar(e: Dataset[(Long, Long)]): Dataset[(Long, Long)] = {
     val spark = e.sparkSession
@@ -198,8 +208,16 @@ object DupGraph {
       .select(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v"))
       .distinct()
+    // partitioned by u ONCE before the checkpoint (guide §2.4): the
+    // degree agg, and every iteration's rank join AND degree join, are
+    // then co-partitioned with it — localCheckpoint preserves the
+    // physical partitioning, so the only per-iteration exchange left is
+    // the contribution sum by destination (whose hash(id) output in turn
+    // co-partitions the base left-join). Previously each iteration paid
+    // exchanges for both join sides plus the agg.
     val edges = canon
       .unionByName(canon.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u"))
       .localCheckpoint(true)
     val deg = edges.groupBy(col("u").as("id"))
       .agg(count(lit(1)).as("deg"))
@@ -209,7 +227,9 @@ object DupGraph {
     var pr = base
       .select(col("id"), expr(s"CAST($scale DIV n AS BIGINT)").as("rank"))
       .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
+    var sinceCkpt = 0
+    var lastCkpt = pr
+    for (i <- 1 to iterations) {
       val contrib = edges
         .join(pr.select(col("id").as("u"), col("rank").as("r")), "u")
         .join(deg.select(col("id").as("u"), col("deg")), "u")
@@ -221,9 +241,23 @@ object DupGraph {
           expr(s"""CAST(((100 - $dampingPct) * ($scale DIV n)) DIV 100
                    + ($dampingPct * COALESCE(contrib, 0)) DIV 100 AS BIGINT)""")
             .as("rank"))
-        .localCheckpoint(true)
-      freeCheckpoint(pr)
-      pr = next
+      // checkpoint every SECOND iteration (and the last): the eager
+      // checkpoint is one Spark job, so batching two power-iteration
+      // steps per materialization halves the job count while the plan
+      // stays two iterations deep — same fixpoint arithmetic, fewer
+      // fixed per-job latencies (the dedup-graph cadence cost VERDICT
+      // r18 #3 names)
+      sinceCkpt += 1
+      if (sinceCkpt == 2 || i == iterations) {
+        // materialize FIRST (its lineage reads the previous checkpoint's
+        // blocks), then free that previous checkpoint — only ever a
+        // frame that localCheckpoint actually produced
+        val ck = next.localCheckpoint(true)
+        freeCheckpoint(lastCkpt)
+        lastCkpt = ck
+        pr = ck
+        sinceCkpt = 0
+      } else pr = next
     }
     pr
   }

@@ -57,6 +57,27 @@ class SpreadSpec extends AnyFunSuite {
       s"column pruning lost through the spread: $readSchema")
   }
 
+  test("cpuBound refuses exchange-bearing plans instead of probing them") {
+    import spark.implicits._
+    val a = (0 until 10).toDF("i")
+    val joined = a.join(a.withColumnRenamed("i", "j"), col("i") === col("j"))
+    val e = intercept[IllegalArgumentException](Spread.cpuBound(joined))
+    assert(e.getMessage.contains("cpuBoundPost"), e.getMessage)
+    val agg = a.groupBy("i").count()
+    intercept[IllegalArgumentException](Spread.cpuBound(agg))
+  }
+
+  test("cpuBoundPost spreads to max(defaultParallelism, shuffle.partitions)") {
+    import spark.implicits._
+    val a = (0 until 64).toDF("i")
+    val joined = a.join(a.withColumnRenamed("i", "j"), col("i") === col("j"))
+    val out = Spread.cpuBoundPost(joined)
+    val want = math.max(spark.sparkContext.defaultParallelism,
+      spark.sessionState.conf.numShufflePartitions)
+    assert(out.rdd.getNumPartitions == want)
+    assert(out.collect().map(_.getInt(0)).sorted.toSeq == (0 until 64))
+  }
+
   test("spread rows are the scanned rows — same result set") {
     assume(new java.io.File(sf).exists(), "sf0.001 fixture not present")
     val viaSpread = docs
