@@ -26,6 +26,11 @@ object PlanDumpOps {
     import spark.implicits._
     new java.io.File(outDir).mkdirs()
 
+    // bench-scale corpus by default so static size estimates produce
+    // the same join strategies the timed entries plan (a tiny corpus
+    // broadcasts the margin tables and hides the real exchanges)
+    val groups = sys.env.getOrElse("SPARK_GRAFT_PLANTED_GROUPS", "41667").toInt
+
     def edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L)).toDS()
 
     val dumps: Map[String, () => org.apache.spark.sql.Dataset[_]] = Map(
@@ -45,7 +50,7 @@ object PlanDumpOps {
         val tr = graft.pipeline.DirtPipeline.triples(
           graft.pipeline.DirtPipeline.extractInstances(
             graft.pipeline.DirtPipeline.parseCorpus(
-              graft.queries.PlantedBiarc.scaledLines(spark, 200))))
+              graft.queries.PlantedBiarc.scaledLines(spark, groups))))
         graft.pipeline.DirtPipeline.miFeatures(tr,
           graft.pipeline.DirtPipeline.swMargins(tr),
           graft.pipeline.DirtPipeline.psMargins(tr), 1000L)
@@ -57,12 +62,12 @@ object PlanDumpOps {
         val tr = graft.pipeline.DirtPipeline.triples(
           graft.pipeline.DirtPipeline.extractInstances(
             graft.pipeline.DirtPipeline.parseCorpus(
-              pb.scaledLines(spark, 200))))
+              pb.scaledLines(spark, groups))))
         val mi = graft.pipeline.DirtPipeline.miFeatures(tr,
           graft.pipeline.DirtPipeline.swMargins(tr),
           graft.pipeline.DirtPipeline.psMargins(tr), 1000L)
         val pairs = graft.pipeline.DirtPipeline
-          .testPairs(pb.scaledTestSet(200)).toDF("p1", "p2")
+          .testPairs(pb.scaledTestSet(groups)).toDF("p1", "p2")
         graft.pipeline.DirtPipeline.similarity(mi,
           graft.pipeline.DirtPipeline.sumMi(mi), pairs)
       }))
