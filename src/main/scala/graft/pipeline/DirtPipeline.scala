@@ -150,16 +150,8 @@ object DirtPipeline {
       pairs: DataFrame): DataFrame = {
     val spark = mi.sparkSession
 
-    // Pairs active in the corpus: at least one member path has features.
-    // The tiny member list is the broadcast side of an inner join against
-    // mi's path column (no full `mi.select(path).distinct()` shuffle —
-    // one scan, duplicates collapsed on the already-small match set).
     val members = pairs
       .select(explode(array(col("p1"), col("p2"))).as("path"), col("p1"), col("p2"))
-    val activePairs = mi.select("path")
-      .join(broadcast(members), Seq("path"))
-      .select("p1", "p2")
-      .distinct()
 
     // Feature intersection (Job 3 reduce `:896-905`) as a relational
     // self-equi-join on (slot, word), restricted to the broadcast pair
@@ -205,6 +197,19 @@ object DirtPipeline {
       col("smX").as("s1X"), col("smY").as("s1Y"))
     val s2 = sm.select(col("path").as("p2"),
       col("smX").as("s2X"), col("smY").as("s2Y"))
+
+    // Pairs active in the corpus: at least one member path has features.
+    // sm's key set IS memberPaths ∩ mi.paths (sumMi carries every mi
+    // path; the semi-join keeps the members), so deriving activity from
+    // the already-computed bounded slice saves a whole extra pass over
+    // the corpus-sized mi table (round 19; guide §1.2 "don't compute
+    // things you throw away" — the old shape scanned mi a fourth time
+    // just to mark activity).
+    val activePairs = pairs
+      .join(broadcast(s1.select("p1")), Seq("p1"), "left_semi")
+      .unionByName(pairs
+        .join(broadcast(s2.select("p2")), Seq("p2"), "left_semi"))
+      .distinct()
 
     activePairs
       .join(numerators, Seq("p1", "p2"), "left")

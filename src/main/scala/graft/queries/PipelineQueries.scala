@@ -1209,24 +1209,32 @@ object PipelineQueries {
     val emb = Tables.embeddings(s, d)
     val pairs = Dedup.embeddingPairsKmeansFrom(emb,
       frozenCoarse(s, d), threshold = 0.4)
-    val comps = graft.operators.DupGraph.components(pairs)
+    // cached: the label table feeds THREE consumers (the node/component
+    // gate agg, the keeper-drop anti-join, and nothing else) — without
+    // the cache each action re-runs the labeling aggregation over the
+    // checkpointed fixed-point edges (guide §1.2: don't recompute what
+    // you already have)
+    val comps = graft.operators.DupGraph.components(pairs).persist()
     val kept = graft.operators.DupGraph
       .dropNearDupsByComponents(emb, comps, idCol = "vec_id")
       .select(col("vec_id").cast("long").as("vec_id"))
     // structural invariant, NOT a fixture-tuned band: keeper-drop keeps
     // exactly one vec per near-dup component plus every singleton, so
     // kept == n − (pair-graph nodes − components) — derived from the
-    // pair graph itself, it holds at any SF and any threshold
+    // pair graph itself, it holds at any SF and any threshold.
+    // One agg job computes both graph counts (was two separate counts).
     val n = emb.count()
     val k = kept.count()
-    val nodes = comps.count()
-    val nComp = comps.select("component").distinct().count()
+    val g = comps.agg(count(lit(1)), countDistinct(col("component"))).head()
+    val (nodes, nComp) = (g.getLong(0), g.getLong(1))
     require(nodes > nComp,
       s"semantic pair graph is edgeless ($nodes nodes, $nComp components)")
     require(k == n - (nodes - nComp),
       s"keeper-drop broke the component invariant: kept $k of $n, " +
         s"graph $nodes nodes in $nComp components")
-    kept.orderBy("vec_id")
+    // the returned frame's anti-join still reads the cached labels; the
+    // cache is released after the caller's first action (q136 idiom)
+    graft.util.CacheRelease.afterFirstAction(kept.orderBy("vec_id"), Seq(comps))
   }
 
   // IVF-PQ (FAISS's IVFADC-R layout): coarse cells bound the candidate
