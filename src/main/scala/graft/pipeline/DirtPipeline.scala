@@ -186,12 +186,21 @@ object DirtPipeline {
     // broadcast member list FIRST, so the later broadcast(s1)/broadcast(s2)
     // ships a table bounded by 2·|pairs|, not the corpus vocabulary.
     val memberPaths = members.select("path").distinct()
+    // materialized ONCE: sm is the broadcast-build input of FOUR
+    // consumers (s1, s2, and the two activity semi-joins below), and
+    // broadcast builds run as independent jobs — without the eager
+    // checkpoint each of them would recompute the corpus-sized sumMi
+    // aggregation (measured: +4.7 s on the planted similarity phase
+    // when the activity derivation doubled the consumer count; with the
+    // checkpoint the aggregation runs once for all four). The table is
+    // bounded by 2·|pairs| — block-storage cost is trivial.
     val sm = sumMi
       .join(broadcast(memberPaths), Seq("path"), "left_semi")
       .groupBy("path")
       .agg(
         sum(when(col("slot") === "X", col("sum_mi")).otherwise(0.0)).as("smX"),
         sum(when(col("slot") === "Y", col("sum_mi")).otherwise(0.0)).as("smY"))
+      .localCheckpoint(true)
 
     val s1 = sm.select(col("path").as("p1"),
       col("smX").as("s1X"), col("smY").as("s1Y"))
