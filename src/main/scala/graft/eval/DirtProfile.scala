@@ -65,6 +65,41 @@ object DirtProfile {
       timed("similarity phase (noop)") {
         scored.write.format("noop").mode("overwrite").save()
       }
+
+      // Deterministic shuffle accounting for the similarity phase
+      // (guide §2.3): wall-clock at sf0.1 rides the environment's mode,
+      // but bytes/records per exchange do not. Driven by collect() so
+      // the frame owns its final adaptive plan (the DirtSkewSpec
+      // pattern); the timed noop above stays the committed methodology.
+      val scored2 = DirtPipeline
+        .similarity(mi, DirtPipeline.sumMi(mi), pairsDf)
+      scored2.collect()
+      // recursive walk: AQE nests each stage's subtree behind a
+      // leaf-like QueryStageExec / AdaptiveSparkPlanExec boundary
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{
+        AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      def walk(p: SparkPlan): Seq[ShuffleExchangeLike] = {
+        val here = p match {
+          case s: ShuffleQueryStageExec => walk(s.plan)
+          case q: QueryStageExec => walk(q.plan)
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case s: ShuffleExchangeLike => Seq(s)
+          case _ => Seq.empty
+        }
+        here ++ p.children.flatMap(walk) ++
+          p.subqueries.flatMap(walk)
+      }
+      walk(scored2.queryExecution.executedPlan).distinct.foreach { s =>
+        def m(k: String): Long =
+          s.metrics.get(k).map(_.value).getOrElse(-1L)
+        println(s"DIRTSHUFFLE dataSize=${m("dataSize")} " +
+          s"bytesWritten=${m("shuffleBytesWritten")} " +
+          s"recordsWritten=${m("shuffleRecordsWritten")} " +
+          s"output=${s.output.map(_.name).mkString(",")}")
+      }
+
       tr.unpersist()
       mi.unpersist()
       spark.catalog.clearCache()

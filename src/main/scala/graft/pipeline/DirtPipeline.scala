@@ -153,31 +153,69 @@ object DirtPipeline {
     val members = pairs
       .select(explode(array(col("p1"), col("p2"))).as("path"), col("p1"), col("p2"))
 
+    // Bounded path dictionary (guide §2.3 — shuffle narrower types): the
+    // pair member list is 2·|pairs| rows and ALREADY broadcast into both
+    // feature sides, so dense per-path ints attach for free through the
+    // same broadcasts — the corpus-sized intersection join then shuffles
+    // and sorts 4-byte ids where it shipped two ~40-char path strings
+    // per row (which also share long prefixes, the worst case for sort
+    // comparisons). This is the round-19 #2 dictionary idea scoped to
+    // where the dictionary is broadcast-bounded: the corpus-wide variant
+    // was rejected because its vocab-sized dictionaries would shuffle
+    // the triple table to attach; this one attaches in the joins the
+    // plan already runs. row_number over the distinct member list is a
+    // deterministic bijection (bounded partition-less window, the
+    // q76/q133 discipline), so every broadcast rebuild assigns the same
+    // ids; materialized once, like `sm` below.
+    val pairsI = {
+      val memberIdx = members.select("path").distinct()
+        .withColumn("__pid", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("path")))
+      pairs
+        .join(broadcast(memberIdx
+          .select(col("path").as("p1"), col("__pid").as("__p1id"))), Seq("p1"))
+        .join(broadcast(memberIdx
+          .select(col("path").as("p2"), col("__pid").as("__p2id"))), Seq("p2"))
+        .localCheckpoint(true)
+    }
+
     // Feature intersection (Job 3 reduce `:896-905`) as a relational
     // self-equi-join on (slot, word), restricted to the broadcast pair
-    // list; p1 == p2 excluded (reference scores self-pairs 0.0).
+    // list; p1 == p2 excluded (reference scores self-pairs 0.0). Path
+    // strings are swapped for their dictionary ids in the same broadcast
+    // join and restored after the aggregation.
     val f1 = mi.select(
       col("path").as("p1"), col("slot"), col("word"), col("mi").as("mi1"))
+      .join(broadcast(pairsI.filter(col("p1") =!= col("p2"))
+        .select("p1", "__p1id", "__p2id")), Seq("p1"))
+      .select(col("__p1id"), col("__p2id"), col("slot"), col("word"),
+        col("mi1"))
     // Probe-side pre-filter (guide §3.2): only features of paths that
     // appear on the p2 side of a pair can ever match the intersection
     // join (its p2 values come from the broadcast pair list), so drop
-    // the rest with a broadcast semi-join BEFORE f2's exchange. Exact —
-    // no false negatives, the kept set is precisely the joinable set.
-    // On the adversarial planted corpus every path is a member (no
-    // local effect); on a real corpus the test set is tiny and this
-    // keeps the big side's shuffle proportional to |pairs|, not |mi|.
+    // the rest — attaching the id in the same broadcast join — BEFORE
+    // f2's exchange. Exact: no false negatives, the kept set is
+    // precisely the joinable set. On the adversarial planted corpus
+    // every path is a member (no local effect); on a real corpus the
+    // test set is tiny and this keeps the big side's shuffle
+    // proportional to |pairs|, not |mi|.
     val f2 = mi.select(
       col("path").as("p2"), col("slot"), col("word"), col("mi").as("mi2"))
-      .join(broadcast(pairs.select("p2").distinct()), Seq("p2"), "left_semi")
+      .join(broadcast(pairsI.select(col("p2"), col("__p2id")).distinct()),
+        Seq("p2"))
+      .select(col("__p2id"), col("slot"), col("word"), col("mi2"))
     val numerators = f1
-      .join(broadcast(pairs.filter(col("p1") =!= col("p2"))), Seq("p1"))
-      .join(f2, Seq("p2", "slot", "word"), "inner")
-      .groupBy("p1", "p2")
+      .join(f2, Seq("__p2id", "slot", "word"), "inner")
+      .groupBy("__p1id", "__p2id")
       .agg(
         sum(when(col("slot") === "X", col("mi1") + col("mi2")).otherwise(0.0))
           .as("numX"),
         sum(when(col("slot") === "Y", col("mi1") + col("mi2")).otherwise(0.0))
           .as("numY"))
+      .join(broadcast(pairsI
+        .select("p1", "p2", "__p1id", "__p2id").distinct()),
+        Seq("__p1id", "__p2id"))
+      .select("p1", "p2", "numX", "numY")
 
     // Four denominator lookups (Job 4 reduce `:967-970`), missing -> 0.0.
     // sumMi is one row per (corpus path, slot) — millions at scale; the
